@@ -1,0 +1,99 @@
+"""KV cache: functional state holders for jitted forward steps.
+
+Feature reference: /root/reference/exllamav3/cache/cache.py (Cache:93,
+CacheLayer:12), cache/fp16.py, cache/quant.py. The reference mutates paged
+tensors in place from CUDA kernels; here cache state is an explicit pytree
+threaded through the jitted step (donated on the hot path so XLA updates it
+in place).
+
+Two layouts:
+  * linear: (batch, max_len, kv_heads, head_dim) — slot == token position.
+    Used for simple generation and eval.
+  * paged: (num_pages, PAGE_SIZE, kv_heads, head_dim) with per-sequence block
+    tables — used by the continuous-batching generator (PAGE_SIZE = 256,
+    format-compatible with the reference's pagetable semantics).
+
+Quantized variants store int32-packed groups of 32 with fp16 scales
+(reference cache/quant.py layout) — see ops/kv_quant.py.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import PAGE_SIZE
+
+
+@dataclass
+class CacheSpec:
+    layout: str = "linear"  # "linear" | "paged"
+    batch_size: int = 1
+    max_len: int = 4096
+    num_pages: int = 0
+    kv_dtype: str = "bfloat16"
+    k_bits: int = 0  # 0 = unquantized; 2..8 = quantized cache
+    v_bits: int = 0
+
+
+class Cache:
+    """Host-side owner of cache arrays for every attention layer."""
+
+    def __init__(self, model, spec: CacheSpec):
+        self.spec = spec
+        self.layer_keys = [m.key for m in model.root.walk() if getattr(m, "is_kv_cache_user", False)]
+        self.shapes = {}
+        for m in model.root.walk():
+            if getattr(m, "is_kv_cache_user", False):
+                self.shapes[m.key] = (m.num_kv_heads, m.head_dim)
+        self.state = self.new_state()
+
+    def new_state(self) -> dict:
+        dt = jnp.bfloat16 if self.spec.kv_dtype == "bfloat16" else jnp.float32
+        state = {}
+        for key, (hk, hd) in self.shapes.items():
+            if self.spec.layout == "linear":
+                shape = (self.spec.batch_size, self.spec.max_len, hk, hd)
+            else:
+                shape = (self.spec.num_pages, PAGE_SIZE, hk, hd)
+            if self.spec.k_bits:
+                from ..ops.kv_quant import quant_cache_shapes
+
+                state[key] = quant_cache_shapes(shape, self.spec.k_bits, self.spec.v_bits)
+            else:
+                state[key] = {
+                    "k": jnp.zeros(shape, dtype=dt),
+                    "v": jnp.zeros(shape, dtype=dt),
+                }
+        return state
+
+    def reset(self):
+        self.state = self.new_state()
+
+
+def linear_cache_update(layer_state: dict, k_new, v_new, positions, k_bits: int = 0,
+                        v_bits: int = 0):
+    """Scatter (B, S, Hk, D) new keys/values at token positions. Returns the
+    updated layer state (functional)."""
+    if k_bits:
+        from ..ops.kv_quant import quant_cache_update
+
+        return quant_cache_update(layer_state, k_new, v_new, positions, k_bits, v_bits)
+    B = k_new.shape[0]
+    b_idx = jnp.arange(B)[:, None]
+    k = layer_state["k"].at[b_idx, positions].set(k_new.astype(layer_state["k"].dtype))
+    v = layer_state["v"].at[b_idx, positions].set(v_new.astype(layer_state["v"].dtype))
+    return {"k": k, "v": v}
+
+
+def paged_cache_update(layer_state: dict, k_new, v_new, positions, block_tables):
+    """Scatter (B, S, Hk, D) into paged cache. positions: (B, S) token
+    positions; block_tables: (B, max_pages) page indices."""
+    B, S = positions.shape
+    page_slot = positions // PAGE_SIZE  # (B, S) logical page index
+    in_page = positions % PAGE_SIZE
+    pages = jnp.take_along_axis(block_tables, page_slot, axis=1)  # (B, S)
+    k = layer_state["k"].at[pages, in_page].set(k_new.astype(layer_state["k"].dtype))
+    v = layer_state["v"].at[pages, in_page].set(v_new.astype(layer_state["v"].dtype))
+    return {"k": k, "v": v}

@@ -1,0 +1,123 @@
+"""Model: module-list container, loading, and jitted step functions.
+
+Feature reference: /root/reference/exllamav3/model/model.py (Model:151,
+load:469, prefill:187, forward:210). TPU redesign: parameters live in an
+explicit pytree; `forward` is a pure function of (params, ids, cache_state,
+positions); jit-compiled step functions are cached per static shape bucket
+(the analogue of the reference's CUDA-graph slots). Device placement /
+sharding is applied to the params pytree by parallel/sharding.py.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..modules.module import Module, ForwardCtx
+
+
+class _Root(Module):
+    def __init__(self, config, modules):
+        super().__init__(config, key="")
+        self.modules = modules
+
+
+class Model:
+    config_class = None
+
+    def __init__(self, config, **kwargs):
+        self.config = config
+        self.modules: list[Module] = []
+        self.params: dict | None = None
+        self.caps = {}
+        self._step_cache: dict = {}
+
+    @property
+    def root(self) -> Module:
+        return _Root(self.config, self.modules)
+
+    @staticmethod
+    def from_config(config, **kwargs) -> "Model":
+        cls = config.model_classes["text"]
+        return cls(config, **kwargs)
+
+    # -- loading -------------------------------------------------------------
+
+    def load(self, progress_cb=None) -> dict:
+        params: dict = {}
+        n = len(self.modules)
+        for i, m in enumerate(self.modules):
+            m.load(params)
+            if progress_cb:
+                progress_cb(i + 1, n)
+        self.params = params
+        return params
+
+    def unload(self):
+        self.params = None
+        self._step_cache.clear()
+
+    # -- forward --------------------------------------------------------------
+
+    def forward_modules(self, ids, params: dict, ctx: ForwardCtx,
+                        last_module_idx: int | None = None):
+        x = ids
+        mods = self.modules if last_module_idx is None else self.modules[: last_module_idx + 1]
+        for m in mods:
+            x = m.forward(x, params, ctx)
+        return x
+
+    def step_fn(self, attn_mode: str = "dense"):
+        """Pure (params, ids, cache_state, positions, cache_seqlens,
+        block_tables) -> (logits, new_cache_state)."""
+
+        def fn(params, ids, cache_state, positions, cache_seqlens, block_tables):
+            ctx = ForwardCtx(
+                positions=positions,
+                attn_mode=attn_mode,
+                cache=dict(cache_state) if cache_state is not None else None,
+                block_tables=block_tables,
+                cache_seqlens=cache_seqlens,
+            )
+            logits = self.forward_modules(ids, params, ctx)
+            new_state = ctx.cache if cache_state is not None else None
+            return logits, new_state
+
+        return fn
+
+    def jitted_step(self, attn_mode: str = "dense", donate_cache: bool = True):
+        key = (attn_mode, donate_cache)
+        if key not in self._step_cache:
+            fn = self.step_fn(attn_mode)
+            donate = (2,) if donate_cache else ()
+            self._step_cache[key] = jax.jit(fn, donate_argnums=donate)
+        return self._step_cache[key]
+
+    # -- convenience ------------------------------------------------------------
+
+    def prefill(self, ids: np.ndarray, cache, positions=None):
+        """Run ids (B, S) through the model, updating cache; returns logits of
+        the last position. Linear-cache convenience path."""
+        B, S = ids.shape
+        if positions is None:
+            positions = np.broadcast_to(np.arange(S, dtype=np.int32), (B, S))
+        step = self.jitted_step("dense")
+        logits, cache.state = step(
+            self.params,
+            jnp.asarray(ids),
+            cache.state,
+            jnp.asarray(positions),
+            jnp.asarray(positions[:, :1].reshape(B)),
+            None,
+        )
+        return logits
+
+    def forward_simple(self, ids: np.ndarray):
+        """Cacheless full forward (eval / conversion advance)."""
+        B, S = ids.shape
+        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+        ctx = ForwardCtx(positions=positions)
+        return self.forward_modules(jnp.asarray(ids), self.params, ctx)

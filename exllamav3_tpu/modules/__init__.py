@@ -1,0 +1,7 @@
+from .module import Module, ForwardCtx
+from .linear import Linear
+from .embedding import Embedding
+from .norms import RMSNorm, LayerNorm
+from .mlp import GatedMLP, MLP
+from .attn import Attention
+from .transformer import TransformerBlock

@@ -1,0 +1,145 @@
+"""Attention: QKV projections, RoPE, KV cache update, masked SDPA.
+
+Feature reference: /root/reference/exllamav3/modules/attn.py (Attention:143,
+project_qkv, decode paths :715-846). The reference dispatches across Triton/
+FA2/xformers/SDPA backends and CUDA-graph-captures the decode step; here a
+single jnp attention (ops/attention.py grows Pallas flash/paged kernels) is
+traced into the jitted model step — compilation replaces graph capture.
+
+Supports: GQA, QK norms (Qwen3), sliding window, logit softcap (Gemma2),
+attention sinks (gpt-oss), partial/none RoPE.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .module import Module, ForwardCtx
+from .linear import Linear
+from .norms import RMSNorm
+from ..util.rope import Rope, RopeSettings, RopeStyle
+from ..model.cache import linear_cache_update, paged_cache_update
+from ..ops.attention import attend_dense, attend_paged
+
+
+class Attention(Module):
+    is_kv_cache_user = True
+
+    def __init__(
+        self,
+        config,
+        key: str,
+        layer_idx: int,
+        hidden_size: int,
+        head_dim: int,
+        num_q_heads: int,
+        num_kv_heads: int,
+        rope_settings: RopeSettings | None,
+        sm_scale: float | None = None,
+        key_q: str = "q_proj",
+        key_k: str = "k_proj",
+        key_v: str = "v_proj",
+        key_o: str = "o_proj",
+        qmap: str | None = None,
+        q_norm: RMSNorm | None = None,
+        k_norm: RMSNorm | None = None,
+        sliding_window: int = 0,
+        logit_softcap: float = 0.0,
+        has_sinks: bool = False,
+        out_dtype=None,
+    ):
+        super().__init__(config, key, qmap)
+        self.layer_idx = layer_idx
+        self.head_dim = head_dim
+        self.num_q_heads = num_q_heads
+        self.num_kv_heads = num_kv_heads
+        self.sm_scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(head_dim)
+        self.sliding_window = sliding_window
+        self.logit_softcap = logit_softcap
+        self.has_sinks = has_sinks
+        self.out_dtype = out_dtype
+        self.rope = Rope(rope_settings) if rope_settings else None
+
+        self.q_proj = Linear(config, f"{key}.{key_q}", hidden_size,
+                             num_q_heads * head_dim, qmap=qmap and qmap + ".qkv")
+        self.k_proj = Linear(config, f"{key}.{key_k}", hidden_size,
+                             num_kv_heads * head_dim, qmap=qmap and qmap + ".qkv")
+        self.v_proj = Linear(config, f"{key}.{key_v}", hidden_size,
+                             num_kv_heads * head_dim, qmap=qmap and qmap + ".qkv")
+        self.o_proj = Linear(config, f"{key}.{key_o}", num_q_heads * head_dim,
+                             hidden_size, qmap=qmap and qmap + ".o")
+        self.q_norm = q_norm
+        self.k_norm = k_norm
+        self.modules = [m for m in (self.q_proj, self.k_proj, self.v_proj,
+                                    self.o_proj, self.q_norm, self.k_norm) if m]
+
+    def load(self, params: dict) -> None:
+        super().load(params)
+        if self.has_sinks:
+            s = self.config.stc.get_tensor(self.key + ".sinks", optional=True)
+            if s is not None:
+                params[self.key] = {"sinks": jnp.asarray(s.astype(np.float32))}
+
+    def forward(self, x, params: dict, ctx: ForwardCtx):
+        B, S, H = x.shape
+        dt = x.dtype
+        q = self.q_proj.forward(x, params, ctx).reshape(B, S, self.num_q_heads, self.head_dim)
+        k = self.k_proj.forward(x, params, ctx).reshape(B, S, self.num_kv_heads, self.head_dim)
+        v = self.v_proj.forward(x, params, ctx).reshape(B, S, self.num_kv_heads, self.head_dim)
+
+        if self.q_norm is not None:
+            q = self.q_norm.forward(q, params, ctx)
+        if self.k_norm is not None:
+            k = self.k_norm.forward(k, params, ctx)
+
+        if self.rope is not None and self.rope.style != RopeStyle.NONE:
+            sin, cos = self.rope.sin_cos(ctx.positions)
+            q = self.rope.apply(q, sin, cos)
+            k = self.rope.apply(k, sin, cos)
+
+        sinks = params.get(self.key, {}).get("sinks") if self.has_sinks else None
+
+        if ctx.cache is None:
+            # cacheless forward (conversion / eval): attend within the chunk
+            o = attend_dense(
+                q.astype(dt), k.astype(dt), v.astype(dt),
+                q_positions=ctx.positions, k_positions=ctx.positions,
+                k_valid=None, scale=self.sm_scale,
+                sliding_window=self.sliding_window,
+                logit_softcap=self.logit_softcap, sinks=sinks,
+            )
+        elif ctx.attn_mode == "paged":
+            layer_state = ctx.cache[self.key]
+            layer_state = paged_cache_update(
+                layer_state, k, v, ctx.positions, ctx.block_tables
+            )
+            ctx.cache[self.key] = layer_state
+            o = attend_paged(
+                q.astype(dt), layer_state["k"], layer_state["v"],
+                ctx.block_tables, ctx.positions, ctx.cache_seqlens,
+                scale=self.sm_scale, sliding_window=self.sliding_window,
+                logit_softcap=self.logit_softcap, sinks=sinks,
+            )
+        else:
+            layer_state = ctx.cache[self.key]
+            layer_state = linear_cache_update(layer_state, k, v, ctx.positions)
+            ctx.cache[self.key] = layer_state
+            k_all, v_all = layer_state["k"], layer_state["v"]
+            T = k_all.shape[1]
+            k_pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+            o = attend_dense(
+                q.astype(dt), k_all.astype(dt), v_all.astype(dt),
+                q_positions=ctx.positions, k_positions=k_pos,
+                k_valid=None, scale=self.sm_scale,
+                sliding_window=self.sliding_window,
+                logit_softcap=self.logit_softcap, sinks=sinks,
+            )
+
+        o = o.reshape(B, S, self.num_q_heads * self.head_dim).astype(dt)
+        y = self.o_proj.forward(o, params, ctx)
+        if self.out_dtype is not None:
+            y = y.astype(self.out_dtype)
+        return y

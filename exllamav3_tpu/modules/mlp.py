@@ -1,0 +1,93 @@
+"""MLP / GatedMLP (feature reference: /root/reference/exllamav3/modules/mlp.py).
+
+Activations (silu/gelu/relu2/xielu) are jnp expressions; XLA fuses the
+act*mul into the down-projection epilogue (the reference needed fused CUDA
+kernels: activation.cu).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax
+
+from .module import Module, ForwardCtx
+from .linear import Linear
+
+ACT2FN = {
+    "silu": jax.nn.silu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu2": lambda x: jnp.square(jax.nn.relu(x)),
+}
+
+
+def act_fn_silu_oai(gate, up, alpha: float = 1.702, limit: float = 7.0):
+    """gpt-oss style clamped swiglu (reference activation.cu silu_oai)."""
+    gate = jnp.clip(gate, a_max=limit)
+    up = jnp.clip(up, a_min=-limit, a_max=limit)
+    glu = gate * jax.nn.sigmoid(gate * alpha)
+    return (up + 1.0) * glu
+
+
+class GatedMLP(Module):
+    def __init__(
+        self,
+        config,
+        key: str,
+        hidden_size: int,
+        intermediate_size: int,
+        key_up: str = "up_proj",
+        key_gate: str = "gate_proj",
+        key_down: str = "down_proj",
+        qmap: str | None = None,
+        activation: str = "silu",
+        out_dtype=None,
+        interm_dtype=None,
+        act_silu_oai: bool = False,
+    ):
+        super().__init__(config, key, qmap)
+        self.activation = activation
+        self.act_silu_oai = act_silu_oai
+        self.out_dtype = out_dtype
+        self.up = Linear(config, f"{key}.{key_up}", hidden_size, intermediate_size,
+                         qmap=qmap and qmap + ".up")
+        self.gate = Linear(config, f"{key}.{key_gate}", hidden_size, intermediate_size,
+                           qmap=qmap and qmap + ".up")
+        self.down = Linear(config, f"{key}.{key_down}", intermediate_size, hidden_size,
+                           qmap=qmap and qmap + ".down")
+        self.modules = [self.up, self.gate, self.down]
+
+    def forward(self, x, params: dict, ctx: ForwardCtx):
+        g = self.gate.forward(x, params, ctx).astype(jnp.float32)
+        u = self.up.forward(x, params, ctx).astype(jnp.float32)
+        if self.act_silu_oai:
+            h = act_fn_silu_oai(g, u)
+        else:
+            h = ACT2FN[self.activation](g) * u
+        h = h.astype(x.dtype)
+        y = self.down.forward(h, params, ctx)
+        if self.out_dtype is not None:
+            y = y.astype(self.out_dtype)
+        return y
+
+
+class MLP(Module):
+    """Non-gated MLP (up -> act -> down)."""
+
+    def __init__(self, config, key: str, hidden_size: int, intermediate_size: int,
+                 key_up: str = "up_proj", key_down: str = "down_proj",
+                 qmap: str | None = None, activation: str = "gelu", out_dtype=None):
+        super().__init__(config, key, qmap)
+        self.activation = activation
+        self.out_dtype = out_dtype
+        self.up = Linear(config, f"{key}.{key_up}", hidden_size, intermediate_size,
+                         qmap=qmap and qmap + ".up")
+        self.down = Linear(config, f"{key}.{key_down}", intermediate_size, hidden_size,
+                           qmap=qmap and qmap + ".down")
+        self.modules = [self.up, self.down]
+
+    def forward(self, x, params: dict, ctx: ForwardCtx):
+        h = ACT2FN[self.activation](self.up.forward(x, params, ctx).astype(jnp.float32))
+        y = self.down.forward(h.astype(x.dtype), params, ctx)
+        if self.out_dtype is not None:
+            y = y.astype(self.out_dtype)
+        return y

@@ -1,0 +1,72 @@
+"""RMSNorm / LayerNorm modules.
+
+Feature reference: /root/reference/exllamav3/modules/rmsnorm.py,
+layernorm.py. On TPU these are plain jnp expressions XLA fuses into the
+surrounding matmuls (the reference needed fused CUDA kernels: norm.cu).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .module import Module, ForwardCtx
+
+
+def rms_norm(x, weight, eps: float, constant_bias: float = 0.0):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    y = y * (weight.astype(jnp.float32) + constant_bias)
+    return y.astype(x.dtype)
+
+
+class RMSNorm(Module):
+    def __init__(self, config, key: str, rms_norm_eps: float = 1e-6,
+                 constant_bias: float = 0.0, out_dtype=None):
+        super().__init__(config, key)
+        self.eps = rms_norm_eps
+        self.constant_bias = constant_bias  # +1 for Gemma-style norms
+        self.out_dtype = out_dtype
+
+    def load(self, params: dict) -> None:
+        w = self.config.stc.get_tensor(self.key + ".weight", allow_bf16=True)
+        if w.dtype == np.uint16:
+            from ..loader.safetensors import bf16_to_f32
+
+            w = bf16_to_f32(w)
+        params[self.key] = {"weight": jnp.asarray(w.astype(np.float32))}
+
+    def forward(self, x, params: dict, ctx: ForwardCtx):
+        y = rms_norm(x, params[self.key]["weight"], self.eps, self.constant_bias)
+        if self.out_dtype is not None:
+            y = y.astype(self.out_dtype)
+        return y
+
+
+class LayerNorm(Module):
+    def __init__(self, config, key: str, eps: float = 1e-5, out_dtype=None):
+        super().__init__(config, key)
+        self.eps = eps
+        self.out_dtype = out_dtype
+
+    def load(self, params: dict) -> None:
+        stc = self.config.stc
+        p = {"weight": jnp.asarray(stc.get_tensor(self.key + ".weight").astype(np.float32))}
+        b = stc.get_tensor(self.key + ".bias", optional=True)
+        if b is not None:
+            p["bias"] = jnp.asarray(b.astype(np.float32))
+        params[self.key] = p
+
+    def forward(self, x, params: dict, ctx: ForwardCtx):
+        p = params[self.key]
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mu) / jnp.sqrt(var + self.eps) * p["weight"]
+        if "bias" in p:
+            y = y + p["bias"]
+        y = y.astype(x.dtype)
+        if self.out_dtype is not None:
+            y = y.astype(self.out_dtype)
+        return y

@@ -1,0 +1,58 @@
+"""Transformer block: residual wiring around attn/mlp with optional post-norms.
+
+Feature reference: /root/reference/exllamav3/modules/transformer.py
+(TransformerBlock:10). Residuals accumulate in f32.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .module import Module, ForwardCtx
+
+
+class TransformerBlock(Module):
+    def __init__(
+        self,
+        config,
+        key: str,
+        layer_idx: int,
+        attn_norm: Module | None = None,
+        attn: Module | None = None,
+        attn_post_norm: Module | None = None,
+        mlp_norm: Module | None = None,
+        mlp: Module | None = None,
+        mlp_post_norm: Module | None = None,
+        residual_scale: float = 1.0,
+    ):
+        super().__init__(config, key)
+        self.layer_idx = layer_idx
+        self.attn_norm = attn_norm
+        self.attn = attn
+        self.attn_post_norm = attn_post_norm
+        self.mlp_norm = mlp_norm
+        self.mlp = mlp
+        self.mlp_post_norm = mlp_post_norm
+        self.residual_scale = residual_scale
+        self.modules = [
+            m
+            for m in (attn_norm, attn, attn_post_norm, mlp_norm, mlp, mlp_post_norm)
+            if m is not None
+        ]
+
+    def forward(self, x, params: dict, ctx: ForwardCtx):
+        res = x.astype(jnp.float32)
+        if self.attn is not None:
+            h = self.attn_norm.forward(x, params, ctx) if self.attn_norm else x
+            h = self.attn.forward(h, params, ctx)
+            if self.attn_post_norm is not None:
+                h = self.attn_post_norm.forward(h, params, ctx)
+            res = res + h.astype(jnp.float32) * self.residual_scale
+            x = res.astype(x.dtype)
+        if self.mlp is not None:
+            h = self.mlp_norm.forward(x, params, ctx) if self.mlp_norm else x
+            h = self.mlp.forward(h, params, ctx)
+            if self.mlp_post_norm is not None:
+                h = self.mlp_post_norm.forward(h, params, ctx)
+            res = res + h.astype(jnp.float32) * self.residual_scale
+            x = res.astype(x.dtype)
+        return x

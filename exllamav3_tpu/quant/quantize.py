@@ -1,0 +1,563 @@
+"""EXL3 quantizer: tail-biting Viterbi trellis search + LDLQ error feedback.
+
+Pipeline (behavioral reference: /root/reference/exllamav3/modules/quant/
+exl3_lib/quantize.py — finalize_capture_H:832, block_ldl:411, regularize:1125,
+ldlq:488, quantize_exl3:1234; Viterbi kernel:
+exllamav3_ext/quant/quantize_tiles_kernel.cuh):
+
+ 1. finalize Hessian: H <- mean, damp diagonal by sigma_reg * mean(diag),
+    draw input sign vector su, transform H' = Hk D_su H D_su Hk, block-LDL.
+ 2. regularize weights: optional per-output-channel RMS scaling folded into
+    sv, sign flips, both-side blockwise Hadamard, global scale search by test
+    quantization of sampled tiles.
+ 3. LDLQ: walk 16-row blocks bottom-up with error feedback through L,
+    quantizing each (16, n) strip as n/16 trellis tiles.
+ 4. Viterbi per 16x16 tile: states are 16-bit codes overlapping by 16-K bits;
+    two passes resolve the tail-biting boundary condition (first pass
+    unconstrained starting at sequence position 128, second pass pinned to the
+    wrap state found by the first).
+
+This module holds a numpy golden implementation (exact, CPU) and a jnp
+implementation of the Viterbi inner loop (batched over tiles, jittable, runs
+on TPU where the DP is ~VPU-bound). Costs are f32 (the reference uses fp16
+costs for GPU throughput; f32 only improves the search).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .codebook import decode_table_np, CB_3INST, CB_MCG, CB_MUL1, CODEBOOK_SCALE
+from .trellis import tile_perm, pack_trellis_np
+from .hadamard import hadamard_np
+
+SIGMA_REG_DEFAULT = 0.025
+
+
+# -- Viterbi ------------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def _dec_table(cb: int) -> np.ndarray:
+    return decode_table_np(cb)
+
+
+def viterbi_quantize_tiles_np(tiles: np.ndarray, K: int, cb: int = CB_3INST):
+    """Quantize (T, 256) f32 tiles (sequence order) -> (values f32, codes uint16).
+
+    Straightforward numpy port of the DP; used as the golden reference for the
+    jnp version and for tiny conversions.
+    """
+    T = tiles.shape[0]
+    assert tiles.shape[1] == 256
+    E = 65536 >> K  # number of edge states
+    Q = 1 << K
+    dec = _dec_table(cb)  # (65536,)
+    # err contribution table reshaped: code = (k << (16-K)) | out
+    dec_k_out = dec.reshape(Q, E)  # [k, out]
+    # in_edge(k, out) = ((k << Kr) | out) >> K = (k << (16-2K)) | (out >> K)
+    k_idx = np.arange(Q, dtype=np.int64)[:, None]
+    out_idx = np.arange(E, dtype=np.int64)[None, :]
+    in_edge = (k_idx << (16 - 2 * K)) | (out_idx >> K)  # (Q, E)
+
+    out_vals = np.empty((T, 256), dtype=np.float32)
+    out_codes = np.empty((T, 256), dtype=np.uint16)
+
+    for tix in range(T):
+        w = tiles[tix]
+        edges = np.empty((256, E), dtype=np.uint16)
+
+        def forward(roll, pre_state):
+            cost = None
+            for i in range(256):
+                ri = (i + roll) & 255
+                err = (dec_k_out - w[ri]) ** 2  # (Q, E)
+                if i == 0:
+                    tot = err.copy()
+                    if pre_state >= 0:
+                        tot[in_edge != pre_state] = np.inf
+                else:
+                    tot = err + cost[in_edge]
+                amin = np.argmin(tot, axis=0)  # first min wins, k ascending
+                cost = tot[amin, np.arange(E)]
+                edges[ri] = in_edge[amin, np.arange(E)]
+            return cost
+
+        def backward(roll, edge, write):
+            for i in range(255, -1, -1):
+                ri = (i + roll) & 255
+                prev = int(edges[ri, edge])
+                if write:
+                    code = (prev << K) | edge
+                    out_codes[tix, ri] = code
+                    out_vals[tix, ri] = dec[code]
+                edge = prev
+                if not write and ri == 0:
+                    break
+            return edge
+
+        cost = forward(128, -1)
+        end_state = backward(128, int(np.argmin(cost)), write=False)
+        forward(0, end_state)
+        backward(0, end_state, write=True)
+
+    return out_vals, out_codes
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def viterbi_quantize_tiles_jnp(tiles: jnp.ndarray, K: int, cb: int = CB_3INST):
+    """Batched Viterbi on device: (T, 256) f32 -> (values f32, codes int32).
+
+    Same DP as the numpy version, vectorized over tiles and states with a
+    lax.scan over the 256 sequence positions. Two passes for tail-biting.
+    """
+    T = tiles.shape[0]
+    E = 65536 >> K
+    Q = 1 << K
+    dec = jnp.asarray(_dec_table(cb))
+    dec_k_out = dec.reshape(Q, E)
+    k_idx = np.arange(Q, dtype=np.int32)[:, None]
+    out_idx = np.arange(E, dtype=np.int32)[None, :]
+    in_edge = jnp.asarray((k_idx << (16 - 2 * K)) | (out_idx >> K))  # (Q, E)
+
+    def forward(roll, pre_state):
+        # pre_state: (T,) int32 or None
+        order = (np.arange(256) + roll) & 255
+
+        # first step
+        w0 = tiles[:, order[0]]
+        err0 = (dec_k_out[None] - w0[:, None, None]) ** 2
+        if pre_state is not None:
+            mask = in_edge[None] != pre_state[:, None, None]
+            err0 = jnp.where(mask, jnp.inf, err0)
+        amin0 = jnp.argmin(err0, axis=1)  # (T, E)
+        cost0 = jnp.take_along_axis(err0, amin0[:, None, :], axis=1)[:, 0]
+        edge0 = in_edge[amin0, jnp.arange(E)[None, :]]  # (T, E)
+
+        def scan_step(cost, ri):
+            w = tiles[:, ri]
+            err = (dec_k_out[None] - w[:, None, None]) ** 2  # (T, Q, E)
+            prev = cost[:, in_edge]  # (T, Q, E) gather
+            tot = err + prev
+            amin = jnp.argmin(tot, axis=1)  # (T, E)
+            new_cost = jnp.take_along_axis(tot, amin[:, None, :], axis=1)[:, 0]
+            edge = in_edge[amin, jnp.arange(E)[None, :]].astype(jnp.int32)
+            return new_cost, edge
+
+        rest, edges_rest = jax.lax.scan(scan_step, cost0, jnp.asarray(order[1:]))
+        # edges indexed by scan position; scatter back to ri order
+        edges = jnp.zeros((256, T, E), dtype=jnp.int32)
+        edges = edges.at[order[0]].set(edge0.astype(jnp.int32))
+        edges = edges.at[jnp.asarray(order[1:])].set(edges_rest)
+        return rest, edges
+
+    def backward(roll, edges, start_edge):
+        # start_edge: (T,) — walk back collecting codes
+        order = (np.arange(256) + roll) & 255
+
+        def scan_step(edge, ri):
+            prev = edges[ri, jnp.arange(T), edge]  # (T,)
+            code = (prev << K) | edge
+            return prev, (ri, code)
+
+        _, (ris, codes) = jax.lax.scan(
+            scan_step, start_edge, jnp.asarray(order[::-1].copy())
+        )
+        out = jnp.zeros((256, T), dtype=jnp.int32)
+        out = out.at[ris].set(codes)
+        return out.T  # (T, 256)
+
+    cost1, edges1 = forward(128, None)
+    end1 = jnp.argmin(cost1, axis=1).astype(jnp.int32)  # (T,)
+
+    # walk pass-1 back (without writing) to find the wrap state at position 0
+    order1 = (np.arange(256) + 128) & 255
+
+    def walk(edge, ri):
+        prev = edges1[ri, jnp.arange(T), edge]
+        return prev, None
+
+    # positions i=255..0 map to ri = (i+128)&255; stop after ri==0, i.e. i==128
+    walk_order = np.asarray([(i + 128) & 255 for i in range(255, 127, -1)])
+    end_state, _ = jax.lax.scan(walk, end1, jnp.asarray(walk_order))
+
+    cost2, edges2 = forward(0, end_state)
+    codes = backward(0, edges2, end_state)
+    vals = dec[codes]
+    return vals, codes
+
+
+def quantize_tiles(tiles: np.ndarray, K: int, cb: int = CB_3INST, backend: str = "auto",
+                   batch: int = 64):
+    """Quantize tiles with the best available backend. tiles: (T, 256) f32.
+
+    backend: "np" | "jax" | "auto" (jax unless tiny). Returns (vals f32, codes uint16).
+    """
+    T = tiles.shape[0]
+    if backend == "np" or (backend == "auto" and T <= 2):
+        return viterbi_quantize_tiles_np(tiles, K, cb)
+    vals = np.empty((T, 256), dtype=np.float32)
+    codes = np.empty((T, 256), dtype=np.uint16)
+    for i in range(0, T, batch):
+        j = min(i + batch, T)
+        chunk = tiles[i:j]
+        if chunk.shape[0] < batch and T > batch:
+            pad = np.zeros((batch - chunk.shape[0], 256), dtype=np.float32)
+            v, c = viterbi_quantize_tiles_jnp(jnp.asarray(np.concatenate([chunk, pad])), K, cb)
+            v, c = np.asarray(v)[: j - i], np.asarray(c)[: j - i]
+        else:
+            v, c = viterbi_quantize_tiles_jnp(jnp.asarray(chunk), K, cb)
+            v, c = np.asarray(v), np.asarray(c)
+        vals[i:j] = v
+        codes[i:j] = c.astype(np.uint16)
+    return vals, codes
+
+
+# -- Block LDL ----------------------------------------------------------------
+
+
+def block_ldl_np(H: np.ndarray, b: int = 16, sigma_reg: float = SIGMA_REG_DEFAULT,
+                 max_retries: int = 10) -> np.ndarray:
+    """Unit-block-lower-triangular L from H ~= L D L^T with bxb blocks.
+
+    Mirrors reference block_ldl (quantize.py:411): Cholesky, then right-
+    multiply each block column by the inverse of its diagonal block; diagonal
+    blocks become identity. Retries with increased damping on failure.
+    """
+    n = H.shape[0]
+    assert n % b == 0
+    m = n // b
+    H = H.astype(np.float64).copy()
+    for attempt in range(max_retries + 1):
+        try:
+            L = np.linalg.cholesky(H)
+            break
+        except np.linalg.LinAlgError:
+            if attempt == max_retries:
+                raise
+            H[np.diag_indices(n)] += 2.0 * sigma_reg * np.trace(H) / n
+    Lb = L.reshape(m, b, m, b)
+    for i in range(m):
+        dinv = np.linalg.inv(Lb[i, :, i, :])
+        L[:, i * b : (i + 1) * b] = L[:, i * b : (i + 1) * b] @ dinv
+    for i in range(m):
+        L[i * b : (i + 1) * b, i * b : (i + 1) * b] = np.eye(b)
+    return L.astype(np.float32)
+
+
+# -- LDLQ ---------------------------------------------------------------------
+
+
+def _rows_to_tiles_seq(rows: np.ndarray) -> np.ndarray:
+    """(16, n) strip -> (n/16, 256) tiles in trellis sequence order."""
+    n = rows.shape[1]
+    tiles = rows.reshape(16, n // 16, 16).transpose(1, 0, 2).reshape(n // 16, 256)
+    return tiles[:, tile_perm()]
+
+
+def _tiles_seq_to_rows(vals: np.ndarray) -> np.ndarray:
+    """(n/16, 256) sequence-order values -> (16, n) strip."""
+    inv = np.argsort(tile_perm())
+    tn = vals.shape[0]
+    return vals[:, inv].reshape(tn, 16, 16).transpose(1, 0, 2).reshape(16, tn * 16)
+
+
+def ldlq_np(
+    weight: np.ndarray,
+    L: np.ndarray | None,
+    K: int,
+    cb: int = CB_3INST,
+    backend: str = "auto",
+    progress=None,
+):
+    """LDLQ error-feedback quantization (reference ldlq, quantize.py:488).
+
+    weight: (k, n) f32 regularized weights. L: (k, k) unit-block-lower L or
+    None for plain (no error feedback) quantization.
+    Returns (weight_q (k, n) f32, codes (k/16, n/16, 256) uint16).
+    """
+    k, n = weight.shape
+    assert k % 16 == 0 and n % 16 == 0
+    tiles_k, tiles_n = k // 16, n // 16
+    weight_q = np.zeros_like(weight, dtype=np.float32)
+    codes = np.empty((tiles_k, tiles_n, 256), dtype=np.uint16)
+    prod_cache = np.zeros_like(weight, dtype=np.float32)
+
+    for bj in range(k, 0, -16):
+        bi = bj - 16
+        if L is not None:
+            err = weight[bj:] - weight_q[bj:]  # rows below current block
+            comp = prod_cache[bi:bj] + L[bj:, bi:bj].T @ err
+        else:
+            comp = 0.0
+        rows = weight[bi:bj] + comp
+        tiles = _rows_to_tiles_seq(rows.astype(np.float32))
+        vals, tcodes = quantize_tiles(tiles, K, cb, backend)
+        q_rows = _tiles_seq_to_rows(vals)
+        weight_q[bi:bj] = q_rows
+        codes[bi // 16] = tcodes
+        if progress is not None:
+            progress(tiles_k - bi // 16, tiles_k)
+    return weight_q, codes
+
+
+# -- Regularization -----------------------------------------------------------
+
+
+def _block_rms(x: np.ndarray, axis: int) -> np.ndarray:
+    return np.sqrt(np.mean(np.square(x.astype(np.float64)), axis=axis, keepdims=True)).astype(
+        np.float32
+    )
+
+
+def _sample_scale_tiles(weight_r: np.ndarray, width: int = 3) -> np.ndarray:
+    """Wrapped-diagonal tile sample + RMS-extreme tiles (reference :949-976)."""
+    tiles_k = weight_r.shape[0] // 16
+    tiles_n = weight_r.shape[1] // 16
+    w4 = weight_r.reshape(tiles_k, 16, tiles_n, 16)
+    diag_len = max(tiles_k, tiles_n)
+    ii = np.repeat(np.arange(diag_len), width)
+    ww = np.tile(np.arange(width), diag_len)
+    kk = ii % tiles_k
+    nn = (ii + ww) % tiles_n
+    num_x = max(8, (diag_len * width) // 16)
+    tile_ms = np.square(w4).mean(axis=(1, 3)).flatten()
+    num_x = min(num_x, (tile_ms.shape[0] + 1) // 2)
+    hi = np.argsort(-tile_ms)[:num_x]
+    lo = np.argsort(tile_ms)[:num_x]
+    xk = np.concatenate([hi, lo]) // tiles_n
+    xn = np.concatenate([hi, lo]) % tiles_n
+    sel_k = np.concatenate([kk, xk])
+    sel_n = np.concatenate([nn, xn])
+    tiles = w4[sel_k, :, sel_n, :].reshape(-1, 256)
+    return tiles[:, tile_perm()].astype(np.float32)
+
+
+def _scale_search(samples: np.ndarray, K: int, cb: int, backend: str) -> float:
+    """Coarse + fine grid search for the global scale (reference :979-1042)."""
+
+    def mse_at(tiles, s):
+        vals, _ = quantize_tiles(tiles * s, K, cb, backend)
+        return float(np.mean(np.square(vals / s - tiles)))
+
+    coarse = [0.1 + 0.2 * i for i in range(10)]
+    subs = samples[::3]
+    mse1 = [mse_at(subs, s) for s in coarse]
+    center = coarse[int(np.argmin(mse1))]
+    step = 0.075
+    fine = [center + step * (i - 2) for i in range(5)]
+    mse2 = [mse_at(samples, s) for s in fine]
+    best = int(np.argmin(mse2))
+    if 0 < best < 4:
+        y0, y1, y2 = mse2[best - 1], mse2[best], mse2[best + 1]
+        denom = y0 - 2.0 * y1 + y2
+        offset = 0.5 * (y0 - y2) / denom if denom > 0 else 0.0
+        offset = max(-0.5, min(0.5, offset))
+    else:
+        offset = 0.0
+    return max(fine[best] + offset * step, 0.01)
+
+
+@dataclass
+class RegularizeResult:
+    weight_r: np.ndarray
+    su: np.ndarray  # (k,) float32, folded input scale/signs (pre-division form)
+    sv: np.ndarray  # (n,) float32
+    g_scale: float
+    apply_out_scales: bool
+
+
+def regularize_np(
+    weight: np.ndarray,
+    su_signs: np.ndarray,
+    sv_signs: np.ndarray,
+    H_diag: np.ndarray | None,
+    K: int,
+    cb: int = CB_3INST,
+    apply_out_scales: bool | None = None,
+    skip_g_scale: bool = False,
+    backend: str = "auto",
+) -> RegularizeResult:
+    """Transform weights into the codebook's target distribution (ref :1125).
+
+    Returns weight_r such that W ~= diag(su) Hk (quant(weight_r)) Hn diag(sv)
+    with su/sv the returned FOLDED vectors (what gets stored as suh/svh).
+    """
+    had = hadamard_np(128) / math.sqrt(128.0)
+    k, n = weight.shape
+    w = weight.astype(np.float32).copy()
+
+    # decide output-channel scaling from input-state skew
+    if H_diag is not None and apply_out_scales is None:
+        d = np.sort(np.sqrt(np.maximum(H_diag, 0.0)))[::-1]
+        cutoff = max(d.shape[0] // 50, 1)
+        skew = d[:cutoff].sum() / max(d.sum(), 1e-30)
+        apply_out_scales = bool(skew < 0.15)
+    elif apply_out_scales is None:
+        apply_out_scales = True
+
+    out_scales = _block_rms(w, axis=0)  # (1, n)
+    mean = float(out_scales.mean())
+    if mean > 1e-30:
+        out_scales = out_scales / mean
+    zero_out = np.abs(out_scales) < 1e-30
+
+    sv = sv_signs.astype(np.float32).reshape(1, n)
+    if apply_out_scales:
+        out_scales = np.where(zero_out, 0.1, out_scales)
+        sv = (sv * out_scales + 1e-10).astype(np.float32)
+    w /= sv
+    sv = np.where(zero_out, 0.0, sv)
+
+    # output-side Hadamard (column blocks)
+    w = (w.reshape(k, n // 128, 128) @ had).reshape(k, n)
+
+    # input-side scales/signs and Hadamard (row blocks)
+    in_scales = _block_rms(w, axis=1)  # (k, 1)
+    in_scales = np.where(np.abs(in_scales) < 1e-30, 0.1, in_scales)
+    su = (su_signs.astype(np.float32).reshape(k, 1) * in_scales / (-CODEBOOK_SCALE) + 1e-10)
+    w /= su
+    w = (had @ w.reshape(k // 128, 128, n)).reshape(k, n)
+
+    if skip_g_scale:
+        g_scale = 1.0
+    else:
+        g_scale = _scale_search(_sample_scale_tiles(w), K, cb, backend)
+    w *= g_scale
+    su /= g_scale
+
+    return RegularizeResult(w, su.reshape(k), sv.reshape(n), g_scale, apply_out_scales)
+
+
+# -- Hessian capture ----------------------------------------------------------
+
+
+@dataclass
+class HessianData:
+    """Accumulated H = sum(x^T x) over calibration rows for one qmap group."""
+
+    k: int
+    H: np.ndarray | None = None
+    count: int = 0
+    su_signs: np.ndarray | None = None
+    finalized: dict | None = None
+
+    def accumulate(self, x: np.ndarray):
+        x2 = x.reshape(-1, self.k).astype(np.float32)
+        finite = np.isfinite(x2).all(axis=-1)
+        x2 = x2[finite]
+        h = x2.T @ x2
+        if self.H is None:
+            self.H = h.astype(np.float64)
+        else:
+            self.H += h
+        self.count += x2.shape[0]
+
+
+def finalize_hessian(
+    hd: HessianData, rng: np.random.Generator, sigma_reg: float = SIGMA_REG_DEFAULT
+):
+    """Return (q_fallback, H, L, su_signs, H_diag). Reference :832-924."""
+    if hd.finalized is not None:
+        f = hd.finalized
+        return f["q_fallback"], f["H"], f["L"], f["su_signs"], f["diag"]
+
+    k = hd.k
+    su_signs = np.sign(np.sign(rng.standard_normal(k)) + 1e-5).astype(np.float32)
+    if hd.H is None or hd.count == 0:
+        hd.finalized = dict(q_fallback=True, H=None, L=None, su_signs=su_signs, diag=None)
+        return True, None, None, su_signs, None
+
+    H = (hd.H / hd.count).astype(np.float64)
+    diag_mean = float(np.mean(np.diag(H)))
+    q_fallback = (not math.isfinite(diag_mean)) or diag_mean < 1e-20
+    H[np.diag_indices(k)] += sigma_reg * diag_mean
+    diag = np.diag(H).copy().astype(np.float32)
+
+    L = None
+    if not q_fallback:
+        had = hadamard_np(128).astype(np.float64) / math.sqrt(128.0)
+        H = H * su_signs[None, :]
+        H = (H.reshape(k, k // 128, 128) @ had).reshape(k, k)
+        H = H * su_signs[:, None]
+        H = (had.T @ H.reshape(k // 128, 128, k)).reshape(k, k)
+        # had is symmetric; .T kept for clarity of the left transform
+        L = block_ldl_np(H, 16, sigma_reg)
+        L[np.diag_indices(k)] = 0.0
+    hd.finalized = dict(
+        q_fallback=q_fallback, H=H.astype(np.float32), L=L, su_signs=su_signs, diag=diag
+    )
+    return q_fallback, hd.finalized["H"], L, su_signs, diag
+
+
+# -- Top-level ----------------------------------------------------------------
+
+
+def quantize_exl3_np(
+    weight: np.ndarray,
+    hessian: HessianData | None,
+    K: int,
+    cb: int = CB_3INST,
+    seed: int = 0,
+    sigma_reg: float = SIGMA_REG_DEFAULT,
+    apply_out_scales: bool | None = None,
+    backend: str = "auto",
+    return_weight_q: bool = False,
+    progress=None,
+):
+    """Quantize one (k, n) f32 weight matrix to EXL3 tensors.
+
+    Returns (out_tensors dict, proxy_err float, weight_q or None).
+    out_tensors: suh (k,) f16, svh (n,) f16, trellis (k/16, n/16, 16K) i16,
+    plus mcg/mul1 marker when cb != 3INST.
+    """
+    k, n = weight.shape
+    rng = np.random.default_rng(seed)
+    if hessian is None:
+        hessian = HessianData(k=k)
+    q_fallback, H, L, su_signs, H_diag = finalize_hessian(hessian, rng, sigma_reg)
+    sv_signs = np.sign(np.sign(rng.standard_normal(n)) + 1e-5).astype(np.float32)
+
+    reg = regularize_np(
+        weight, su_signs, sv_signs, H_diag, K, cb,
+        apply_out_scales=apply_out_scales if not q_fallback else (apply_out_scales or True),
+        backend=backend,
+    )
+
+    weight_q, codes = ldlq_np(reg.weight_r, L if not q_fallback else None, K, cb, backend,
+                              progress=progress)
+
+    # proxy error: tr(E H E^T) / tr(W H W^T) in the transformed basis
+    if not q_fallback and H is not None:
+        E = (reg.weight_r - weight_q).astype(np.float64)
+        Wr = reg.weight_r.astype(np.float64)
+        Hd = H.astype(np.float64)
+        num = float(np.einsum("ik,ij,jk->", E, Hd, E))
+        den = float(np.einsum("ik,ij,jk->", Wr, Hd, Wr))
+        proxy_err = num / max(den, 1e-8)
+    else:
+        proxy_err = float(np.mean(np.square(reg.weight_r - weight_q)))
+
+    out = {
+        "suh": reg.su.astype(np.float16),
+        "svh": reg.sv.astype(np.float16),
+        "trellis": pack_trellis_np(codes, K),
+    }
+    if cb == CB_MCG:
+        out["mcg"] = np.array(0xCBAC1FED, dtype=np.uint32).view(np.int32)
+    elif cb == CB_MUL1:
+        out["mul1"] = np.array(0x83DCD12D, dtype=np.uint32).view(np.int32)
+
+    wq_full = None
+    if return_weight_q:
+        had = hadamard_np(128) / math.sqrt(128.0)
+        wq = (had @ weight_q.reshape(k // 128, 128, n)).reshape(k, n)
+        wq = wq * reg.su[:, None]
+        wq = (wq.reshape(k, n // 128, 128) @ had).reshape(k, n)
+        wq_full = wq * reg.sv[None, :]
+    return out, proxy_err, wq_full
