@@ -1,0 +1,129 @@
+"""Benchmark: single-sequence greedy decode throughput on a synthetic
+EXL3-quantized Llama-class model (real checkpoints are unreachable from this
+environment; synthetic trellis streams exercise the identical compute path).
+
+Prints ONE JSON line:
+  {"metric": "decode_tok_s", "value": N, "unit": "tok/s",
+   "vs_baseline": N, ...detail fields}
+
+vs_baseline = measured / HBM-roofline estimate for the active runtime
+representation (weights-bytes / HBM bandwidth per token), i.e. 1.0 means
+memory-bound decode, the reference's own headline claim (README.md:174).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5p": 2765.0}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    dev = jax.devices()[0]
+    hbm_gbps = 819.0
+    for k, v in HBM_GBPS.items():
+        if k.lower() in str(dev.device_kind).lower():
+            hbm_gbps = v
+
+    from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3, tiny_llama_cfg
+    from exllamav3_tpu.model import Config, Model, InferParams, Cache, CacheSpec
+
+    if on_tpu:
+        cfg = tiny_llama_cfg(
+            vocab_size=32768, hidden_size=2048, intermediate_size=8192,
+            num_layers=16, num_q_heads=32, num_kv_heads=8, head_dim=64,
+        )
+        mode = "int8"
+        decode_steps = 64
+    else:
+        cfg = tiny_llama_cfg(
+            vocab_size=2048, hidden_size=512, intermediate_size=1024,
+            num_layers=4, num_q_heads=8, num_kv_heads=4,
+        )
+        mode = "int8"
+        decode_steps = 16
+
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"exl3tpu_bench_{cfg['hidden_size']}")
+    if not os.path.exists(os.path.join(d, "config.json")):
+        write_tiny_llama_exl3(d, cfg, K=4, seed=0)
+
+    t0 = time.time()
+    config = Config.from_directory(d, infer_params=InferParams(linear_mode=mode))
+    model = Model.from_config(config)
+    model.load()
+    load_s = time.time() - t0
+
+    # weight bytes actually read per decode step (active runtime representation)
+    wbytes = 0
+    for key, grp in model.params.items():
+        for name, arr in grp.items():
+            if name in ("weight", "weight_q", "trellis"):
+                wbytes += arr.size * arr.dtype.itemsize
+    roofline_tok_s = hbm_gbps * 1e9 / max(wbytes, 1)
+
+    B, S = 1, 128
+    cache = Cache(model, CacheSpec(layout="linear", batch_size=B, max_len=S + 256))
+    step = model.jitted_step("dense", donate_cache=True)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg["vocab_size"], size=(B, S)).astype(np.int32)
+    pos = np.broadcast_to(np.arange(S, dtype=np.int32), (B, S)).copy()
+
+    # prefill
+    t0 = time.time()
+    logits, cache.state = step(model.params, jnp.asarray(ids), cache.state,
+                               jnp.asarray(pos), jnp.zeros(B, jnp.int32), None)
+    logits.block_until_ready()
+    prefill_s = time.time() - t0
+
+    # decode: warm up one step (compile), then measure
+    def decode_once(tok, t, state):
+        pos_t = jnp.full((B, 1), t, jnp.int32)
+        logits, state = step(model.params, tok, state, pos_t,
+                             jnp.full(B, t, jnp.int32), None)
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None], state
+
+    tok = jnp.asarray(ids[:, -1:])
+    tok, cache.state = decode_once(tok, S, cache.state)
+    tok.block_until_ready()
+
+    t0 = time.time()
+    for i in range(decode_steps):
+        tok, cache.state = decode_once(tok, S + 1 + i, cache.state)
+    tok.block_until_ready()
+    dt = time.time() - t0
+    tok_s = decode_steps / dt
+
+    print(json.dumps({
+        "metric": "decode_tok_s",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / roofline_tok_s, 4),
+        "detail": {
+            "model": f"synthetic llama h{cfg['hidden_size']} L{cfg['num_hidden_layers']} 4bpw",
+            "runtime_mode": mode,
+            "backend": backend,
+            "device": str(dev.device_kind),
+            "weight_bytes": wbytes,
+            "roofline_tok_s": round(roofline_tok_s, 2),
+            "prefill_s_128tok_incl_compile": round(prefill_s, 3),
+            "load_s": round(load_s, 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,9 +115,20 @@ class Model:
         )
         return logits
 
-    def forward_simple(self, ids: np.ndarray):
+    def forward_simple(self, ids: np.ndarray, jit: bool = True):
         """Cacheless full forward (eval / conversion advance)."""
         B, S = ids.shape
-        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
-        ctx = ForwardCtx(positions=positions)
-        return self.forward_modules(jnp.asarray(ids), self.params, ctx)
+        if not jit:
+            positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+            ctx = ForwardCtx(positions=positions)
+            return self.forward_modules(jnp.asarray(ids), self.params, ctx)
+        if "cacheless" not in self._step_cache:
+
+            def fn(params, ids):
+                b, s = ids.shape
+                positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+                ctx = ForwardCtx(positions=positions)
+                return self.forward_modules(ids, params, ctx)
+
+            self._step_cache["cacheless"] = jax.jit(fn)
+        return self._step_cache["cacheless"](self.params, jnp.asarray(ids))

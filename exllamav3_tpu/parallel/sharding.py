@@ -1,0 +1,109 @@
+"""Tensor/expert parallelism via GSPMD: mesh + named shardings on the param
+pytree. XLA inserts the collectives (all-gather / reduce-scatter / psum) over
+ICI — this subsystem replaces the reference's entire multiprocess TP stack
+(model_tp*.py, SHM/NCCL backends, exllamav3_ext/parallel/*; see SURVEY §2.3).
+
+Plan rules mirror the reference's split semantics (modules/linear.py:639-657,
+attn.py:915): column-parallel for q/k/v/up/gate (shard out_features), row-
+parallel for o/down (shard in_features, psum after), vocab-parallel lm_head.
+EXL3 trellis tensors shard on their tile dims (16-channel granularity is
+automatic: tiles are 16 wide).
+"""
+from __future__ import annotations
+
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, dp: int = 1, tp: int | None = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = n // dp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+# Column-parallel linears: shard out_features. Row-parallel: shard in_features.
+_COL_PAT = re.compile(r"\.(q_proj|k_proj|v_proj|up_proj|gate_proj|qkv_proj|gate_up_proj)$")
+_ROW_PAT = re.compile(r"\.(o_proj|down_proj)$")
+_HEAD_PAT = re.compile(r"(^|\.)lm_head$")
+_EMBED_PAT = re.compile(r"embed_tokens$")
+
+
+def _linear_spec(kind: str, name: str):
+    """kind: col | row. name: tensor name within the linear param group."""
+    col = kind == "col"
+    if name == "weight":  # (in, out)
+        return P(None, "tp") if col else P("tp", None)
+    if name == "weight_q":
+        return P(None, "tp") if col else P("tp", None)
+    if name == "scale":  # (out,)
+        return P("tp") if col else P(None)
+    if name == "trellis":  # (in/16, out/16, 16K)
+        return P(None, "tp", None) if col else P("tp", None, None)
+    if name == "suh":  # (in,)
+        return P(None) if col else P("tp")
+    if name == "svh":  # (out,)
+        return P("tp") if col else P(None)
+    if name == "bias":  # (out,)
+        return P("tp") if col else P(None)
+    return P()
+
+
+def param_spec(module_key: str, name: str):
+    if _COL_PAT.search(module_key) or _HEAD_PAT.search(module_key):
+        return _linear_spec("col", name)
+    if _ROW_PAT.search(module_key):
+        return _linear_spec("row", name)
+    if _EMBED_PAT.search(module_key) and name == "weight":
+        return P(None, None)  # replicate embeddings (cheap, gather-heavy)
+    return P()  # norms, sinks, etc: replicated
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    """Place every param per the plan. Dims not divisible by the axis size
+    fall back to replication for that tensor."""
+    out = {}
+    for mkey, group in params.items():
+        g = {}
+        for name, arr in group.items():
+            spec = param_spec(mkey, name)
+            spec = _fit_spec(spec, arr.shape, mesh)
+            g[name] = jax.device_put(arr, NamedSharding(mesh, spec))
+        out[mkey] = g
+    return out
+
+
+def _fit_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
+    fixed = []
+    for i, ax in enumerate(spec):
+        if ax is None or i >= len(shape):
+            fixed.append(None)
+            continue
+        size = mesh.shape[ax] if isinstance(ax, str) else 1
+        fixed.append(ax if shape[i] % size == 0 else None)
+    return P(*fixed)
+
+
+def data_sharding(mesh: Mesh):
+    """Activations/ids: batch over dp, replicate the rest."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def shard_cache_state(state: dict, mesh: Mesh) -> dict:
+    """KV cache: shard kv-head dim over tp, batch/pages over dp when possible."""
+    out = {}
+    for key, layer in state.items():
+        g = {}
+        for name, arr in layer.items():
+            # (B|P, T, Hk, D): try heads on tp
+            spec = P(None, None, "tp", None) if arr.ndim == 4 else P()
+            spec = _fit_spec(spec, arr.shape, mesh)
+            g[name] = jax.device_put(arr, NamedSharding(mesh, spec))
+        out[key] = g
+    return out

@@ -17,7 +17,10 @@ Behavioral reference: /root/reference/exllamav3/exllamav3_ext/quant/reconstruct.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .codebook import decode_np, decode_jnp, CB_3INST, CB_MCG, CB_MUL1
@@ -75,6 +78,7 @@ def reconstruct_inner_jnp(trellis: jnp.ndarray, K: int, cb: int = CB_3INST, dtyp
     return tiles.transpose(0, 2, 1, 3).reshape(tk * 16, tn * 16)
 
 
+@partial(jax.jit, static_argnames=("K", "cb", "dtype"))
 def reconstruct_full_jnp(
     trellis: jnp.ndarray,
     suh: jnp.ndarray,

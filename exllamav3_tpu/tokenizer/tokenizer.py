@@ -1,0 +1,128 @@
+"""Tokenizer: HF `tokenizers` wrapper with special-token handling, streaming
+decode support, prefix lookup for token healing, and chat-template rendering.
+
+Feature reference: /root/reference/exllamav3/tokenizer/tokenizer.py
+(Tokenizer:16, chat templates :680-805).
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+import numpy as np
+
+
+class Tokenizer:
+    def __init__(self, directory: str):
+        from tokenizers import Tokenizer as HFTokenizer
+
+        self.directory = directory
+        self.hf = HFTokenizer.from_file(os.path.join(directory, "tokenizer.json"))
+
+        self.tokenizer_config = {}
+        tc_path = os.path.join(directory, "tokenizer_config.json")
+        if os.path.exists(tc_path):
+            with open(tc_path) as f:
+                self.tokenizer_config = json.load(f)
+
+        gc_path = os.path.join(directory, "generation_config.json")
+        self.generation_config = {}
+        if os.path.exists(gc_path):
+            with open(gc_path) as f:
+                self.generation_config = json.load(f)
+
+        cfg_path = os.path.join(directory, "config.json")
+        self.model_config = {}
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                self.model_config = json.load(f)
+
+        self.bos_token_id = self._special_id("bos_token")
+        self.eos_token_id = self._special_id("eos_token")
+        self.pad_token_id = self._special_id("pad_token")
+        if self.eos_token_id is None:
+            eos = self.model_config.get("eos_token_id")
+            self.eos_token_id = eos[0] if isinstance(eos, list) else eos
+
+        self._vocab = None
+        self._id_to_piece = None
+
+    @staticmethod
+    def from_config(config) -> "Tokenizer":
+        return Tokenizer(config.directory)
+
+    def _special_id(self, name: str):
+        tok = self.tokenizer_config.get(name)
+        if tok is None:
+            return None
+        if isinstance(tok, dict):
+            tok = tok.get("content")
+        tid = self.hf.token_to_id(tok) if tok else None
+        return tid
+
+    # -- encode / decode ------------------------------------------------------
+
+    @property
+    def vocab_size(self) -> int:
+        return self.hf.get_vocab_size()
+
+    def encode(self, text: str, add_bos: bool = False, add_eos: bool = False,
+               encode_special_tokens: bool = True) -> np.ndarray:
+        enc = self.hf.encode(text, add_special_tokens=False)
+        ids = list(enc.ids)
+        if add_bos and self.bos_token_id is not None:
+            ids = [self.bos_token_id] + ids
+        if add_eos and self.eos_token_id is not None:
+            ids = ids + [self.eos_token_id]
+        return np.array([ids], dtype=np.int64)
+
+    def decode(self, ids, decode_special_tokens: bool = False) -> str:
+        arr = np.asarray(ids).reshape(-1).tolist()
+        return self.hf.decode(arr, skip_special_tokens=not decode_special_tokens)
+
+    def single_token(self, token_id: int) -> np.ndarray:
+        return np.array([[token_id]], dtype=np.int64)
+
+    # -- vocab utilities -------------------------------------------------------
+
+    def get_vocab(self) -> dict:
+        if self._vocab is None:
+            self._vocab = self.hf.get_vocab()
+        return self._vocab
+
+    def id_to_piece(self, tid: int) -> str:
+        if self._id_to_piece is None:
+            self._id_to_piece = {v: k for k, v in self.get_vocab().items()}
+        return self._id_to_piece.get(tid, "")
+
+    @lru_cache(maxsize=16)
+    def prefix_token_ids(self, prefix: str) -> tuple:
+        """Token ids whose decoded text starts with `prefix` (token healing)."""
+        out = []
+        for tid in range(self.vocab_size):
+            piece = self.decode([tid])
+            if piece.startswith(prefix):
+                out.append(tid)
+        return tuple(out)
+
+    # -- chat templates ----------------------------------------------------------
+
+    def render_chat(self, messages: list, add_generation_prompt: bool = True,
+                    template: str | None = None) -> str:
+        import jinja2
+
+        template = template or self.tokenizer_config.get("chat_template")
+        if template is None:
+            raise ValueError("tokenizer has no chat_template")
+        if isinstance(template, list):
+            template = template[0].get("template", template[0])
+        env = jinja2.Environment(trim_blocks=True, lstrip_blocks=True)
+        env.globals["raise_exception"] = lambda msg: (_ for _ in ()).throw(ValueError(msg))
+        tpl = env.from_string(template)
+        return tpl.render(
+            messages=messages,
+            add_generation_prompt=add_generation_prompt,
+            bos_token=self.tokenizer_config.get("bos_token", ""),
+            eos_token=self.tokenizer_config.get("eos_token", ""),
+        )
