@@ -1,0 +1,412 @@
+"""Generator: continuous dynamic batching over a paged KV cache.
+
+Feature reference: /root/reference/exllamav3/generator/generator.py
+(Generator:22, iterate:339, iterate_gen:758, generate():1199). TPU redesign:
+
+  * decode runs as ONE jitted step per iteration — model forward + fused
+    batch sampler + token-count update — over static (batch-bucket,
+    max-pages-bucket) shapes; only the sampled tokens cross to host.
+  * prefill is chunked (bucketed lengths) per job, skipping pages served by
+    the content-hash prefix cache (pagetable.py).
+  * per-job sampler settings become per-row parameter arrays
+    (batch_sampler.py) so heterogeneous jobs share one compiled step.
+  * stop tokens / stop strings / detokenization / queueing stay host-side,
+    exactly as the reference does.
+
+The "slot" system gives every active job a stable row in persistent device
+buffers (token counts), the analogue of the reference's CUDA-graph slot
+stability requirements.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import PAGE_SIZE
+from .job import Job
+from .pagetable import PageTable, _page_hash
+from .batch_sampler import BatchSamplerParams, batch_sample
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class Generator:
+    def __init__(
+        self,
+        model,
+        cache,
+        tokenizer=None,
+        max_batch_size: int = 32,
+        max_chunk_size: int = 2048,
+        seed: int = 0,
+        k_bits: int = 0,
+        v_bits: int = 0,
+    ):
+        self.model = model
+        self.cache = cache
+        self.tokenizer = tokenizer
+        self.max_batch_size = max_batch_size
+        self.max_chunk_size = max_chunk_size
+        self.k_bits = k_bits
+        self.v_bits = v_bits
+
+        num_pages = cache.spec.num_pages
+        assert cache.spec.layout == "paged", "Generator requires a paged cache"
+        self.pagetable = PageTable(num_pages)
+
+        self.pending: list[Job] = []
+        self.active: list[Job] = []
+        self.job_slots: dict = {}  # job -> slot
+        self.free_slots = list(range(max_batch_size))
+
+        vocab = model.config.vocab_size
+        # +1 scrap row absorbs count updates from padded batch rows
+        self.token_counts = jnp.zeros((max_batch_size + 1, vocab), dtype=jnp.int32)
+        self.key = jax.random.PRNGKey(seed)
+
+        self.batch_buckets = [1, 2, 4, 8, 16, 32, 64]
+        self.prefill_buckets = [32, 256, max_chunk_size]
+        self.pages_buckets = [4, 16, 64, 256, 1024, 4096]
+        self._decode_fns = {}
+        self._prefill_step = None
+
+    # -- public API ------------------------------------------------------
+
+    def enqueue(self, job: Job | list):
+        jobs = job if isinstance(job, list) else [job]
+        for j in jobs:
+            j.time_enqueued = time.time()
+            j.status = "queued"
+            self.pending.append(j)
+        return [j.identifier for j in jobs]
+
+    def cancel(self, job: Job):
+        if job in self.pending:
+            self.pending.remove(job)
+        elif job in self.active:
+            self._finish_job(job, "cancelled")
+
+    def num_remaining_jobs(self) -> int:
+        return len(self.pending) + len(self.active)
+
+    def generate(self, prompt_ids, max_new_tokens=128, sampler=None,
+                 stop_conditions=None, decode_text=True):
+        """Blocking convenience: list of prompts -> list of completions."""
+        single = not isinstance(prompt_ids, list)
+        prompts = [prompt_ids] if single else prompt_ids
+        jobs = [
+            Job(p, max_new_tokens=max_new_tokens, sampler=sampler,
+                stop_conditions=stop_conditions)
+            for p in prompts
+        ]
+        order = {j.identifier: i for i, j in enumerate(jobs)}
+        self.enqueue(jobs)
+        texts = [""] * len(jobs)
+        tokens: list = [None] * len(jobs)
+        while self.num_remaining_jobs():
+            for r in self.iterate():
+                i = order.get(r["identifier"])
+                if i is None:
+                    continue
+                texts[i] += r.get("text", "")
+                if r["stage"] == "finished":
+                    tokens[i] = r["new_tokens"]
+        if decode_text and self.tokenizer is not None:
+            out = texts
+        else:
+            out = tokens
+        return out[0] if single else out
+
+    # -- scheduling ----------------------------------------------------------
+
+    def iterate(self) -> list:
+        """Run one generator iteration; returns a list of result events."""
+        results: list = []
+        self._admit_jobs(results)
+        prefilling = [j for j in self.active if j.status == "prefill"]
+        if prefilling:
+            for job in prefilling:
+                self._prefill_job(job, results)
+                break  # one chunk per iteration keeps decode latency bounded
+        running = [j for j in self.active if j.status == "running"]
+        if running and not prefilling:
+            self._decode_batch(running, results)
+        return results
+
+    # -- admission -------------------------------------------------------------
+
+    def _admit_jobs(self, results: list):
+        while self.pending and self.free_slots:
+            job = self.pending[0]
+            # fail fast on jobs that can never fit (prompt + 1 decode page)
+            if job.pages_needed() + 1 > self.pagetable.num_pages - 1:
+                self.pending.pop(0)
+                job.status = "finished"
+                job.eos_reason = "too_long"
+                results.append({
+                    "identifier": job.identifier, "stage": "finished",
+                    "job": job, "eos_reason": "too_long", "new_tokens": [],
+                    "full_text": "",
+                })
+                continue
+            alloc = self.pagetable.allocate_sequence(job.input_ids)
+            if alloc is None:
+                break  # no pages free
+            pages, reused = alloc
+            self.pending.pop(0)
+            job.pages = pages
+            job.cached_tokens = reused
+            job.prefill_done = min(reused, len(job.input_ids) - 1)
+            job.page_hashes = self._hash_chain(job)
+            job.status = "prefill"
+            self.active.append(job)
+            self.job_slots[job] = self.free_slots.pop(0)
+            slot = self.job_slots[job]
+            # seed penalty counts from the prompt
+            counts = np.zeros(self.model.config.vocab_size, dtype=np.int32)
+            np.add.at(counts, job.input_ids % counts.size, 1)
+            self.token_counts = self.token_counts.at[slot].set(jnp.asarray(counts))
+            results.append({
+                "identifier": job.identifier, "stage": "started", "job": job,
+                "cached_tokens": reused,
+            })
+
+    def _hash_chain(self, job: Job):
+        hashes: list = []
+        prev = None
+        ids = job.input_ids
+        for pi in range(len(job.pages)):
+            a, b = pi * PAGE_SIZE, min((pi + 1) * PAGE_SIZE, len(ids))
+            if b - a == PAGE_SIZE:
+                prev = _page_hash(prev, ids[a:b])
+                hashes.append(prev)
+            else:
+                hashes.append(None)
+        return hashes
+
+    # -- prefill -----------------------------------------------------------------
+
+    def _prefill_job(self, job: Job, results: list):
+        ids = job.input_ids
+        # all but the last token go through prefill; the last token is fed by
+        # the first decode step so its logits produce the first sample
+        end = len(ids) - 1
+        start = job.prefill_done
+        chunk = min(self.max_chunk_size, end - start)
+        if chunk > 0:
+            s_bucket = _bucket(chunk, self.prefill_buckets)
+            mp_bucket = _bucket(len(job.pages), self.pages_buckets)
+            step = self._get_prefill_fn()
+            ids_pad = np.zeros((1, s_bucket), np.int32)
+            ids_pad[0, :chunk] = ids[start : start + chunk]
+            pos = np.full((1, s_bucket), 0, np.int32)
+            pos[0, :chunk] = np.arange(start, start + chunk, dtype=np.int32)
+            # padded positions park in the scratch column (page 0)
+            pos[0, chunk:] = mp_bucket * PAGE_SIZE
+            bt = np.zeros((1, mp_bucket + 1), np.int32)
+            bt[0, : len(job.pages)] = job.pages
+            _, self.cache.state = step(
+                self.model.params, jnp.asarray(ids_pad), self.cache.state,
+                jnp.asarray(pos), jnp.asarray(np.array([start], np.int32)),
+                jnp.asarray(bt),
+            )
+            job.prefill_done = start + chunk
+        if job.prefill_done >= end:
+            job.status = "running"
+            self._finalize_full_pages(job, upto=end)
+        results.append({
+            "identifier": job.identifier, "stage": "prefill", "job": job,
+            "curr_progress": job.prefill_done, "max_progress": end,
+        })
+
+    def _finalize_full_pages(self, job: Job, upto: int):
+        """Register pages fully written by prefill for prefix reuse."""
+        ids = job.input_ids
+        prev = None
+        for pi in range(len(job.pages)):
+            a, b = pi * PAGE_SIZE, (pi + 1) * PAGE_SIZE
+            if b <= upto:
+                if job.page_hashes[pi] is not None:
+                    self.pagetable.finalize_page(job.pages[pi], prev, ids[a:b])
+                    prev = job.page_hashes[pi]
+            else:
+                break
+
+    # -- decode --------------------------------------------------------------------
+
+    def _get_prefill_fn(self):
+        if self._prefill_step is None:
+            self._prefill_step = self.model.jitted_step(
+                "paged", donate_cache=True, k_bits=self.k_bits, v_bits=self.v_bits
+            )
+        return self._prefill_step
+
+    def _get_decode_fn(self):
+        key = "decode"
+        if key not in self._decode_fns:
+            model_step = self.model.step_fn(
+                "paged", k_bits=self.k_bits, v_bits=self.v_bits
+            )
+
+            def fn(params, ids, cache_state, positions, seqlens, block_tables,
+                   sp, counts_full, slot_ids, rng):
+                logits, state = model_step(params, ids, cache_state, positions,
+                                           seqlens, block_tables)
+                last = logits[:, -1].astype(jnp.float32)
+                counts = counts_full[slot_ids]
+                toks = batch_sample(last, sp, counts, rng)
+                b = jnp.arange(toks.shape[0])
+                counts_full = counts_full.at[slot_ids, toks].add(1)
+                return toks, state, counts_full
+
+            self._decode_fns[key] = jax.jit(fn, donate_argnums=(2, 7))
+        return self._decode_fns[key]
+
+    def _decode_batch(self, jobs: list, results: list):
+        # grow pages for jobs crossing a boundary
+        for job in list(jobs):
+            if job.pages_needed() > len(job.pages):
+                newp = self.pagetable.extend_sequence(job.pages)
+                if newp is None:
+                    # out of cache: finish the youngest job to relieve pressure
+                    self._finish_job(job, "cache_overflow", results)
+                    jobs.remove(job)
+                    continue
+                job.pages.append(newp)
+                job.page_hashes.append(None)
+        if not jobs:
+            return
+
+        B = _bucket(len(jobs), self.batch_buckets)
+        mp = max(len(j.pages) for j in jobs)
+        mp_bucket = _bucket(mp, self.pages_buckets)
+
+        ids = np.zeros((B, 1), np.int32)
+        pos = np.full((B, 1), mp_bucket * PAGE_SIZE, np.int32)
+        bt = np.zeros((B, mp_bucket + 1), np.int32)
+        slots = np.full(B, self.max_batch_size, np.int32)  # scrap row default
+        seqlens = np.zeros(B, np.int32)
+        for i, job in enumerate(jobs):
+            last_tok = job.new_tokens[-1] if job.new_tokens else job.input_ids[-1]
+            ids[i, 0] = last_tok
+            pos[i, 0] = job.seq_len - 1
+            bt[i, : len(job.pages)] = job.pages
+            slots[i] = self.job_slots[job]
+            seqlens[i] = job.seq_len - 1
+
+        sp = BatchSamplerParams.from_samplers(
+            [j.sampler for j in jobs] + [jobs[-1].sampler] * (B - len(jobs))
+        ).as_device()
+        self.key, sub = jax.random.split(self.key)
+
+        step = self._get_decode_fn()
+        toks, self.cache.state, self.token_counts = step(
+            self.model.params, jnp.asarray(ids), self.cache.state,
+            jnp.asarray(pos), jnp.asarray(seqlens), jnp.asarray(bt),
+            sp, self.token_counts, jnp.asarray(slots), sub,
+        )
+        toks = np.asarray(toks)
+
+        for i, job in enumerate(jobs):
+            self._receive_token(job, int(toks[i]), results)
+
+    # -- token handling ---------------------------------------------------------------
+
+    def _receive_token(self, job: Job, tok: int, results: list):
+        if not job.new_tokens:
+            job.time_first_token = time.time()
+        job.new_tokens.append(tok)
+        self._maybe_finalize_decode_page(job)
+
+        if tok in job.stop_tokens:
+            job.new_tokens.pop()  # stop token not part of the output
+            self._finish_job(job, "stop_token", results)
+            return
+        if len(job.new_tokens) >= job.max_new_tokens:
+            self._emit_text(job, results, flush=True)
+            self._finish_job(job, "max_new_tokens", results)
+            return
+        self._emit_text(job, results)
+
+    def _maybe_finalize_decode_page(self, job: Job):
+        n = job.seq_len
+        if n % PAGE_SIZE == 0:
+            pi = n // PAGE_SIZE - 1
+            prev = job.page_hashes[pi - 1] if pi > 0 else None
+            if prev is not None or pi == 0:
+                ids = job.all_ids()
+                h = _page_hash(prev, ids[pi * PAGE_SIZE : (pi + 1) * PAGE_SIZE])
+                job.page_hashes[pi] = h
+                self.pagetable.finalize_page(
+                    job.pages[pi], prev, ids[pi * PAGE_SIZE : (pi + 1) * PAGE_SIZE]
+                )
+
+    def _emit_text(self, job: Job, results: list, flush: bool = False):
+        if self.tokenizer is None:
+            results.append({
+                "identifier": job.identifier, "stage": "streaming", "job": job,
+                "token_ids": [job.new_tokens[-1]],
+            })
+            return
+        full = self.tokenizer.decode(job.new_tokens)
+        new = full[len(job.emitted_text) + len(job.held_text):]
+        pending = job.held_text + new
+        hold = 0
+        if not flush:
+            # hold back any suffix that could grow into a stop string
+            for ss in job.stop_strings:
+                idx = pending.find(ss)
+                if idx >= 0:
+                    emit = pending[:idx]
+                    job.emitted_text += emit
+                    job.held_text = ""
+                    if emit:
+                        results.append({
+                            "identifier": job.identifier, "stage": "streaming",
+                            "job": job, "text": emit,
+                        })
+                    self._finish_job(job, "stop_string", results)
+                    return
+                for hl in range(min(len(ss) - 1, len(pending)), 0, -1):
+                    if ss.startswith(pending[-hl:]):
+                        hold = max(hold, hl)
+                        break
+        emit = pending[: len(pending) - hold] if hold else pending
+        job.held_text = pending[len(pending) - hold:] if hold else ""
+        if emit:
+            job.emitted_text += emit
+            results.append({
+                "identifier": job.identifier, "stage": "streaming", "job": job,
+                "text": emit,
+            })
+
+    def _finish_job(self, job: Job, reason: str, results: list | None = None):
+        job.status = "finished"
+        job.eos_reason = reason
+        if job in self.active:
+            self.active.remove(job)
+        self.pagetable.release_sequence(job.pages)
+        slot = self.job_slots.pop(job, None)
+        if slot is not None:
+            self.free_slots.append(slot)
+        if results is not None:
+            if job.held_text:
+                results.append({
+                    "identifier": job.identifier, "stage": "streaming", "job": job,
+                    "text": job.held_text,
+                })
+                job.emitted_text += job.held_text
+                job.held_text = ""
+            results.append({
+                "identifier": job.identifier, "stage": "finished", "job": job,
+                "eos_reason": reason, "new_tokens": list(job.new_tokens),
+                "full_text": job.emitted_text,
+            })

@@ -1,0 +1,76 @@
+"""Job: one generation request in the continuous-batching generator.
+
+Feature reference: /root/reference/exllamav3/generator/job.py (Job:46 —
+prompt, sampler, stop conditions, streaming detokenization, page
+allocation :1329). v1 scope: sampling params, stop tokens/strings,
+max_new_tokens, streaming text; token healing / CFG / logprobs hooks later.
+"""
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import PAGE_SIZE
+from .sampler import Sampler, GreedySampler
+
+_serial = itertools.count()
+
+
+class Job:
+    def __init__(
+        self,
+        input_ids: np.ndarray,
+        max_new_tokens: int = 256,
+        sampler: Sampler | None = None,
+        stop_conditions: list | None = None,
+        identifier=None,
+        banned_strings: list | None = None,
+        return_logits: bool = False,
+        seed: int | None = None,
+    ):
+        ids = np.asarray(input_ids).reshape(-1).astype(np.int64)
+        assert ids.size > 0, "empty prompt"
+        self.input_ids = ids
+        self.max_new_tokens = max_new_tokens
+        self.sampler = sampler or GreedySampler()
+        self.identifier = identifier if identifier is not None else next(_serial)
+        self.seed = seed if seed is not None else next(_serial)
+        self.return_logits = return_logits
+
+        self.stop_tokens: set[int] = set()
+        self.stop_strings: list[str] = []
+        for sc in stop_conditions or []:
+            if isinstance(sc, str):
+                self.stop_strings.append(sc)
+            else:
+                self.stop_tokens.add(int(sc))
+        self.banned_strings = banned_strings or []
+
+        # runtime state (owned by the generator)
+        self.status = "queued"  # queued | prefill | running | finished
+        self.pages: list[int] = []
+        self.page_hashes: list[bytes | None] = []
+        self.cached_tokens = 0
+        self.prefill_done = 0  # tokens whose KV is in cache
+        self.new_tokens: list[int] = []
+        self.held_text = ""  # text held back for stop-string matching
+        self.emitted_text = ""
+        self.eos_reason: str | None = None
+        self.time_enqueued = 0.0
+        self.time_first_token = 0.0
+
+    # -- geometry ---------------------------------------------------------
+
+    @property
+    def seq_len(self) -> int:
+        return int(self.input_ids.size) + len(self.new_tokens)
+
+    def all_ids(self) -> np.ndarray:
+        if not self.new_tokens:
+            return self.input_ids
+        return np.concatenate([self.input_ids, np.asarray(self.new_tokens, dtype=np.int64)])
+
+    def pages_needed(self) -> int:
+        return (self.seq_len + PAGE_SIZE - 1) // PAGE_SIZE

@@ -87,13 +87,25 @@ def linear_cache_update(layer_state: dict, k_new, v_new, positions, k_bits: int 
     return {"k": k, "v": v}
 
 
-def paged_cache_update(layer_state: dict, k_new, v_new, positions, block_tables):
+def paged_cache_update(layer_state: dict, k_new, v_new, positions, block_tables,
+                       k_bits: int = 0, v_bits: int = 0):
     """Scatter (B, S, Hk, D) into paged cache. positions: (B, S) token
     positions; block_tables: (B, max_pages) page indices."""
     B, S = positions.shape
     page_slot = positions // PAGE_SIZE  # (B, S) logical page index
     in_page = positions % PAGE_SIZE
     pages = jnp.take_along_axis(block_tables, page_slot, axis=1)  # (B, S)
+    if k_bits:
+        from ..ops.kv_quant import quantize_kv
+
+        kq, ks = quantize_kv(k_new, k_bits)
+        vq, vs = quantize_kv(v_new, v_bits)
+        return {
+            "k_q": layer_state["k_q"].at[pages, in_page].set(kq),
+            "k_s": layer_state["k_s"].at[pages, in_page].set(ks),
+            "v_q": layer_state["v_q"].at[pages, in_page].set(vq),
+            "v_s": layer_state["v_s"].at[pages, in_page].set(vs),
+        }
     k = layer_state["k"].at[pages, in_page].set(k_new.astype(layer_state["k"].dtype))
     v = layer_state["v"].at[pages, in_page].set(v_new.astype(layer_state["v"].dtype))
     return {"k": k, "v": v}

@@ -70,7 +70,7 @@ class Model:
             x = m.forward(x, params, ctx)
         return x
 
-    def step_fn(self, attn_mode: str = "dense"):
+    def step_fn(self, attn_mode: str = "dense", k_bits: int = 0, v_bits: int = 0):
         """Pure (params, ids, cache_state, positions, cache_seqlens,
         block_tables) -> (logits, new_cache_state)."""
 
@@ -81,6 +81,8 @@ class Model:
                 cache=dict(cache_state) if cache_state is not None else None,
                 block_tables=block_tables,
                 cache_seqlens=cache_seqlens,
+                k_bits=k_bits,
+                v_bits=v_bits,
             )
             logits = self.forward_modules(ids, params, ctx)
             new_state = ctx.cache if cache_state is not None else None
@@ -88,10 +90,11 @@ class Model:
 
         return fn
 
-    def jitted_step(self, attn_mode: str = "dense", donate_cache: bool = True):
-        key = (attn_mode, donate_cache)
+    def jitted_step(self, attn_mode: str = "dense", donate_cache: bool = True,
+                    k_bits: int = 0, v_bits: int = 0):
+        key = (attn_mode, donate_cache, k_bits, v_bits)
         if key not in self._step_cache:
-            fn = self.step_fn(attn_mode)
+            fn = self.step_fn(attn_mode, k_bits, v_bits)
             donate = (2,) if donate_cache else ()
             self._step_cache[key] = jax.jit(fn, donate_argnums=donate)
         return self._step_cache[key]

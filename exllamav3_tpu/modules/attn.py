@@ -114,20 +114,33 @@ class Attention(Module):
         elif ctx.attn_mode == "paged":
             layer_state = ctx.cache[self.key]
             layer_state = paged_cache_update(
-                layer_state, k, v, ctx.positions, ctx.block_tables
+                layer_state, k, v, ctx.positions, ctx.block_tables,
+                ctx.k_bits, ctx.v_bits,
             )
             ctx.cache[self.key] = layer_state
+            quant = bool(ctx.k_bits)
             o = attend_paged(
-                q.astype(dt), layer_state["k"], layer_state["v"],
+                q.astype(dt),
+                None if quant else layer_state["k"],
+                None if quant else layer_state["v"],
                 ctx.block_tables, ctx.positions, ctx.cache_seqlens,
                 scale=self.sm_scale, sliding_window=self.sliding_window,
                 logit_softcap=self.logit_softcap, sinks=sinks,
+                quant_state=layer_state if quant else None,
+                k_bits=ctx.k_bits, v_bits=ctx.v_bits,
             )
         else:
             layer_state = ctx.cache[self.key]
-            layer_state = linear_cache_update(layer_state, k, v, ctx.positions)
+            layer_state = linear_cache_update(
+                layer_state, k, v, ctx.positions, ctx.k_bits, ctx.v_bits
+            )
             ctx.cache[self.key] = layer_state
-            k_all, v_all = layer_state["k"], layer_state["v"]
+            if ctx.k_bits:
+                from ..ops.kv_quant import quant_cache_fetch
+
+                k_all, v_all = quant_cache_fetch(layer_state, ctx.k_bits, ctx.v_bits)
+            else:
+                k_all, v_all = layer_state["k"], layer_state["v"]
             T = k_all.shape[1]
             k_pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
             o = attend_dense(

@@ -24,6 +24,8 @@ class ForwardCtx:
     positions: jnp.ndarray | None = None  # (B, S) int32 token positions
     attn_mode: str = "dense"  # "dense" | "paged"
     cache: Any = None  # Cache adapter (see model/cache.py)
+    k_bits: int = 0  # quantized-cache bit widths (0 = unquantized); static
+    v_bits: int = 0
     block_tables: jnp.ndarray | None = None  # (B, max_pages) int32, paged mode
     cache_seqlens: jnp.ndarray | None = None  # (B,) int32 tokens already cached
     # non-traceable extras (Hessian capture, stats) — only used in eager mode

@@ -87,16 +87,28 @@ def attend_paged(
     sliding_window: int = 0,
     logit_softcap: float = 0.0,
     sinks=None,
+    quant_state: dict | None = None,
+    k_bits: int = 0,
+    v_bits: int = 0,
 ):
     """Paged attention, jnp reference: gather the sequence's pages then run
     dense attention. k_pages: (P, PAGE_SIZE, Hk, D); block_tables: (B, MP).
+    With quant_state set, only the gathered pages are dequantized.
 
     The Pallas kernel (ops/flash_attention.py) streams pages via scalar-
     prefetched block tables instead of materializing the gather.
     """
     B, MP = block_tables.shape
-    k = k_pages[block_tables]  # (B, MP, PAGE_SIZE, Hk, D)
-    v = v_pages[block_tables]
+    if quant_state is not None:
+        from .kv_quant import dequantize_kv
+
+        k = dequantize_kv(quant_state["k_q"][block_tables],
+                          quant_state["k_s"][block_tables], k_bits)
+        v = dequantize_kv(quant_state["v_q"][block_tables],
+                          quant_state["v_s"][block_tables], v_bits)
+    else:
+        k = k_pages[block_tables]  # (B, MP, PAGE_SIZE, Hk, D)
+        v = v_pages[block_tables]
     T = MP * PAGE_SIZE
     k = k.reshape(B, T, *k.shape[3:])
     v = v.reshape(B, T, *v.shape[3:])

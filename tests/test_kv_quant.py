@@ -1,0 +1,48 @@
+"""Quantized KV cache: round-trip accuracy across bit widths, and decode
+parity with the fp16 cache (reference tests/test_kv_quant.py behavior)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from exllamav3_tpu.ops.kv_quant import quantize_kv, dequantize_kv
+from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3
+from exllamav3_tpu.model import Config, Model, InferParams, Cache, CacheSpec
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 5, 6, 8])
+def test_roundtrip_error(bits):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 7, 2, 64)).astype(np.float32)
+    q, s = quantize_kv(jnp.asarray(x), bits)
+    y = np.asarray(dequantize_kv(q, s, bits, dtype=jnp.float32))
+    err = np.abs(y - x)
+    # max error bounded by half a quantization step per group
+    mid = (2 ** bits - 1) / 2
+    step = np.abs(x).reshape(4, 7, 2, 2, 32).max(-1) / mid
+    assert (err.reshape(4, 7, 2, 2, 32) <= 0.51 * step[..., None] + 1e-6).all()
+    rel = float(np.sqrt(np.mean(err**2) / np.mean(x**2)))
+    assert rel < {2: 0.45, 3: 0.2, 4: 0.1, 5: 0.05, 6: 0.025, 8: 0.007}[bits]
+
+
+def test_quant_cache_decode_parity(tmp_path):
+    d = str(tmp_path / "m")
+    write_tiny_llama_exl3(d, seed=9)
+    config = Config.from_directory(d, infer_params=InferParams(linear_mode="bf16"))
+    model = Model.from_config(config)
+    model.load()
+
+    rng = np.random.default_rng(2)
+    B, S = 1, 10
+    ids = rng.integers(0, 500, size=(B, S)).astype(np.int32)
+    full = np.asarray(model.forward_simple(ids))
+
+    spec = CacheSpec(layout="linear", batch_size=B, max_len=16, k_bits=6, v_bits=6)
+    cache = Cache(model, spec)
+    step = model.jitted_step("dense", donate_cache=False, k_bits=6, v_bits=6)
+    pos = np.broadcast_to(np.arange(S, dtype=np.int32), (B, S))
+    logits, cache.state = step(model.params, jnp.asarray(ids), cache.state,
+                               jnp.asarray(pos), jnp.zeros(B, jnp.int32), None)
+    got = np.asarray(logits)
+    # 6-bit cache should barely perturb logits
+    assert (got.argmax(-1) == full.argmax(-1)).mean() > 0.9
+    np.testing.assert_allclose(got, full, rtol=0.2, atol=0.1 * np.abs(full).max())
