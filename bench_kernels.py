@@ -1,0 +1,74 @@
+"""Kernel microbenchmarks on the real TPU: fused trellis GEMM vs int8 vs
+bf16 matmul at decode and prefill shapes. Amortizes the axon-tunnel dispatch
+latency by iterating inside one jit (lax.scan over REPS iterations).
+Run manually to guide kernel tuning; not the driver bench."""
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+REPS = 50
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from exllamav3_tpu.ops.exl3_gemm import (
+        prepare_trellis_words,
+        exl3_gemm_core,
+    )
+
+    rng = np.random.default_rng(0)
+    k, n, K = 4096, 4096, 4
+    trellis = rng.integers(-32768, 32768, size=(k // 16, n // 16, 16 * K)).astype(np.int16)
+    words = jnp.asarray(prepare_trellis_words(trellis))
+    w_bf16 = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32), dtype=jnp.bfloat16)
+    w_i8 = jnp.asarray(rng.integers(-127, 128, size=(k, n)).astype(np.int8))
+    scale = jnp.asarray((rng.random(n) * 0.01).astype(np.float32))
+
+    # each variant: scan REPS times over the core op, xor-ing a cheap update
+    # into x so the compiler can't hoist the matmul out of the loop
+    @functools.partial(jax.jit, static_argnames=("which", "bm"))
+    def loop(x, w, scale, which, bm):
+        def body(carry, _):
+            if which == "fused":
+                y = exl3_gemm_core(carry, w, 4, 0, block_m=bm)
+            elif which == "int8":
+                yw = jnp.dot(carry, w.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+                y = yw * scale[None, :]
+            else:
+                y = jnp.dot(carry, w, preferred_element_type=jnp.float32)
+            # nonlinear full-output dependency so no part of the matmul can
+            # be folded or sliced away
+            dep = jnp.max(jnp.abs(y)) * 1e-12
+            nxt = carry + dep.astype(carry.dtype)
+            return nxt, ()
+
+        out, _ = jax.lax.scan(body, x, None, length=REPS)
+        return out
+
+    hbm_gbps = 819.0
+    wbytes = {"fused": k * n * K // 8, "int8": k * n, "bf16": k * n * 2}
+    for m in (16, 128, 512):
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32),
+                        dtype=jnp.bfloat16)
+        for which, w in (("fused", words), ("int8", w_i8), ("bf16", w_bf16)):
+            bm = min(m, 128)
+            f = lambda: loop(x, w, scale, which, bm)
+            f().block_until_ready()
+            t0 = time.time()
+            f().block_until_ready()
+            dt = (time.time() - t0) / REPS
+            roof = wbytes[which] / (hbm_gbps * 1e9)
+            print(f"m={m:4d} {which:6s} {dt*1e6:9.1f} us  roofline {roof*1e6:7.1f} us "
+                  f"({100*roof/max(dt,1e-12):5.1f}% of HBM peak)", flush=True)
+        print(flush=True)
+
+
+if __name__ == "__main__":
+    main()

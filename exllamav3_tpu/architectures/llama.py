@@ -62,8 +62,8 @@ class LlamaModel(Model):
             lk = f"model.layers.{idx}"
             q_norm = k_norm = None
             if self.use_qk_norm:
-                q_norm = RMSNorm(config, f"{lk}.self_attn.q_norm", config.rms_norm_eps)
-                k_norm = RMSNorm(config, f"{lk}.self_attn.k_norm", config.rms_norm_eps)
+                q_norm = RMSNorm(config, f"{lk}.self_attn.q_norm", config.rms_norm_eps, dim=config.head_dim)
+                k_norm = RMSNorm(config, f"{lk}.self_attn.k_norm", config.rms_norm_eps, dim=config.head_dim)
             self.modules += [
                 TransformerBlock(
                     config=config,

@@ -122,3 +122,122 @@ def write_tiny_llama_exl3(
 
     save_file(tensors, os.path.join(directory, "model.safetensors"), bf16_keys=bf16_keys)
     return directory
+
+
+def write_tiny_llama_dense(directory: str, cfg: dict | None = None, seed: int = 0,
+                           weight_scale: float | None = None):
+    """Write a synthetic DENSE (bf16) Llama-style checkpoint (for testing the
+    conversion pipeline end-to-end)."""
+    os.makedirs(directory, exist_ok=True)
+    cfg = cfg or tiny_llama_cfg()
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+
+    rng = np.random.default_rng(seed)
+    h = cfg["hidden_size"]
+    inter = cfg["intermediate_size"]
+    nq = cfg["num_attention_heads"]
+    nkv = cfg["num_key_value_heads"]
+    hd = cfg.get("head_dim") or h // nq
+    vocab = cfg["vocab_size"]
+    ws = weight_scale if weight_scale is not None else 1.0 / math.sqrt(h)
+
+    tensors: dict[str, np.ndarray] = {}
+    bf16_keys = set()
+
+    def add(key, arr):
+        tensors[key] = f32_to_bf16_u16(arr.astype(np.float32))
+        bf16_keys.add(key)
+
+    def lin(key, n_out, k_in, scale):
+        # HF layout (out, in)
+        add(key + ".weight", rng.standard_normal((n_out, k_in)) * scale)
+
+    add("model.embed_tokens.weight", rng.standard_normal((vocab, h)) * 0.02)
+    for i in range(cfg["num_hidden_layers"]):
+        lk = f"model.layers.{i}"
+        add(f"{lk}.input_layernorm.weight", np.ones(h))
+        add(f"{lk}.post_attention_layernorm.weight", np.ones(h))
+        lin(f"{lk}.self_attn.q_proj", nq * hd, h, ws)
+        lin(f"{lk}.self_attn.k_proj", nkv * hd, h, ws)
+        lin(f"{lk}.self_attn.v_proj", nkv * hd, h, ws)
+        lin(f"{lk}.self_attn.o_proj", h, nq * hd, ws * 0.5)
+        lin(f"{lk}.mlp.gate_proj", inter, h, ws)
+        lin(f"{lk}.mlp.up_proj", inter, h, ws)
+        lin(f"{lk}.mlp.down_proj", h, inter, ws * 0.5)
+    add("model.norm.weight", np.ones(h))
+    if not cfg.get("tie_word_embeddings"):
+        lin("lm_head", vocab, h, 0.02 * math.sqrt(h))
+
+    save_file(tensors, os.path.join(directory, "model.safetensors"), bf16_keys=bf16_keys)
+    return directory
+
+
+def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
+                               fused_phi3: bool = False):
+    """Write a dense bf16 checkpoint for ANY registered architecture by
+    introspecting the module tree (walks Linears/norms/embeddings)."""
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+
+    from ..model.config import Config
+    from ..model.model import Model
+    from ..modules import Linear, RMSNorm, LayerNorm, Embedding
+    from ..modules.block_sparse_mlp import BlockSparseMLP
+
+    config = Config.from_directory(directory)
+    model = Model.from_config(config)
+
+    rng = np.random.default_rng(seed)
+    tensors: dict[str, np.ndarray] = {}
+    bf16_keys = set()
+
+    def add(key, arr):
+        if key in tensors:
+            return
+        tensors[key] = f32_to_bf16_u16(arr.astype(np.float32))
+        bf16_keys.add(key)
+
+    def add_linear(lin: Linear):
+        scale = 1.0 / math.sqrt(max(lin.in_features, 1))
+        if fused_phi3 and lin.fkey:
+            return  # emitted as fused below
+        add(lin.key + ".weight",
+            rng.standard_normal((lin.out_features, lin.in_features)) * scale)
+
+    fused: dict[str, int] = {}
+    for module in model.modules:
+        for m in module.walk():
+            if isinstance(m, BlockSparseMLP):
+                for lin in m._expert_linears:
+                    add_linear(lin)
+            if isinstance(m, Linear):
+                if m.alt_key and not m.key.startswith("lm_head"):
+                    continue
+                if m.alt_key == "model.embed_tokens":
+                    continue  # tied head
+                add_linear(m)
+                if fused_phi3 and m.fkey:
+                    fused[m.fkey] = max(fused.get(m.fkey, 0), m.frange[1])
+            elif isinstance(m, (RMSNorm, LayerNorm)):
+                dim = getattr(m, "dim", None) or cfg["hidden_size"]
+                is_gemma = "gemma" in str(cfg.get("architectures", [""])[0]).lower()
+                add(m.key + ".weight", np.zeros(dim) if is_gemma else np.ones(dim))
+            elif isinstance(m, Embedding):
+                add(m.key + ".weight",
+                    rng.standard_normal((m.vocab_size, m.hidden_size)) * 0.02)
+
+    if fused_phi3:
+        # emit fused qkv/gate_up tensors instead of the per-slice ones
+        for module in model.modules:
+            for m in module.walk():
+                if isinstance(m, Linear) and m.fkey:
+                    n_out = fused.get(m.fkey, 0)
+                    if n_out and m.fkey + ".weight" not in tensors:
+                        scale = 1.0 / math.sqrt(max(m.in_features, 1))
+                        add(m.fkey + ".weight",
+                            rng.standard_normal((n_out, m.in_features)) * scale)
+
+    save_file(tensors, os.path.join(directory, "model.safetensors"), bf16_keys=bf16_keys)
+    return directory

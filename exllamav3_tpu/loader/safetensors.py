@@ -117,8 +117,14 @@ class SafetensorsCollection:
         return self._mmaps[path]
 
     def close(self):
+        # returned arrays are zero-copy views into the mmaps; dropping our
+        # references lets the GC unmap once the last view dies (calling
+        # mmap.close() with live views raises BufferError)
         for m in self._mmaps.values():
-            m.close()
+            try:
+                m.close()
+            except BufferError:
+                pass
         for f in self._files.values():
             f.close()
         self._mmaps.clear()

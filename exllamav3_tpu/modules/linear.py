@@ -45,6 +45,8 @@ class Linear(Module):
         out_features: int,
         qmap: str | None = None,
         alt_key: str | None = None,
+        fkey: str | None = None,
+        frange: tuple | None = None,
         out_dtype=None,
         softcap: float = 0.0,
         post_scale: float = 1.0,
@@ -54,6 +56,8 @@ class Linear(Module):
         self.in_features = in_features
         self.out_features = out_features
         self.alt_key = alt_key
+        self.fkey = fkey  # fused source tensor (e.g. qkv_proj) for dense ckpts
+        self.frange = frange  # (start, end) output-feature slice of fkey
         self.out_dtype = out_dtype
         self.softcap = softcap
         self.post_scale = post_scale
@@ -75,6 +79,9 @@ class Linear(Module):
             if stc.has_tensor(k + ".weight"):
                 self._load_dense(params, k)
                 return
+        if self.fkey and stc.has_tensor(self.fkey + ".weight"):
+            self._load_dense(params, self.fkey, frange=self.frange)
+            return
         raise ValueError(f"no tensors found for linear {self.key}")
 
     def _load_exl3(self, params: dict, key: str) -> None:
@@ -101,8 +108,16 @@ class Linear(Module):
         p: dict = {}
         suh = suh.astype(np.float32)
         svh = svh.astype(np.float32)
-        if mode in ("reconstruct", "fused"):
+        if mode == "reconstruct":
             p["trellis"] = jnp.asarray(np.ascontiguousarray(trellis))
+            p["suh"] = jnp.asarray(suh)
+            p["svh"] = jnp.asarray(svh)
+        elif mode == "fused":
+            from ..ops.exl3_gemm import prepare_trellis_words
+
+            p["words"] = jnp.asarray(
+                prepare_trellis_words(np.ascontiguousarray(trellis))
+            )
             p["suh"] = jnp.asarray(suh)
             p["svh"] = jnp.asarray(svh)
         elif mode == "bf16":
@@ -134,7 +149,7 @@ class Linear(Module):
             p["bias"] = jnp.asarray(bias.astype(np.float32))
         params[self.key] = p
 
-    def _load_dense(self, params: dict, key: str) -> None:
+    def _load_dense(self, params: dict, key: str, frange: tuple | None = None) -> None:
         stc = self.config.stc
         dt = stc.get_dtype_str(key + ".weight")
         if dt == "BF16":
@@ -142,9 +157,13 @@ class Linear(Module):
             w = bf16_to_f32(raw)
         else:
             w = stc.get_tensor(key + ".weight").astype(np.float32)
+        bias = stc.get_tensor(key + ".bias", optional=True)
+        if frange is not None:  # slice of a fused tensor, HF (out, in) rows
+            w = w[frange[0] : frange[1]]
+            if bias is not None:
+                bias = bias[frange[0] : frange[1]]
         # HF stores (out, in); we use (in, out)
         w = np.ascontiguousarray(w.T)
-        bias = stc.get_tensor(key + ".bias", optional=True)
         self.quant_type = "fp16"
         self.mode = "dense"
         p = {"weight": jnp.asarray(w, dtype=jnp.bfloat16)}
@@ -161,19 +180,18 @@ class Linear(Module):
         bias = p.get("bias")
         out_dtype = self.out_dtype or x.dtype
 
-        if "trellis" in p:
-            if self.mode == "fused":
-                from ..ops.exl3_gemm import exl3_matmul
+        if "words" in p:
+            from ..ops.exl3_gemm import exl3_matmul
 
-                y = exl3_matmul(
-                    x, p["trellis"], p["suh"], p["svh"], self.K, self.cb,
-                    bias=bias, out_dtype=jnp.float32,
-                )
-            else:
-                y = exl3_matmul_ref_jnp(
-                    x, p["trellis"], p["suh"], p["svh"], self.K, self.cb,
-                    bias=bias, out_dtype=jnp.float32,
-                )
+            y = exl3_matmul(
+                x, p["words"], p["suh"], p["svh"], self.K, self.cb,
+                bias=bias, out_dtype=jnp.float32,
+            )
+        elif "trellis" in p:
+            y = exl3_matmul_ref_jnp(
+                x, p["trellis"], p["suh"], p["svh"], self.K, self.cb,
+                bias=bias, out_dtype=jnp.float32,
+            )
         elif "weight_q" in p:
             from ..ops.q_matmul import int8_matmul
 
@@ -202,6 +220,14 @@ class Linear(Module):
     def get_weight_f32(self, params: dict) -> np.ndarray:
         """Dense (in, out) f32 weight for quantization/eval."""
         p = params[self.key]
+        if "words" in p:
+            from ..ops.exl3_gemm import words_to_trellis
+
+            w = reconstruct_full_jnp(
+                words_to_trellis(p["words"]), p["suh"], p["svh"], self.K,
+                self.cb, dtype=jnp.float32,
+            )
+            return np.asarray(jax.device_get(w))
         if "trellis" in p:
             w = reconstruct_full_jnp(
                 p["trellis"], p["suh"], p["svh"], self.K, self.cb, dtype=jnp.float32

@@ -23,9 +23,10 @@ def rms_norm(x, weight, eps: float, constant_bias: float = 0.0):
 
 class RMSNorm(Module):
     def __init__(self, config, key: str, rms_norm_eps: float = 1e-6,
-                 constant_bias: float = 0.0, out_dtype=None):
+                 constant_bias: float = 0.0, out_dtype=None, dim: int | None = None):
         super().__init__(config, key)
         self.eps = rms_norm_eps
+        self.dim = dim
         self.constant_bias = constant_bias  # +1 for Gemma-style norms
         self.out_dtype = out_dtype
 
@@ -45,9 +46,11 @@ class RMSNorm(Module):
 
 
 class LayerNorm(Module):
-    def __init__(self, config, key: str, eps: float = 1e-5, out_dtype=None):
+    def __init__(self, config, key: str, eps: float = 1e-5, out_dtype=None,
+                 dim: int | None = None):
         super().__init__(config, key)
         self.eps = eps
+        self.dim = dim
         self.out_dtype = out_dtype
 
     def load(self, params: dict) -> None:

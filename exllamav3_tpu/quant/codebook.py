@@ -7,7 +7,7 @@ three procedural codebooks (no stored tables):
         y = fp16(lo16(m)) + fp16(hi16(m)) where m = (x & 0x8FFF8FFF) ^ 0x3B603B60
   * cb=1 ("MCG"):   same bit trick with x = code * 0xCBAC1FED (no additive term)
   * cb=2 ("MUL1"):  x = code * 0x83DCD12D; s = sum of the 4 bytes of x;
-        y = fp16_fma(fp16(0x6400 + s), 0.0067672729..., -10.390625)
+        y = fp16_fma(fp16(0x6400 + s), 0.0067672729..., -10.3828125)
         (0x6400+s is the fp16 bit pattern of 1024.0 + s for s in [0, 1020])
 
 Behavioral reference: /root/reference/exllamav3/exllamav3_ext/quant/codebook.cuh:56-123
@@ -45,7 +45,7 @@ MASK_XOR = np.uint32(0x3B603B60)
 
 # fp16 constants of the MUL1 affine map (bit patterns 0x1EEE and 0xC931).
 MUL1_SCALE = np.uint16(0x1EEE)  # ~= 0.0067672729 = 1/147.7
-MUL1_BIAS = np.uint16(0xC931)  # ~= -10.390625 = (-1024.0 - 510.0) * scale
+MUL1_BIAS = np.uint16(0xC931)  # ~= -10.3828125
 
 # Scale the quantizer normalizes weights by before trellis search
 # (/root/reference/exllamav3/modules/quant/exl3_lib/quantize.py:16)

@@ -508,6 +508,7 @@ def quantize_exl3_np(
     apply_out_scales: bool | None = None,
     backend: str = "auto",
     return_weight_q: bool = False,
+    skip_g_scale: bool = False,
     progress=None,
 ):
     """Quantize one (k, n) f32 weight matrix to EXL3 tensors.
@@ -526,6 +527,7 @@ def quantize_exl3_np(
     reg = regularize_np(
         weight, su_signs, sv_signs, H_diag, K, cb,
         apply_out_scales=apply_out_scales if not q_fallback else (apply_out_scales or True),
+        skip_g_scale=skip_g_scale,
         backend=backend,
     )
 

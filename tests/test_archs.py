@@ -1,0 +1,78 @@
+"""Architecture breadth: synthetic dense checkpoints for every registered
+arch must load and produce finite logits, and cached decode must match the
+cacheless forward (exercises sliding windows, softcaps, QK norms, MoE...)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from exllamav3_tpu.conversion.synth import write_synth_dense_for_arch
+from exllamav3_tpu.model import Config, Model, Cache, CacheSpec
+
+BASE = dict(
+    bos_token_id=1, eos_token_id=2, vocab_size=512, hidden_size=128,
+    intermediate_size=256, max_position_embeddings=4096,
+    num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=2,
+    rms_norm_eps=1e-5, rope_theta=10000.0, torch_dtype="bfloat16",
+    head_dim=32,
+)
+
+ARCH_CFGS = {
+    "LlamaForCausalLM": dict(BASE, hidden_act="silu",
+                             rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                                           "low_freq_factor": 1.0,
+                                           "high_freq_factor": 4.0,
+                                           "original_max_position_embeddings": 1024}),
+    "MistralForCausalLM": dict(BASE, hidden_act="silu"),
+    "Qwen2ForCausalLM": dict(BASE, hidden_act="silu"),
+    "Qwen3ForCausalLM": dict(BASE, hidden_act="silu"),
+    "Gemma2ForCausalLM": dict(BASE, hidden_act="gelu_pytorch_tanh",
+                              sliding_window=64, query_pre_attn_scalar=32,
+                              attn_logit_softcapping=50.0,
+                              final_logit_softcapping=30.0,
+                              tie_word_embeddings=True),
+    "Gemma3ForCausalLM": dict(BASE, hidden_act="gelu_pytorch_tanh",
+                              sliding_window=64, sliding_window_pattern=2,
+                              rope_local_base_freq=10000.0,
+                              query_pre_attn_scalar=32,
+                              tie_word_embeddings=True),
+    "Phi3ForCausalLM": dict(BASE, hidden_act="silu"),
+    "MixtralForCausalLM": dict(BASE, hidden_act="silu", num_local_experts=4,
+                               num_experts_per_tok=2),
+    "Qwen3MoeForCausalLM": dict(BASE, hidden_act="silu", num_experts=4,
+                                num_experts_per_tok=2, norm_topk_prob=True,
+                                moe_intermediate_size=128),
+}
+
+
+@pytest.mark.parametrize("arch", sorted(ARCH_CFGS.keys()))
+def test_arch_forward_and_cache(arch, tmp_path):
+    cfg = dict(ARCH_CFGS[arch])
+    cfg["architectures"] = [arch]
+    d = str(tmp_path / arch)
+    fused = arch == "Phi3ForCausalLM"
+    write_synth_dense_for_arch(d, cfg, seed=hash(arch) % 1000, fused_phi3=fused)
+
+    model = Model.from_config(Config.from_directory(d))
+    model.load()
+
+    rng = np.random.default_rng(0)
+    B, S = 1, 10
+    ids = rng.integers(0, 500, size=(B, S)).astype(np.int32)
+    full = np.asarray(model.forward_simple(ids))
+    assert np.isfinite(full).all(), arch
+    assert full.shape == (B, S, cfg["vocab_size"])
+
+    # cached decode parity
+    cache = Cache(model, CacheSpec(layout="linear", batch_size=B, max_len=16))
+    step = model.jitted_step("dense", donate_cache=False)
+    pos = np.broadcast_to(np.arange(6, dtype=np.int32), (B, 6))
+    l1, cache.state = step(model.params, jnp.asarray(ids[:, :6]), cache.state,
+                           jnp.asarray(pos), jnp.zeros(B, jnp.int32), None)
+    outs = [np.asarray(l1)]
+    for t in range(6, S):
+        pt = np.full((B, 1), t, np.int32)
+        lt, cache.state = step(model.params, jnp.asarray(ids[:, t:t+1]), cache.state,
+                               jnp.asarray(pt), jnp.full(B, t, np.int32), None)
+        outs.append(np.asarray(lt))
+    inc = np.concatenate(outs, axis=1)
+    assert (inc.argmax(-1) == full.argmax(-1)).mean() > 0.9, arch

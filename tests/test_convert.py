@@ -1,0 +1,67 @@
+"""End-to-end conversion: dense checkpoint -> EXL3 -> load -> quality check.
+
+The real assertion: the converted model's logits stay close to the dense
+model's (KL divergence well under the noise of a broken pipeline). Uses a
+tiny model; the Viterbi runs on the batched jnp backend.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from exllamav3_tpu.conversion.synth import write_tiny_llama_dense, tiny_llama_cfg
+from exllamav3_tpu.conversion.convert_model import convert_model
+from exllamav3_tpu.model import Config, Model, InferParams
+
+
+CFG = tiny_llama_cfg(
+    vocab_size=256, hidden_size=128, intermediate_size=128,
+    num_layers=1, num_q_heads=2, num_kv_heads=2,
+)
+
+
+def _kld(p_logits, q_logits):
+    def logsoftmax(x):
+        x = x - x.max(-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+    lp, lq = logsoftmax(p_logits), logsoftmax(q_logits)
+    return float(np.mean(np.sum(np.exp(lp) * (lp - lq), axis=-1)))
+
+
+@pytest.mark.slow
+def test_convert_roundtrip(tmp_path):
+    src = str(tmp_path / "dense")
+    dst = str(tmp_path / "exl3")
+    write_tiny_llama_dense(src, CFG, seed=42)
+
+    job = convert_model(src, dst, bpw=4.0, head_bits=6, rows=8, length=64,
+                        fast=True, verbose=False, seed=1)
+    assert len(job["proxy_err"]) == 8  # 7 block linears + lm_head
+    assert all(0 <= v < 0.5 for v in job["proxy_err"].values()), job["proxy_err"]
+    assert os.path.exists(os.path.join(dst, "model.safetensors"))
+
+    dense = Model.from_config(Config.from_directory(src))
+    dense.load()
+    quant = Model.from_config(
+        Config.from_directory(dst, infer_params=InferParams(linear_mode="reconstruct"))
+    )
+    quant.load()
+    assert quant.config.quantization_config["quant_method"] == "exl3"
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 256, size=(2, 32)).astype(np.int32)
+    lp = np.asarray(dense.forward_simple(ids))
+    lq = np.asarray(quant.forward_simple(ids))
+    kld = _kld(lp, lq)
+    assert np.isfinite(lq).all()
+    assert kld < 0.15, kld
+
+    # resume: a second run must skip all completed modules quickly
+    import time
+
+    t0 = time.time()
+    job2 = convert_model(src, dst, bpw=4.0, head_bits=6, rows=8, length=64,
+                         fast=True, verbose=False, seed=1)
+    assert time.time() - t0 < 30
+    assert sorted(job2["completed"]) == sorted(job["completed"])

@@ -35,12 +35,12 @@ def _load(ckpt, mode):
 def test_runtime_modes_agree(ckpt):
     ids = np.array([[1, 5, 9, 13, 200, 37, 4, 2]], dtype=np.int32)
     logits = {}
-    for mode in ("reconstruct", "bf16", "int8"):
+    for mode in ("reconstruct", "bf16", "int8", "fused"):
         model = _load(ckpt, mode)
         logits[mode] = np.asarray(model.forward_simple(ids))
     ref = logits["reconstruct"]
     assert np.isfinite(ref).all()
-    for mode in ("bf16", "int8"):
+    for mode in ("bf16", "int8", "fused"):
         # bf16/int8 reps add bounded rounding noise on top of identical math
         err = np.abs(logits[mode] - ref)
         scale = np.abs(ref).max()
