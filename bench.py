@@ -45,7 +45,7 @@ def main():
             num_layers=16, num_q_heads=32, num_kv_heads=8, head_dim=64,
         )
         mode = "int8"
-        decode_steps = 64
+        decode_steps = 128
     else:
         cfg = tiny_llama_cfg(
             vocab_size=2048, hidden_size=512, intermediate_size=1024,
@@ -89,21 +89,33 @@ def main():
     logits.block_until_ready()
     prefill_s = time.time() - t0
 
-    # decode: warm up one step (compile), then measure
-    def decode_once(tok, t, state):
-        pos_t = jnp.full((B, 1), t, jnp.int32)
-        logits, state = step(model.params, tok, state, pos_t,
-                             jnp.full(B, t, jnp.int32), None)
-        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None], state
+    # decode: greedy steps chained inside one jitted scan, so the measurement
+    # reflects device throughput (host dispatch through the axon tunnel adds
+    # ~ms/step that on-host serving would not pay)
+    step_fn = model.step_fn("dense")
 
+    def scan_decode(params, tok, state, t0_):
+        def body(carry, i):
+            tok, state = carry
+            t = t0_ + i
+            pos_t = jnp.full((B, 1), 0, jnp.int32) + t
+            logits, state = step_fn(params, tok, state, pos_t,
+                                    jnp.full(B, 0, jnp.int32) + t, None)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, state), nxt[:, 0]
+
+        (tok, state), toks = jax.lax.scan(body, (tok, state), jnp.arange(decode_steps))
+        return tok, state, toks
+
+    scan_decode_j = jax.jit(scan_decode, donate_argnums=(2,))
     tok = jnp.asarray(ids[:, -1:])
-    tok, cache.state = decode_once(tok, S, cache.state)
-    tok.block_until_ready()
-
-    t0 = time.time()
-    for i in range(decode_steps):
-        tok, cache.state = decode_once(tok, S + 1 + i, cache.state)
-    tok.block_until_ready()
+    tok, cache.state, toks = scan_decode_j(model.params, tok, cache.state,
+                                           jnp.int32(S))
+    np.asarray(toks)  # device_get forces a full flush (block_until_ready
+    t0 = time.time()  # alone does not always wait under the axon relay)
+    tok, cache.state, toks = scan_decode_j(model.params, tok, cache.state,
+                                           jnp.int32(S + decode_steps))
+    np.asarray(toks)
     dt = time.time() - t0
     tok_s = decode_steps / dt
 
