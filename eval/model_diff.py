@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Per-token KL divergence between two models (feature reference:
+/root/reference/eval/model_diff.py:173-295 and eval/qbench.py KLD harness).
+
+Compares a quantized model against its full-precision source (or any two
+models sharing a tokenizer), reporting mean/median/p90 per-token KLD and
+top-1 agreement. The BASELINE quality metric ("KLD vs FP16 at bpw").
+
+    python eval/model_diff.py -ma <model_a> -mb <model_b> [-r 16] [-l 1024]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def token_kld(logits_p: np.ndarray, logits_q: np.ndarray) -> np.ndarray:
+    """Per-token KL(P||Q); logits (..., V) -> (...)."""
+    lp = logits_p.astype(np.float64)
+    lq = logits_q.astype(np.float64)
+    lp = lp - lp.max(-1, keepdims=True)
+    lq = lq - lq.max(-1, keepdims=True)
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    lq = lq - np.log(np.exp(lq).sum(-1, keepdims=True))
+    return np.sum(np.exp(lp) * (lp - lq), axis=-1)
+
+
+def compare_models(model_a, model_b, token_rows: np.ndarray) -> dict:
+    klds = []
+    agree = []
+    for i in range(token_rows.shape[0]):
+        ids = token_rows[i : i + 1].astype(np.int32)
+        la = np.asarray(model_a.forward_simple(ids))
+        lb = np.asarray(model_b.forward_simple(ids))
+        klds.append(token_kld(la, lb).reshape(-1))
+        agree.append((la.argmax(-1) == lb.argmax(-1)).reshape(-1))
+    k = np.concatenate(klds)
+    a = np.concatenate(agree)
+    return {
+        "kld_mean": float(np.mean(k)),
+        "kld_median": float(np.median(k)),
+        "kld_p90": float(np.percentile(k, 90)),
+        "kld_p99": float(np.percentile(k, 99)),
+        "top1_agreement": float(np.mean(a)),
+        "tokens": int(k.size),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-ma", "--model_a", required=True, help="reference model dir")
+    p.add_argument("-mb", "--model_b", required=True, help="comparison model dir")
+    p.add_argument("-r", "--rows", type=int, default=16)
+    p.add_argument("-l", "--length", type=int, default=1024)
+    p.add_argument("-t", "--text", help="evaluation text file")
+    args = p.parse_args()
+
+    from exllamav3_tpu.model import Config, Model
+    from exllamav3_tpu.tokenizer import Tokenizer
+    from exllamav3_tpu.conversion.calibration import get_calibration
+
+    def load(d):
+        m = Model.from_config(Config.from_directory(d))
+        m.load()
+        return m
+
+    ma, mb = load(args.model_a), load(args.model_b)
+    tokenizer = None
+    try:
+        tokenizer = Tokenizer(args.model_a)
+    except Exception:
+        pass
+    rows = get_calibration(tokenizer, rows=args.rows, length=args.length,
+                           text_files=[args.text] if args.text else None,
+                           vocab_size=ma.config.vocab_size)
+    stats = compare_models(ma, mb, rows)
+    for k, v in stats.items():
+        print(f"{k}: {v:.6f}" if isinstance(v, float) else f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

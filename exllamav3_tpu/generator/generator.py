@@ -49,6 +49,10 @@ class Generator:
         seed: int = 0,
         k_bits: int = 0,
         v_bits: int = 0,
+        draft_model=None,
+        draft_cache=None,
+        num_draft_tokens: int = 4,
+        use_ngram_draft: bool = False,
     ):
         self.model = model
         self.cache = cache
@@ -57,6 +61,16 @@ class Generator:
         self.max_chunk_size = max_chunk_size
         self.k_bits = k_bits
         self.v_bits = v_bits
+        # speculative decoding (draft model and/or suffix-automaton n-gram;
+        # reference generator.py:475-743). Greedy verification: used when
+        # every running job samples greedily, exact-output-preserving.
+        self.draft_model = draft_model
+        self.draft_cache = draft_cache
+        self.num_draft_tokens = num_draft_tokens
+        self.use_ngram_draft = use_ngram_draft
+        self.num_drafted = 0
+        self.num_accepted = 0
+        self._sd_fns = {}
 
         num_pages = cache.spec.num_pages
         assert cache.spec.layout == "paged", "Generator requires a paged cache"
@@ -138,7 +152,13 @@ class Generator:
                 break  # one chunk per iteration keeps decode latency bounded
         running = [j for j in self.active if j.status == "running"]
         if running and not prefilling:
-            self._decode_batch(running, results)
+            sd = (self.draft_model is not None or self.use_ngram_draft) and all(
+                j.sampler.greedy for j in running
+            )
+            if sd:
+                self._decode_batch_sd(running, results)
+            else:
+                self._decode_batch(running, results)
         return results
 
     # -- admission -------------------------------------------------------------
@@ -166,6 +186,8 @@ class Generator:
             job.cached_tokens = reused
             job.prefill_done = min(reused, len(job.input_ids) - 1)
             job.page_hashes = self._hash_chain(job)
+            for f in job.filters:
+                f.begin(self.tokenizer)
             job.status = "prefill"
             self.active.append(job)
             self.job_slots[job] = self.free_slots.pop(0)
@@ -257,13 +279,12 @@ class Generator:
             )
 
             def fn(params, ids, cache_state, positions, seqlens, block_tables,
-                   sp, counts_full, slot_ids, rng):
+                   sp, counts_full, slot_ids, rng, filter_mask=None):
                 logits, state = model_step(params, ids, cache_state, positions,
                                            seqlens, block_tables)
                 last = logits[:, -1].astype(jnp.float32)
                 counts = counts_full[slot_ids]
-                toks = batch_sample(last, sp, counts, rng)
-                b = jnp.arange(toks.shape[0])
+                toks = batch_sample(last, sp, counts, rng, filter_mask=filter_mask)
                 counts_full = counts_full.at[slot_ids, toks].add(1)
                 return toks, state, counts_full
 
@@ -307,11 +328,22 @@ class Generator:
         ).as_device()
         self.key, sub = jax.random.split(self.key)
 
+        filter_mask = None
+        if any(j.filters for j in jobs):
+            V = self.model.config.vocab_size
+            fm = np.zeros((B, V), dtype=np.float32)
+            for i, job in enumerate(jobs):
+                for f in job.filters:
+                    m = f.allowed_mask(V)
+                    if m is not None:
+                        fm[i] += m
+            filter_mask = jnp.asarray(fm)
+
         step = self._get_decode_fn()
         toks, self.cache.state, self.token_counts = step(
             self.model.params, jnp.asarray(ids), self.cache.state,
             jnp.asarray(pos), jnp.asarray(seqlens), jnp.asarray(bt),
-            sp, self.token_counts, jnp.asarray(slots), sub,
+            sp, self.token_counts, jnp.asarray(slots), sub, filter_mask,
         )
         toks = np.asarray(toks)
 
@@ -325,6 +357,13 @@ class Generator:
             job.time_first_token = time.time()
         job.new_tokens.append(tok)
         self._maybe_finalize_decode_page(job)
+
+        for f in job.filters:
+            f.feed(tok)
+        if job.filters and any(f.is_complete() for f in job.filters):
+            self._emit_text(job, results, flush=True)
+            self._finish_job(job, "end_filter", results)
+            return
 
         if tok in job.stop_tokens:
             job.new_tokens.pop()  # stop token not part of the output
@@ -410,3 +449,130 @@ class Generator:
                 "eos_reason": reason, "new_tokens": list(job.new_tokens),
                 "full_text": job.emitted_text,
             })
+
+    # -- speculative decoding ---------------------------------------------------
+
+    def _draft_tokens(self, job: Job, k: int) -> list:
+        """Propose up to k draft tokens for the job."""
+        if self.use_ngram_draft:
+            if not hasattr(job, "sam") or job.sam is None:
+                from .ngram import SuffixAutomaton
+
+                job.sam = SuffixAutomaton()
+                for t in job.all_ids().tolist():
+                    job.sam.extend(int(t))
+                job.sam_fed = job.seq_len
+            while job.sam_fed < job.seq_len:
+                ids = job.all_ids()
+                job.sam.extend(int(ids[job.sam_fed]))
+                job.sam_fed += 1
+            d = job.sam.draft(k)
+            if d:
+                return d
+        if self.draft_model is not None:
+            return self._draft_with_model(job, k)
+        return []
+
+    def _draft_with_model(self, job: Job, k: int) -> list:
+        """Greedy-decode k tokens from the draft model (own linear cache,
+        positions-keyed so rejections need no explicit rewind)."""
+        import jax.numpy as jnp
+        from ..model.cache import Cache as _Cache, CacheSpec as _Spec
+
+        if self.draft_cache is None:
+            self.draft_cache = _Cache(
+                self.draft_model,
+                _Spec(layout="linear", batch_size=self.max_batch_size,
+                      max_len=self.cache.spec.num_pages * PAGE_SIZE // 4),
+            )
+            self._draft_done = {}
+        slot = self.job_slots[job]
+        done = self._draft_done.get(job.identifier, 0)
+        step = self.draft_model.jitted_step("dense", donate_cache=False)
+        ids = job.all_ids()
+        # catch up the draft cache on tokens not yet ingested (all but last)
+        while done < job.seq_len - 1:
+            chunk = min(128, job.seq_len - 1 - done)
+            cids = np.zeros((self.max_batch_size, chunk), np.int32)
+            cids[slot] = ids[done : done + chunk]
+            pos = np.zeros((self.max_batch_size, chunk), np.int32)
+            pos[slot] = np.arange(done, done + chunk)
+            _, self.draft_cache.state = step(
+                self.draft_model.params, jnp.asarray(cids), self.draft_cache.state,
+                jnp.asarray(pos), jnp.zeros(self.max_batch_size, np.int32), None)
+            done += chunk
+        drafts = []
+        tok = int(ids[-1])
+        t = job.seq_len - 1
+        for _ in range(k):
+            cids = np.zeros((self.max_batch_size, 1), np.int32)
+            cids[slot, 0] = tok
+            pos = np.full((self.max_batch_size, 1), 0, np.int32)
+            pos[slot, 0] = t
+            logits, self.draft_cache.state = step(
+                self.draft_model.params, jnp.asarray(cids), self.draft_cache.state,
+                jnp.asarray(pos), jnp.zeros(self.max_batch_size, np.int32), None)
+            tok = int(np.asarray(logits[slot, -1]).argmax())
+            drafts.append(tok)
+            t += 1
+        self._draft_done[job.identifier] = job.seq_len - 1
+        return drafts
+
+    def _decode_batch_sd(self, jobs: list, results: list):
+        """Greedy speculative decode: verify drafts with one (B, k+1) forward.
+        Output-identical to plain greedy decode."""
+        k = self.num_draft_tokens
+        # page growth must cover seq_len + k + 1 positions
+        for job in list(jobs):
+            need = (job.seq_len + k + 1 + PAGE_SIZE - 1) // PAGE_SIZE
+            while len(job.pages) < need:
+                newp = self.pagetable.extend_sequence(job.pages)
+                if newp is None:
+                    self._finish_job(job, "cache_overflow", results)
+                    jobs.remove(job)
+                    break
+                job.pages.append(newp)
+                job.page_hashes.append(None)
+        if not jobs:
+            return
+
+        drafts = [self._draft_tokens(j, k) for j in jobs]
+        self.num_drafted += sum(len(d) for d in drafts)
+
+        B = _bucket(len(jobs), self.batch_buckets)
+        mp = max(len(j.pages) for j in jobs)
+        mp_bucket = _bucket(mp, self.pages_buckets)
+        S = k + 1
+
+        ids = np.zeros((B, S), np.int32)
+        pos = np.full((B, S), mp_bucket * PAGE_SIZE, np.int32)
+        bt = np.zeros((B, mp_bucket + 1), np.int32)
+        for i, job in enumerate(jobs):
+            last = job.new_tokens[-1] if job.new_tokens else job.input_ids[-1]
+            row = [int(last)] + list(drafts[i]) + [0] * (k - len(drafts[i]))
+            ids[i] = row[:S]
+            pos[i] = np.arange(job.seq_len - 1, job.seq_len - 1 + S)
+            bt[i, : len(job.pages)] = job.pages
+
+        step = self._get_prefill_fn()  # same paged step fn, S-shaped
+        logits, self.cache.state = step(
+            self.model.params, jnp.asarray(ids), self.cache.state,
+            jnp.asarray(pos), jnp.zeros(B, np.int32), jnp.asarray(bt),
+        )
+        out = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)  # (B, S)
+
+        for i, job in enumerate(jobs):
+            d = drafts[i]
+            accepted = 0
+            for j in range(len(d)):
+                if out[i, j] == d[j]:
+                    accepted += 1
+                else:
+                    break
+            self.num_accepted += accepted
+            # accepted draft tokens + one bonus token, in order
+            new = [int(out[i, j]) for j in range(accepted + 1)]
+            for tok in new:
+                if job.status != "running":
+                    break
+                self._receive_token(job, tok, results)

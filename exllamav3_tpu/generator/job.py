@@ -29,6 +29,7 @@ class Job:
         banned_strings: list | None = None,
         return_logits: bool = False,
         seed: int | None = None,
+        filters: list | None = None,
     ):
         ids = np.asarray(input_ids).reshape(-1).astype(np.int64)
         assert ids.size > 0, "empty prompt"
@@ -39,6 +40,7 @@ class Job:
         self.seed = seed if seed is not None else next(_serial)
         self.return_logits = return_logits
 
+        self.filters = filters or []
         self.stop_tokens: set[int] = set()
         self.stop_strings: list[str] = []
         for sc in stop_conditions or []:

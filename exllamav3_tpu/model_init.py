@@ -1,0 +1,80 @@
+"""Standard CLI argument surface for examples/eval scripts.
+
+Feature reference: /root/reference/exllamav3/model_init.py (add_args:11,
+init:52-120). TP flags map to mesh axes instead of GPU splits.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def add_args(p: argparse.ArgumentParser, cache: bool = True, draft: bool = True):
+    p.add_argument("-m", "--model_dir", required=True, help="model directory")
+    p.add_argument("--linear_mode", default="auto",
+                   choices=["auto", "fused", "int8", "bf16", "reconstruct"],
+                   help="EXL3 runtime representation")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel ways (mesh)")
+    p.add_argument("--dp", type=int, default=1, help="data-parallel ways (mesh)")
+    if cache:
+        p.add_argument("-cs", "--cache_size", type=int, default=16384,
+                       help="total KV cache tokens")
+        p.add_argument("-ck", "--cache_k_bits", type=int, default=0,
+                       help="quantized cache K bits (0=off, 2-8)")
+        p.add_argument("-cv", "--cache_v_bits", type=int, default=0,
+                       help="quantized cache V bits")
+    if draft:
+        p.add_argument("-dm", "--draft_model_dir", help="draft model for SD")
+        p.add_argument("--ngram", action="store_true", help="n-gram drafting")
+        p.add_argument("--draft_tokens", type=int, default=4)
+    p.add_argument("--max_batch", type=int, default=32)
+    return p
+
+
+def init(args, load: bool = True):
+    """Build (model, config, cache, tokenizer, generator_kwargs) from args."""
+    from .model import Config, Model, InferParams, Cache, CacheSpec
+    from .constants import PAGE_SIZE
+
+    config = Config.from_directory(
+        args.model_dir, infer_params=InferParams(linear_mode=args.linear_mode)
+    )
+    model = Model.from_config(config)
+    if load:
+        model.load()
+        if args.tp > 1 or args.dp > 1:
+            import jax
+            from .parallel.sharding import make_mesh, shard_params
+
+            mesh = make_mesh(jax.devices()[: args.tp * args.dp],
+                             dp=args.dp, tp=args.tp)
+            model.params = shard_params(model.params, mesh)
+            model.mesh = mesh
+
+    tokenizer = None
+    try:
+        from .tokenizer import Tokenizer
+
+        tokenizer = Tokenizer(args.model_dir)
+    except Exception:
+        pass
+
+    cache = None
+    gen_kwargs = {}
+    if hasattr(args, "cache_size"):
+        num_pages = max(args.cache_size // PAGE_SIZE, 2)
+        cache = Cache(model, CacheSpec(
+            layout="paged", num_pages=num_pages,
+            k_bits=args.cache_k_bits, v_bits=args.cache_v_bits,
+        ))
+        gen_kwargs.update(k_bits=args.cache_k_bits, v_bits=args.cache_v_bits,
+                          max_batch_size=args.max_batch)
+    if getattr(args, "draft_model_dir", None):
+        dconfig = Config.from_directory(args.draft_model_dir)
+        draft = Model.from_config(dconfig)
+        if load:
+            draft.load()
+        gen_kwargs.update(draft_model=draft, num_draft_tokens=args.draft_tokens)
+    if getattr(args, "ngram", False):
+        gen_kwargs.update(use_ngram_draft=True, num_draft_tokens=args.draft_tokens)
+
+    return model, config, cache, tokenizer, gen_kwargs

@@ -202,6 +202,11 @@ class Linear(Module):
             )
             if bias is not None:
                 y = y + bias
+        if "lora_a" in p:
+            xa = jnp.dot(x.astype(jnp.bfloat16), p["lora_a"],
+                         preferred_element_type=jnp.float32)
+            y = y + jnp.dot(xa.astype(jnp.bfloat16), p["lora_b"],
+                            preferred_element_type=jnp.float32) * p["lora_scale"]
         if self.softcap:
             y = jnp.tanh(y / self.softcap) * self.softcap
         if self.post_scale != 1.0:
