@@ -456,9 +456,9 @@ class Generator:
         """Propose up to k draft tokens for the job."""
         if self.use_ngram_draft:
             if not hasattr(job, "sam") or job.sam is None:
-                from .ngram import SuffixAutomaton
+                from ..native.wrappers import make_sam
 
-                job.sam = SuffixAutomaton()
+                job.sam = make_sam()
                 for t in job.all_ids().tolist():
                     job.sam.extend(int(t))
                 job.sam_fed = job.seq_len

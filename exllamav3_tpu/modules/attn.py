@@ -119,16 +119,30 @@ class Attention(Module):
             )
             ctx.cache[self.key] = layer_state
             quant = bool(ctx.k_bits)
-            o = attend_paged(
-                q.astype(dt),
-                None if quant else layer_state["k"],
-                None if quant else layer_state["v"],
-                ctx.block_tables, ctx.positions, ctx.cache_seqlens,
-                scale=self.sm_scale, sliding_window=self.sliding_window,
-                logit_softcap=self.logit_softcap, sinks=sinks,
-                quant_state=layer_state if quant else None,
-                k_bits=ctx.k_bits, v_bits=ctx.v_bits,
+            use_flash = (
+                S == 1 and not quant and jax.default_backend() not in ("cpu",)
             )
+            if use_flash:
+                from ..ops.flash_attention import paged_decode_attention
+
+                o = paged_decode_attention(
+                    q[:, 0].astype(dt), layer_state["k"], layer_state["v"],
+                    ctx.block_tables, ctx.positions[:, 0],
+                    sinks=sinks, scale=self.sm_scale,
+                    sliding_window=self.sliding_window,
+                    logit_softcap=self.logit_softcap,
+                )[:, None]
+            else:
+                o = attend_paged(
+                    q.astype(dt),
+                    None if quant else layer_state["k"],
+                    None if quant else layer_state["v"],
+                    ctx.block_tables, ctx.positions, ctx.cache_seqlens,
+                    scale=self.sm_scale, sliding_window=self.sliding_window,
+                    logit_softcap=self.logit_softcap, sinks=sinks,
+                    quant_state=layer_state if quant else None,
+                    k_bits=ctx.k_bits, v_bits=ctx.v_bits,
+                )
         else:
             layer_state = ctx.cache[self.key]
             layer_state = linear_cache_update(

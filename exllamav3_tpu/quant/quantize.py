@@ -196,9 +196,18 @@ def quantize_tiles(tiles: np.ndarray, K: int, cb: int = CB_3INST, backend: str =
                    batch: int = 64):
     """Quantize tiles with the best available backend. tiles: (T, 256) f32.
 
-    backend: "np" | "jax" | "auto" (jax unless tiny). Returns (vals f32, codes uint16).
+    backend: "np" | "jax" | "native" | "auto". Returns (vals f32, codes uint16).
+    "native" = multicore C++ host encoder; "auto" prefers the jnp/TPU path
+    (host cores stay free for the rest of the conversion pipeline).
     """
     T = tiles.shape[0]
+    if backend == "native":
+        from ..native.wrappers import native_viterbi_quantize_tiles
+
+        r = native_viterbi_quantize_tiles(tiles, K, cb)
+        if r is not None:
+            return r
+        backend = "auto"
     if backend == "np" or (backend == "auto" and T <= 2):
         return viterbi_quantize_tiles_np(tiles, K, cb)
     vals = np.empty((T, 256), dtype=np.float32)
