@@ -185,6 +185,7 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
     from ..model.model import Model
     from ..modules import Linear, RMSNorm, LayerNorm, Embedding
     from ..modules.block_sparse_mlp import BlockSparseMLP
+    from ..modules.mla_attn import MLAttention
 
     config = Config.from_directory(directory)
     model = Model.from_config(config)
@@ -212,6 +213,16 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
             if isinstance(m, BlockSparseMLP):
                 for lin in m._expert_linears:
                     add_linear(lin)
+                if m.routing == "ds3":
+                    add(m.router.key + ".e_score_correction_bias",
+                        rng.standard_normal(m.num_experts) * 0.05)
+            if isinstance(m, MLAttention):
+                # kv_b is read raw (never through a Linear) — emit HF layout
+                H = m.num_q_heads
+                rows = H * (m.qk_nope_head_dim + m.v_head_dim)
+                add(f"{m.key}.{m.key_kv_b}.weight",
+                    rng.standard_normal((rows, m.kv_lora_rank))
+                    / math.sqrt(m.kv_lora_rank))
             if isinstance(m, Linear):
                 if m.alt_key and not m.key.startswith("lm_head"):
                     continue

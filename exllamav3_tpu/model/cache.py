@@ -37,36 +37,34 @@ class CacheSpec:
     v_bits: int = 0
 
 
+def cache_base_shape(spec: CacheSpec, heads: int, dim: int) -> tuple:
+    """(N, T, heads, dim) for the spec's layout."""
+    if spec.layout == "linear":
+        return (spec.batch_size, spec.max_len, heads, dim)
+    return (spec.num_pages, PAGE_SIZE, heads, dim)
+
+
+def cache_dtype(spec: CacheSpec):
+    return jnp.bfloat16 if spec.kv_dtype == "bfloat16" else jnp.float32
+
+
 class Cache:
-    """Host-side owner of cache arrays for every attention layer."""
+    """Host-side owner of cache arrays for every attention layer.
+
+    Each cache-user module defines its own layer state via new_cache_layer()
+    — per-head K/V for standard attention, a compressed latent for MLA,
+    recurrent state for linear-attention layers (the TPU analogue of the
+    reference's CacheLayer class hierarchy, cache/cache.py:12)."""
 
     def __init__(self, model, spec: CacheSpec):
         self.spec = spec
-        self.layer_keys = [m.key for m in model.root.walk() if getattr(m, "is_kv_cache_user", False)]
-        self.shapes = {}
-        for m in model.root.walk():
-            if getattr(m, "is_kv_cache_user", False):
-                self.shapes[m.key] = (m.num_kv_heads, m.head_dim)
+        self.users = [m for m in model.root.walk()
+                      if getattr(m, "is_kv_cache_user", False)]
+        self.layer_keys = [m.key for m in self.users]
         self.state = self.new_state()
 
     def new_state(self) -> dict:
-        dt = jnp.bfloat16 if self.spec.kv_dtype == "bfloat16" else jnp.float32
-        state = {}
-        for key, (hk, hd) in self.shapes.items():
-            if self.spec.layout == "linear":
-                shape = (self.spec.batch_size, self.spec.max_len, hk, hd)
-            else:
-                shape = (self.spec.num_pages, PAGE_SIZE, hk, hd)
-            if self.spec.k_bits:
-                from ..ops.kv_quant import quant_cache_shapes
-
-                state[key] = quant_cache_shapes(shape, self.spec.k_bits, self.spec.v_bits)
-            else:
-                state[key] = {
-                    "k": jnp.zeros(shape, dtype=dt),
-                    "v": jnp.zeros(shape, dtype=dt),
-                }
-        return state
+        return {m.key: m.new_cache_layer(self.spec) for m in self.users}
 
     def reset(self):
         self.state = self.new_state()

@@ -4,4 +4,5 @@ from .embedding import Embedding
 from .norms import RMSNorm, LayerNorm
 from .mlp import GatedMLP, MLP
 from .attn import Attention
+from .mla_attn import MLAttention
 from .transformer import TransformerBlock

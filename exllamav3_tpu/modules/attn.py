@@ -76,6 +76,19 @@ class Attention(Module):
         self.modules = [m for m in (self.q_proj, self.k_proj, self.v_proj,
                                     self.o_proj, self.q_norm, self.k_norm) if m]
 
+    def new_cache_layer(self, spec) -> dict:
+        """Per-head K/V layer state (fp16-analogue bf16, or int32-packed
+        quantized; reference cache/fp16.py, cache/quant.py)."""
+        from ..model.cache import cache_base_shape, cache_dtype
+
+        shape = cache_base_shape(spec, self.num_kv_heads, self.head_dim)
+        if spec.k_bits:
+            from ..ops.kv_quant import quant_cache_shapes
+
+            return quant_cache_shapes(shape, spec.k_bits, spec.v_bits)
+        dt = cache_dtype(spec)
+        return {"k": jnp.zeros(shape, dtype=dt), "v": jnp.zeros(shape, dtype=dt)}
+
     def load(self, params: dict) -> None:
         super().load(params)
         if self.has_sinks:

@@ -14,7 +14,10 @@ expert) replaces the dense-all compute for large batches in a later round.
 
 Routing variants: "std" (softmax -> topk -> renorm; Mixtral), "std_norm"
 (topk of softmax, optional renorm; Qwen3-MoE norm_topk_prob), "sigmoid"
-(gpt-oss style), "ds3" (grouped, DeepSeek-V3) — ds3 lands with the MLA arch.
+(gpt-oss style), "ds3" (DeepSeek-V3 noaux_tc: sigmoid scores + correction
+bias choose experts group-limited, original scores weight them, scaled by
+routed_scaling_factor; reference block_sparse_mlp.py routing_ds3), and
+"group_greedy" (DeepSeek-V2 softmax group-limited greedy).
 """
 from __future__ import annotations
 
@@ -25,6 +28,7 @@ import jax.numpy as jnp
 from .module import Module, ForwardCtx
 from .linear import Linear
 from .mlp import ACT2FN
+from ..loader.safetensors import bf16_to_f32 as _bf16_f32
 
 
 class BlockSparseMLP(Module):
@@ -46,6 +50,9 @@ class BlockSparseMLP(Module):
         routing: str = "std",
         norm_topk_prob: bool = True,
         shared_experts: Module | None = None,
+        n_group: int = 1,
+        topk_group: int = 1,
+        routed_scaling_factor: float = 1.0,
         out_dtype=None,
     ):
         super().__init__(config, key, qmap)
@@ -56,6 +63,9 @@ class BlockSparseMLP(Module):
         self.activation = activation
         self.routing = routing
         self.norm_topk_prob = norm_topk_prob
+        self.n_group = n_group
+        self.topk_group = topk_group
+        self.routed_scaling_factor = routed_scaling_factor
         self.out_dtype = out_dtype
         self.key_expert = key_expert
         self.keys_gud = (key_gate, key_up, key_down)
@@ -79,6 +89,14 @@ class BlockSparseMLP(Module):
 
     def load(self, params: dict) -> None:
         self.router.load(params)
+        # DeepSeek-V3 noaux_tc expert-choice correction bias (not a Linear
+        # bias: it shifts selection scores only, never the routing weights)
+        eb = self.config.stc.get_tensor(
+            self.router.key + ".e_score_correction_bias", optional=True)
+        if eb is not None:
+            params[self.router.key]["e_bias"] = jnp.asarray(
+                eb.astype(np.float32) if eb.dtype != np.uint16 else
+                _bf16_f32(eb))
         if self.shared_experts is not None:
             self.shared_experts.load(params)
         # load each expert linear, then stack into (E, in, out) bf16
@@ -98,16 +116,54 @@ class BlockSparseMLP(Module):
 
     # -- routing ---------------------------------------------------------------
 
-    def route(self, logits):
+    def _group_limit(self, choice_scores, group_score_fn):
+        """Mask expert scores outside the topk_group best groups."""
+        T, E = choice_scores.shape
+        g = choice_scores.reshape(T, self.n_group, E // self.n_group)
+        group_scores = group_score_fn(g)  # (T, n_group)
+        _, top_groups = jax.lax.top_k(group_scores, self.topk_group)
+        gmask = jnp.zeros((T, self.n_group), dtype=jnp.bool_)
+        gmask = gmask.at[jnp.arange(T)[:, None], top_groups].set(True)
+        emask = jnp.broadcast_to(gmask[:, :, None], g.shape).reshape(T, E)
+        return jnp.where(emask, choice_scores, -jnp.inf)
+
+    def route(self, logits, e_bias=None):
         """logits (T, E) f32 -> (weights (T, E) f32 with zeros off-topk)."""
         T, E = logits.shape
-        if self.routing == "sigmoid":
+        if self.routing == "ds3":
+            # DeepSeek-V3 noaux_tc: selection by sigmoid + correction bias,
+            # group-limited; weights from the UNbiased sigmoid scores
             scores = jax.nn.sigmoid(logits)
-        else:
+            choice = scores + (e_bias if e_bias is not None else 0.0)
+            if self.n_group > 1:
+                # group score = sum of each group's top-2 biased scores
+                choice = self._group_limit(
+                    choice, lambda g: jnp.sum(jax.lax.top_k(g, 2)[0], axis=-1))
+            _, topi = jax.lax.top_k(choice, self.top_k)
+            topv = jnp.take_along_axis(scores, topi, axis=-1)
+            if self.norm_topk_prob:
+                topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+            topv = topv * self.routed_scaling_factor
+        elif self.routing == "group_greedy":
+            # DeepSeek-V2: softmax scores, group score = group max
             scores = jax.nn.softmax(logits, axis=-1)
-        topv, topi = jax.lax.top_k(scores, self.top_k)
-        if self.norm_topk_prob:
-            topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+            choice = scores
+            if self.n_group > 1:
+                choice = self._group_limit(
+                    choice, lambda g: jnp.max(g, axis=-1))
+            _, topi = jax.lax.top_k(choice, self.top_k)
+            topv = jnp.take_along_axis(scores, topi, axis=-1)
+            if self.norm_topk_prob:
+                topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+            topv = topv * self.routed_scaling_factor
+        else:
+            if self.routing == "sigmoid":
+                scores = jax.nn.sigmoid(logits)
+            else:
+                scores = jax.nn.softmax(logits, axis=-1)
+            topv, topi = jax.lax.top_k(scores, self.top_k)
+            if self.norm_topk_prob:
+                topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
         w = jnp.zeros((T, E), dtype=jnp.float32)
         w = w.at[jnp.arange(T)[:, None], topi].set(topv)
         return w
@@ -122,7 +178,7 @@ class BlockSparseMLP(Module):
         T = xt.shape[0]
 
         logits = self.router.forward(xt, params, ctx).astype(jnp.float32)
-        weights = self.route(logits)  # (T, E)
+        weights = self.route(logits, params[self.router.key].get("e_bias"))  # (T, E)
 
         gk, uk, dk = self.keys_gud
         wg, wu, wd = p["w_" + gk], p["w_" + uk], p["w_" + dk]

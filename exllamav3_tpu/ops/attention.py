@@ -40,7 +40,8 @@ def attend_dense(
     logit_softcap: float = 0.0,
     sinks=None,
 ):
-    """Masked SDPA. q: (B,S,Hq,D); k/v: (B,T,Hk,D).
+    """Masked SDPA. q: (B,S,Hq,D); k: (B,T,Hk,D); v: (B,T,Hk,Dv) — Dv may
+    differ from D (MLA attends queries against the latent itself).
 
     Mask: key j visible to query i iff k_pos[j] <= q_pos[i] (causal over
     absolute positions; stale cache slots have k_pos > q_pos or are excluded
@@ -73,7 +74,7 @@ def attend_dense(
         p = jax.nn.softmax(scores, axis=-1)
 
     o = jnp.einsum("bkgst,btkd->bskgd", p, v.astype(jnp.float32))
-    return o.reshape(B, S, Hq, D)
+    return o.reshape(B, S, Hq, v.shape[-1])
 
 
 def attend_paged(

@@ -33,6 +33,10 @@ class RopeSettings:
     original_max_position_embeddings: int | None = None
     rope_style: RopeStyle = RopeStyle.NEOX
     attn_factor_override: float | None = None
+    # DeepSeek-style YaRN: the attention factor is the RATIO of the mscale
+    # computed with `mscale` over the one with `mscale_all_dim` (the latter is
+    # folded into sm_scale by the architecture config instead).
+    yarn_mscale_ratio: bool = False
 
     def rotary_width(self) -> int:
         if self.rotary_dim is not None:
@@ -112,7 +116,13 @@ def compute_rope_params(settings: RopeSettings) -> tuple[np.ndarray, float]:
             factor = float(sc["factor"])
             mscale = float(sc.get("mscale", 1.0))
             attn_factor_cfg = sc.get("attention_factor")
-            if attn_factor_cfg is not None:
+            if settings.yarn_mscale_ratio:
+                msad = float(sc.get("mscale_all_dim", 0.0))
+                attn_factor = (
+                    _yarn_mscale(factor, mscale) / _yarn_mscale(factor, msad)
+                    if msad else _yarn_mscale(factor, mscale)
+                )
+            elif attn_factor_cfg is not None:
                 attn_factor = float(attn_factor_cfg)
             else:
                 attn_factor = _yarn_mscale(factor, mscale)

@@ -41,6 +41,26 @@ ARCH_CFGS = {
     "Qwen3MoeForCausalLM": dict(BASE, hidden_act="silu", num_experts=4,
                                 num_experts_per_tok=2, norm_topk_prob=True,
                                 moe_intermediate_size=128),
+    "DeepseekV3ForCausalLM": dict(BASE, hidden_act="silu", kv_lora_rank=64,
+                                  qk_nope_head_dim=32, qk_rope_head_dim=32,
+                                  v_head_dim=32, n_routed_experts=8,
+                                  num_experts_per_tok=2, n_shared_experts=1,
+                                  moe_intermediate_size=64,
+                                  first_k_dense_replace=1, n_group=2,
+                                  topk_group=1, routed_scaling_factor=2.5,
+                                  scoring_func="sigmoid"),
+    "DeepseekV2ForCausalLM": dict(BASE, hidden_act="silu", q_lora_rank=48,
+                                  kv_lora_rank=64, qk_nope_head_dim=32,
+                                  qk_rope_head_dim=32, v_head_dim=32,
+                                  n_routed_experts=4, num_experts_per_tok=2,
+                                  n_shared_experts=2, moe_intermediate_size=64,
+                                  first_k_dense_replace=1,
+                                  scoring_func="softmax",
+                                  topk_method="group_limited_greedy"),
+    "DeepseekForCausalLM": dict(BASE, hidden_act="silu", n_routed_experts=4,
+                                num_experts_per_tok=2, n_shared_experts=1,
+                                moe_intermediate_size=64,
+                                first_k_dense_replace=1),
 }
 
 
