@@ -25,7 +25,8 @@ def get_architectures() -> dict:
     register(llama.Qwen2Config)
     register(llama.Qwen3Config)
 
-    for mod_name in ("gemma", "phi", "moe", "glm", "deepseek"):
+    for mod_name in ("gemma", "phi", "moe", "glm", "deepseek", "qwen3_next",
+                     "nemotron_h"):
         try:
             import importlib
 

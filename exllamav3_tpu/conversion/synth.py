@@ -183,7 +183,8 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
 
     from ..model.config import Config
     from ..model.model import Model
-    from ..modules import Linear, RMSNorm, LayerNorm, Embedding
+    from ..modules import (Linear, RMSNorm, LayerNorm, GatedRMSNorm,
+                           Embedding, GatedDeltaNet, Mamba2)
     from ..modules.block_sparse_mlp import BlockSparseMLP
     from ..modules.mla_attn import MLAttention
 
@@ -223,6 +224,15 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                 add(f"{m.key}.{m.key_kv_b}.weight",
                     rng.standard_normal((rows, m.kv_lora_rank))
                     / math.sqrt(m.kv_lora_rank))
+            if isinstance(m, (GatedDeltaNet, Mamba2)):
+                Hv = m.num_v_heads
+                add(m.key_a_log, np.log(rng.uniform(1.0, 8.0, Hv)))
+                add(m.key_dt_bias, rng.standard_normal(Hv) * 0.5)
+                add(m.key_conv1d + ".weight",
+                    rng.standard_normal((m.conv_dim, 1, m.conv_kernel_size)) * 0.3)
+                if isinstance(m, Mamba2):
+                    add(m.key_conv1d + ".bias", rng.standard_normal(m.conv_dim) * 0.05)
+                    add(m.key_d, rng.uniform(0.5, 1.5, Hv))
             if isinstance(m, Linear):
                 if m.alt_key and not m.key.startswith("lm_head"):
                     continue
@@ -231,7 +241,7 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                 add_linear(m)
                 if fused_phi3 and m.fkey:
                     fused[m.fkey] = max(fused.get(m.fkey, 0), m.frange[1])
-            elif isinstance(m, (RMSNorm, LayerNorm)):
+            elif isinstance(m, (RMSNorm, LayerNorm, GatedRMSNorm)):
                 dim = getattr(m, "dim", None) or cfg["hidden_size"]
                 is_gemma = "gemma" in str(cfg.get("architectures", [""])[0]).lower()
                 add(m.key + ".weight", np.zeros(dim) if is_gemma else np.ones(dim))

@@ -72,9 +72,24 @@ class Generator:
         self.num_accepted = 0
         self._sd_fns = {}
 
+        # recurrent-state layers (GDN/Mamba2): state advances destructively,
+        # so prefix-page reuse and speculative rewind are off for these models
+        self.has_recurrent = any(
+            getattr(m, "is_recurrent", False) for m in model.root.walk())
+        if self.has_recurrent:
+            self.draft_model = None
+            self.use_ngram_draft = False
+            self.recurrent_keys = [m.key for m in model.root.walk()
+                                   if getattr(m, "is_recurrent", False)]
+            n_slots = cache.state[self.recurrent_keys[0]]["S"].shape[0]
+            assert n_slots >= max_batch_size + 1, (
+                f"recurrent cache has {n_slots} state slots; need "
+                f"max_batch_size+1 = {max_batch_size + 1} "
+                f"(set CacheSpec.recurrent_slots)")
+
         num_pages = cache.spec.num_pages
         assert cache.spec.layout == "paged", "Generator requires a paged cache"
-        self.pagetable = PageTable(num_pages)
+        self.pagetable = PageTable(num_pages, disable_reuse=self.has_recurrent)
 
         self.pending: list[Job] = []
         self.active: list[Job] = []
@@ -192,6 +207,13 @@ class Generator:
             self.active.append(job)
             self.job_slots[job] = self.free_slots.pop(0)
             slot = self.job_slots[job]
+            if self.has_recurrent:
+                # the slot may have been used by a finished job: zero its state
+                for k in self.recurrent_keys:
+                    layer = self.cache.state[k]
+                    self.cache.state[k] = {
+                        n: a.at[slot].set(0) for n, a in layer.items()
+                    }
             # seed penalty counts from the prompt
             counts = np.zeros(self.model.config.vocab_size, dtype=np.int32)
             np.add.at(counts, job.input_ids % counts.size, 1)
@@ -235,10 +257,12 @@ class Generator:
             pos[0, chunk:] = mp_bucket * PAGE_SIZE
             bt = np.zeros((1, mp_bucket + 1), np.int32)
             bt[0, : len(job.pages)] = job.pages
+            slots1 = (jnp.asarray([self.job_slots[job]], dtype=jnp.int32)
+                      if self.has_recurrent else None)
             _, self.cache.state = step(
                 self.model.params, jnp.asarray(ids_pad), self.cache.state,
                 jnp.asarray(pos), jnp.asarray(np.array([start], np.int32)),
-                jnp.asarray(bt),
+                jnp.asarray(bt), slots1,
             )
             job.prefill_done = start + chunk
         if job.prefill_done >= end:
@@ -281,7 +305,7 @@ class Generator:
             def fn(params, ids, cache_state, positions, seqlens, block_tables,
                    sp, counts_full, slot_ids, rng, filter_mask=None):
                 logits, state = model_step(params, ids, cache_state, positions,
-                                           seqlens, block_tables)
+                                           seqlens, block_tables, slot_ids)
                 last = logits[:, -1].astype(jnp.float32)
                 counts = counts_full[slot_ids]
                 toks = batch_sample(last, sp, counts, rng, filter_mask=filter_mask)
@@ -499,7 +523,8 @@ class Generator:
             pos[slot] = np.arange(done, done + chunk)
             _, self.draft_cache.state = step(
                 self.draft_model.params, jnp.asarray(cids), self.draft_cache.state,
-                jnp.asarray(pos), jnp.zeros(self.max_batch_size, np.int32), None)
+                jnp.asarray(pos), jnp.full(self.max_batch_size, done, np.int32),
+                None)
             done += chunk
         drafts = []
         tok = int(ids[-1])
@@ -511,7 +536,7 @@ class Generator:
             pos[slot, 0] = t
             logits, self.draft_cache.state = step(
                 self.draft_model.params, jnp.asarray(cids), self.draft_cache.state,
-                jnp.asarray(pos), jnp.zeros(self.max_batch_size, np.int32), None)
+                jnp.asarray(pos), jnp.full(self.max_batch_size, t, np.int32), None)
             tok = int(np.asarray(logits[slot, -1]).argmax())
             drafts.append(tok)
             t += 1

@@ -36,10 +36,14 @@ class CachePage:
 
 
 class PageTable:
-    def __init__(self, num_pages: int):
+    def __init__(self, num_pages: int, disable_reuse: bool = False):
         assert num_pages >= 2
         self.num_pages = num_pages
         self.page_size = PAGE_SIZE
+        # recurrent-state models can't skip prefill tokens: cached-page reuse
+        # off (the reference reaches the same end via position-keyed
+        # recurrent-state checkpoints, cache/recurrent.py)
+        self.disable_reuse = disable_reuse
         # page 0 reserved for padding writes
         self.pages = [CachePage(index=i) for i in range(num_pages)]
         self.pages[0].ref_count = 1
@@ -92,7 +96,7 @@ class PageTable:
         allocated: list[int] = []
         reused_tokens = 0
         prev_hash: bytes | None = None
-        matching = True
+        matching = not self.disable_reuse
         for pi in range(num_pages):
             a, b = pi * self.page_size, min((pi + 1) * self.page_size, n)
             complete = (b - a) == self.page_size

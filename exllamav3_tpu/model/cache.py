@@ -35,6 +35,10 @@ class CacheSpec:
     kv_dtype: str = "bfloat16"
     k_bits: int = 0  # 0 = unquantized; 2..8 = quantized cache
     v_bits: int = 0
+    # sequence slots for recurrent layer state (GDN/Mamba2). 0 = derive:
+    # batch_size for linear layout, 33 (generator max_batch 32 + scrap row)
+    # for paged.
+    recurrent_slots: int = 0
 
 
 def cache_base_shape(spec: CacheSpec, heads: int, dim: int) -> tuple:

@@ -74,7 +74,8 @@ class Model:
         """Pure (params, ids, cache_state, positions, cache_seqlens,
         block_tables) -> (logits, new_cache_state)."""
 
-        def fn(params, ids, cache_state, positions, cache_seqlens, block_tables):
+        def fn(params, ids, cache_state, positions, cache_seqlens, block_tables,
+               state_slots=None):
             ctx = ForwardCtx(
                 positions=positions,
                 attn_mode=attn_mode,
@@ -83,6 +84,7 @@ class Model:
                 cache_seqlens=cache_seqlens,
                 k_bits=k_bits,
                 v_bits=v_bits,
+                state_slots=state_slots,
             )
             logits = self.forward_modules(ids, params, ctx)
             new_state = ctx.cache if cache_state is not None else None

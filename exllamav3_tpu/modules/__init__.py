@@ -1,8 +1,11 @@
 from .module import Module, ForwardCtx
 from .linear import Linear
 from .embedding import Embedding
-from .norms import RMSNorm, LayerNorm
+from .norms import RMSNorm, LayerNorm, GatedRMSNorm
 from .mlp import GatedMLP, MLP
 from .attn import Attention
 from .mla_attn import MLAttention
+from .gated_delta_net import GatedDeltaNet
+from .mamba2 import Mamba2
+from .block_sparse_mlp import BlockSparseMLP
 from .transformer import TransformerBlock

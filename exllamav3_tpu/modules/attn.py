@@ -49,6 +49,7 @@ class Attention(Module):
         sliding_window: int = 0,
         logit_softcap: float = 0.0,
         has_sinks: bool = False,
+        interleaved_gate: bool = False,
         out_dtype=None,
     ):
         super().__init__(config, key, qmap)
@@ -60,11 +61,17 @@ class Attention(Module):
         self.sliding_window = sliding_window
         self.logit_softcap = logit_softcap
         self.has_sinks = has_sinks
+        # Qwen3-Next style output gate: q_proj emits [q | gate] interleaved
+        # per head; sigmoid(gate) scales the attention output pre-o_proj
+        # (reference attn.py interleaved_gate, :557-563, :785)
+        self.interleaved_gate = interleaved_gate
         self.out_dtype = out_dtype
         self.rope = Rope(rope_settings) if rope_settings else None
 
+        qf = 2 if interleaved_gate else 1
         self.q_proj = Linear(config, f"{key}.{key_q}", hidden_size,
-                             num_q_heads * head_dim, qmap=qmap and qmap + ".qkv")
+                             num_q_heads * head_dim * qf,
+                             qmap=qmap and qmap + ".qkv")
         self.k_proj = Linear(config, f"{key}.{key_k}", hidden_size,
                              num_kv_heads * head_dim, qmap=qmap and qmap + ".qkv")
         self.v_proj = Linear(config, f"{key}.{key_v}", hidden_size,
@@ -99,7 +106,14 @@ class Attention(Module):
     def forward(self, x, params: dict, ctx: ForwardCtx):
         B, S, H = x.shape
         dt = x.dtype
-        q = self.q_proj.forward(x, params, ctx).reshape(B, S, self.num_q_heads, self.head_dim)
+        gate = None
+        if self.interleaved_gate:
+            qg = self.q_proj.forward(x, params, ctx).reshape(
+                B, S, self.num_q_heads, 2 * self.head_dim)
+            q, gate = qg[..., : self.head_dim], qg[..., self.head_dim:]
+        else:
+            q = self.q_proj.forward(x, params, ctx).reshape(
+                B, S, self.num_q_heads, self.head_dim)
         k = self.k_proj.forward(x, params, ctx).reshape(B, S, self.num_kv_heads, self.head_dim)
         v = self.v_proj.forward(x, params, ctx).reshape(B, S, self.num_kv_heads, self.head_dim)
 
@@ -178,6 +192,8 @@ class Attention(Module):
                 logit_softcap=self.logit_softcap, sinks=sinks,
             )
 
+        if gate is not None:
+            o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(o.dtype)
         o = o.reshape(B, S, self.num_q_heads * self.head_dim).astype(dt)
         y = self.o_proj.forward(o, params, ctx)
         if self.out_dtype is not None:

@@ -29,6 +29,7 @@ from .module import Module, ForwardCtx
 from .linear import Linear
 from .mlp import ACT2FN
 from ..loader.safetensors import bf16_to_f32 as _bf16_f32
+from ..ops.common import einsum_f32
 
 
 class BlockSparseMLP(Module):
@@ -44,6 +45,7 @@ class BlockSparseMLP(Module):
         key_gate: str = "gate_proj",
         key_down: str = "down_proj",
         key_routing_gate: str = "gate",
+        key_shared_gate: str | None = None,
         key_expert: str = "experts.{expert_idx}",
         qmap: str | None = None,
         activation: str = "silu",
@@ -53,6 +55,7 @@ class BlockSparseMLP(Module):
         n_group: int = 1,
         topk_group: int = 1,
         routed_scaling_factor: float = 1.0,
+        gated: bool = True,  # False: non-gated experts (up/act/down; NemotronH)
         out_dtype=None,
     ):
         super().__init__(config, key, qmap)
@@ -68,20 +71,33 @@ class BlockSparseMLP(Module):
         self.routed_scaling_factor = routed_scaling_factor
         self.out_dtype = out_dtype
         self.key_expert = key_expert
+        self.gated = gated
         self.keys_gud = (key_gate, key_up, key_down)
         self.router = Linear(config, f"{key}.{key_routing_gate}", hidden_size,
                              num_experts)
         self.shared_experts = shared_experts
-        self.modules = [self.router] + ([shared_experts] if shared_experts else [])
+        # Qwen-style shared expert gate: sigmoid(gate(x)) scales the shared
+        # expert output (reference block_sparse_mlp.py key_shared_gate)
+        self.shared_gate = None
+        if key_shared_gate and shared_experts is not None:
+            self.shared_gate = Linear(config, f"{key}.{key_shared_gate}",
+                                      hidden_size, 1)
+        self.modules = [self.router] + (
+            [shared_experts] if shared_experts else []) + (
+            [self.shared_gate] if self.shared_gate else [])
         # expert Linears exist as loaders only; forward uses stacked params
         self._expert_linears = []
         for e in range(num_experts):
             ek = f"{key}.{key_expert.format(expert_idx=e)}"
-            for kk, (k_in, n_out) in (
+            wires = (
                 (key_gate, (hidden_size, intermediate_size)),
                 (key_up, (hidden_size, intermediate_size)),
                 (key_down, (intermediate_size, hidden_size)),
-            ):
+            ) if gated else (
+                (key_up, (hidden_size, intermediate_size)),
+                (key_down, (intermediate_size, hidden_size)),
+            )
+            for kk, (k_in, n_out) in wires:
                 self._expert_linears.append(
                     Linear(config, f"{ek}.{kk}", k_in, n_out,
                            qmap=qmap and f"{qmap}.{kk}")
@@ -89,6 +105,8 @@ class BlockSparseMLP(Module):
 
     def load(self, params: dict) -> None:
         self.router.load(params)
+        if self.shared_gate is not None:
+            self.shared_gate.load(params)
         # DeepSeek-V3 noaux_tc expert-choice correction bias (not a Linear
         # bias: it shifts selection scores only, never the routing weights)
         eb = self.config.stc.get_tensor(
@@ -181,16 +199,23 @@ class BlockSparseMLP(Module):
         weights = self.route(logits, params[self.router.key].get("e_bias"))  # (T, E)
 
         gk, uk, dk = self.keys_gud
-        wg, wu, wd = p["w_" + gk], p["w_" + uk], p["w_" + dk]
+        wu, wd = p["w_" + uk], p["w_" + dk]
         xb = xt.astype(jnp.bfloat16)
-        g = jnp.einsum("th,ehi->eti", xb, wg, preferred_element_type=jnp.float32)
-        u = jnp.einsum("th,ehi->eti", xb, wu, preferred_element_type=jnp.float32)
-        a = (ACT2FN[self.activation](g) * u).astype(jnp.bfloat16)
-        y = jnp.einsum("eti,eih->eth", a, wd, preferred_element_type=jnp.float32)
+        u = einsum_f32("th,ehi->eti", xb, wu)
+        if self.gated:
+            g = einsum_f32("th,ehi->eti", xb, p["w_" + gk])
+            a = (ACT2FN[self.activation](g) * u).astype(jnp.bfloat16)
+        else:
+            a = ACT2FN[self.activation](u).astype(jnp.bfloat16)
+        y = einsum_f32("eti,eih->eth", a, wd)
         out = jnp.einsum("eth,te->th", y, weights)
 
         if self.shared_experts is not None:
-            out = out + self.shared_experts.forward(xt, params, ctx).astype(jnp.float32)
+            so = self.shared_experts.forward(xt, params, ctx).astype(jnp.float32)
+            if self.shared_gate is not None:
+                sg = self.shared_gate.forward(xt, params, ctx).astype(jnp.float32)
+                so = so * jax.nn.sigmoid(sg)
+            out = out + so
 
         out = out.reshape(shape[:-1] + (h,))
         if self.out_dtype is not None:

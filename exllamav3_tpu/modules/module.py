@@ -28,6 +28,9 @@ class ForwardCtx:
     v_bits: int = 0
     block_tables: jnp.ndarray | None = None  # (B, max_pages) int32, paged mode
     cache_seqlens: jnp.ndarray | None = None  # (B,) int32 tokens already cached
+    # stable per-sequence slots for recurrent layer state (GDN/Mamba2/SWA);
+    # None -> row index. The generator passes its job slots here.
+    state_slots: jnp.ndarray | None = None  # (B,) int32
     # non-traceable extras (Hessian capture, stats) — only used in eager mode
     capture: dict | None = None
     extras: dict = field(default_factory=dict)

@@ -45,6 +45,54 @@ class RMSNorm(Module):
         return y
 
 
+class GatedRMSNorm(Module):
+    """RMSNorm modulated by a gate (reference modules/gated_rmsnorm.py).
+
+    Default (GDN / Qwen3-Next): y = rmsnorm(x) * w * silu(gate).
+    gate_first (Mamba2 group norm): x viewed as (..., groups, numel/groups),
+    y = groupnorm(x * silu(gate)) * w with the weight row per group.
+    """
+
+    def __init__(self, config, key: str, rms_norm_eps: float = 1e-6,
+                 constant_bias: float = 0.0, groups: int = 1,
+                 gate_first: bool = False, out_dtype=None, dim: int | None = None):
+        super().__init__(config, key)
+        self.eps = rms_norm_eps
+        self.constant_bias = constant_bias
+        self.groups = groups
+        self.gate_first = gate_first
+        self.out_dtype = out_dtype
+        self.dim = dim
+
+    def load(self, params: dict) -> None:
+        w = self.config.stc.get_tensor(self.key + ".weight", allow_bf16=True)
+        if w.dtype == np.uint16:
+            from ..loader.safetensors import bf16_to_f32
+
+            w = bf16_to_f32(w)
+        params[self.key] = {"weight": jnp.asarray(w.astype(np.float32))}
+
+    def forward(self, x, params: dict, ctx: ForwardCtx, gate=None):
+        w = params[self.key]["weight"] + self.constant_bias
+        xf = x.astype(jnp.float32)
+        if self.gate_first:
+            assert gate is not None
+            xf = xf * jax.nn.silu(gate.astype(jnp.float32))
+            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            y = xf * jax.lax.rsqrt(var + self.eps)
+            wv = w.reshape(self.groups, -1) if self.groups > 1 else w
+            y = y * wv
+        else:
+            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            y = xf * jax.lax.rsqrt(var + self.eps) * w
+            if gate is not None:
+                y = y * jax.nn.silu(gate.astype(jnp.float32))
+        y = y.astype(x.dtype)
+        if self.out_dtype is not None:
+            y = y.astype(self.out_dtype)
+        return y
+
+
 class LayerNorm(Module):
     def __init__(self, config, key: str, eps: float = 1e-5, out_dtype=None,
                  dim: int | None = None):

@@ -1,0 +1,89 @@
+"""Linear-attention recurrences: causal conv1d + gated delta rule / GLA scan.
+
+Feature reference: /root/reference/exllamav3/modules/gated_delta_net_fn/
+(gated_delta_rule.py torch_recurrent_gated_delta_rule:45 is the semantic
+spec; conv1d.py applies silu after the depthwise conv) and
+exllamav3_ext/gdn.cu (beta = sigmoid(b)*beta_scale, g = -softplus(a +
+dt_bias)*exp(A_log); mamba2 dt = clamp(softplus(dt+bias)), g = dt*A).
+
+TPU-native: the recurrence is a lax.scan whose step is einsum work the VPU
+and MXU handle directly; the state (B, H, dk, dv) f32 rides through the jitted
+step as part of the cache pytree. The depthwise conv unrolls its (tiny)
+kernel into shifted adds that XLA fuses. A chunked parallel formulation (WY
+representation) can replace the scan for long prefill later; the scan is the
+correctness baseline and is already fine for decode (T == 1).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l2norm(x, eps: float = 1e-6):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
+def causal_conv1d(x, w, b=None, conv_state=None, valid_len=None):
+    """Depthwise causal conv + silu. x: (B, S, C); w: (C, ksize); b: (C,) or
+    None; conv_state: (B, C, ksize-1) trailing inputs of the previous call or
+    None (zeros). valid_len: (B,) count of real (non-padded) tokens per row —
+    padding must be a tail suffix; the carried state is taken after the last
+    VALID token. Returns (y (B, S, C), new_conv_state (B, C, ksize-1))."""
+    B, S, C = x.shape
+    ks = w.shape[-1]
+    xt = jnp.swapaxes(x, 1, 2).astype(jnp.float32)  # (B, C, S)
+    if valid_len is not None:
+        tok_ok = (jnp.arange(S) < valid_len[:, None]).astype(jnp.float32)
+        xt = xt * tok_ok[:, None, :]
+    if conv_state is None:
+        conv_state = jnp.zeros((B, C, ks - 1), dtype=jnp.float32)
+    full = jnp.concatenate([conv_state.astype(jnp.float32), xt], axis=-1)
+    y = jnp.zeros_like(xt)
+    for j in range(ks):  # tiny static kernel (4) — unrolled shifted adds
+        y = y + w[:, j].astype(jnp.float32)[None, :, None] * full[..., j : j + S]
+    if b is not None:
+        y = y + b.astype(jnp.float32)[None, :, None]
+    y = jax.nn.silu(y)
+    if valid_len is None:
+        new_state = full[..., S:]
+    else:
+        # last ks-1 inputs ending at the final valid token: full[:, :, L:L+ks-1]
+        idx = valid_len[:, None] + jnp.arange(ks - 1)[None, :]  # (B, ks-1)
+        new_state = jnp.take_along_axis(full, idx[:, None, :].astype(jnp.int32)
+                                        .repeat(C, axis=1), axis=-1)
+    return jnp.swapaxes(y, 1, 2), new_state
+
+
+def gated_recurrence(q, k, v, g, beta, S0, scale: float, delta_rule: bool = True):
+    """Gated delta rule (delta_rule=True) or plain gated linear attention.
+
+    q, k: (B, T, H, dk); v: (B, T, H, dv); g (log decay), beta: (B, T, H);
+    S0: (B, H, dk, dv) f32. Per step (reference semantics):
+
+        dec = exp(g_t)
+        [delta]  v_t' = v_t - (k_t . S) * dec
+        S   = S * dec + beta_t * k_t (x) v_t'
+        o_t = (q_t . S) * scale
+
+    Returns (o (B, T, H, dv) f32, S_T (B, H, dk, dv) f32).
+    """
+    qT = jnp.moveaxis(q.astype(jnp.float32), 1, 0)
+    kT = jnp.moveaxis(k.astype(jnp.float32), 1, 0)
+    vT = jnp.moveaxis(v.astype(jnp.float32), 1, 0)
+    gT = jnp.moveaxis(g.astype(jnp.float32), 1, 0)
+    bT = jnp.moveaxis(beta.astype(jnp.float32), 1, 0)
+
+    def step(S, inp):
+        q_t, k_t, v_t, g_t, b_t = inp
+        dec = jnp.exp(g_t)  # (B, H)
+        if delta_rule:
+            mem = jnp.einsum("bhkv,bhk->bhv", S, k_t)
+            v_t = v_t - mem * dec[..., None]
+        S = S * dec[..., None, None] + (
+            b_t[..., None, None] * k_t[..., :, None] * v_t[..., None, :]
+        )
+        o_t = jnp.einsum("bhkv,bhk->bhv", S, q_t) * scale
+        return S, o_t
+
+    S_T, o = jax.lax.scan(step, S0.astype(jnp.float32), (qT, kT, vT, gT, bT))
+    return jnp.moveaxis(o, 0, 1), S_T

@@ -61,6 +61,26 @@ ARCH_CFGS = {
                                 num_experts_per_tok=2, n_shared_experts=1,
                                 moe_intermediate_size=64,
                                 first_k_dense_replace=1),
+    "Qwen3NextForCausalLM": dict(BASE, hidden_act="silu",
+                                 full_attention_interval=2,
+                                 linear_conv_kernel_dim=4,
+                                 linear_num_key_heads=2,
+                                 linear_num_value_heads=4,
+                                 linear_key_head_dim=16,
+                                 linear_value_head_dim=16,
+                                 num_experts=4, num_experts_per_tok=2,
+                                 moe_intermediate_size=64,
+                                 shared_expert_intermediate_size=64,
+                                 decoder_sparse_step=1, norm_topk_prob=True,
+                                 partial_rotary_factor=0.25),
+    "NemotronHForCausalLM": dict(BASE, num_hidden_layers=4,
+                                 hybrid_override_pattern="M*-E",
+                                 mamba_num_heads=4, mamba_head_dim=16,
+                                 ssm_state_size=16, n_groups=2, conv_kernel=4,
+                                 n_routed_experts=4, num_experts_per_tok=2,
+                                 moe_intermediate_size=64,
+                                 moe_shared_expert_intermediate_size=64,
+                                 layer_norm_epsilon=1e-5),
 }
 
 
@@ -70,7 +90,11 @@ def test_arch_forward_and_cache(arch, tmp_path):
     cfg["architectures"] = [arch]
     d = str(tmp_path / arch)
     fused = arch == "Phi3ForCausalLM"
-    write_synth_dense_for_arch(d, cfg, seed=hash(arch) % 1000, fused_phi3=fused)
+    # zlib.crc32 is stable across processes (hash() is salted per run)
+    import zlib
+
+    write_synth_dense_for_arch(d, cfg, seed=zlib.crc32(arch.encode()) % 1000,
+                               fused_phi3=fused)
 
     model = Model.from_config(Config.from_directory(d))
     model.load()
