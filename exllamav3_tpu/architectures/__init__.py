@@ -26,7 +26,7 @@ def get_architectures() -> dict:
     register(llama.Qwen3Config)
 
     for mod_name in ("gemma", "phi", "moe", "glm", "deepseek", "qwen3_next",
-                     "nemotron_h"):
+                     "nemotron_h", "llama_variants", "cohere", "gpt_oss"):
         try:
             import importlib
 

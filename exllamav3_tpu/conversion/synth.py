@@ -201,22 +201,49 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
         tensors[key] = f32_to_bf16_u16(arr.astype(np.float32))
         bf16_keys.add(key)
 
-    def add_linear(lin: Linear):
+    def add_linear(lin: Linear, with_bias: bool = False):
         scale = 1.0 / math.sqrt(max(lin.in_features, 1))
         if fused_phi3 and lin.fkey:
             return  # emitted as fused below
         add(lin.key + ".weight",
             rng.standard_normal((lin.out_features, lin.in_features)) * scale)
+        if with_bias:
+            add(lin.key + ".bias", rng.standard_normal(lin.out_features) * 0.02)
 
     fused: dict[str, int] = {}
     for module in model.modules:
         for m in module.walk():
             if isinstance(m, BlockSparseMLP):
-                for lin in m._expert_linears:
-                    add_linear(lin)
-                if m.routing == "ds3":
+                if m.key_gate_up_split:
+                    # gpt-oss stacked layout (+ biases, biased router)
+                    E, h, i = m.num_experts, m.hidden_size, m.intermediate_size
+                    s = 1.0 / math.sqrt(h)
+                    add(f"{m.key}.{m.key_gate_up_split}",
+                        rng.standard_normal((E, h, 2 * i)) * s)
+                    add(f"{m.key}.{m.key_gate_up_split}_bias",
+                        rng.standard_normal((E, 2 * i)) * 0.02)
+                    add(f"{m.key}.{m.key_down_split}",
+                        rng.standard_normal((E, i, h)) / math.sqrt(i))
+                    add(f"{m.key}.{m.key_down_split}_bias",
+                        rng.standard_normal((E, h)) * 0.02)
+                else:
+                    for lin in m._expert_linears:
+                        add_linear(lin)
+                if m.routing in ("ds3", "group_greedy"):
                     add(m.router.key + ".e_score_correction_bias",
                         rng.standard_normal(m.num_experts) * 0.05)
+                if m.routing == "std_bias":
+                    add_linear(m.router, with_bias=True)
+            from ..modules import Attention as _Attn
+            from ..modules import MLP as _MLP, GatedMLP as _GMLP
+
+            if isinstance(m, _Attn) and m.has_sinks:
+                add(f"{m.key}.sinks", rng.standard_normal(m.num_q_heads) * 0.5)
+            if isinstance(m, (_MLP, _GMLP)) and m.activation == "xielu":
+                add(m.key_alpha_p or f"{m.key}.act_fn.alpha_p",
+                    rng.standard_normal(1) * 0.5)
+                add(m.key_alpha_n or f"{m.key}.act_fn.alpha_n",
+                    rng.standard_normal(1) * 0.5)
             if isinstance(m, MLAttention):
                 # kv_b is read raw (never through a Linear) — emit HF layout
                 H = m.num_q_heads

@@ -95,14 +95,20 @@ class Config:
         if v != value:
             raise ValueError(f"unsupported config: {keys} = {v!r}, expected {value!r}")
 
-    def read_rope_settings_default(self, style: RopeStyle, head_dim: int | None = None) -> RopeSettings:
+    def read_rope_settings_default(self, style: RopeStyle, head_dim: int | None = None,
+                                   override_type: str | None = None) -> RopeSettings:
         head_dim = head_dim or getattr(self, "head_dim", None) or (
             self.hidden_size // self.read_cfg(int, "num_attention_heads", 1)
         )
+        rope_scaling = self.read_cfg(dict, "rope_scaling", None)
+        if override_type == "default":
+            rope_scaling = None  # e.g. Olmo3 sliding layers use unscaled rope
+        elif override_type is not None and rope_scaling is not None:
+            rope_scaling = dict(rope_scaling, rope_type=override_type)
         return RopeSettings(
             head_dim=head_dim,
             rope_theta=self.read_cfg(float, "rope_theta", 10000.0),
-            rope_scaling=self.read_cfg(dict, "rope_scaling", None),
+            rope_scaling=rope_scaling,
             rotary_dim=self.read_cfg(int, "rotary_dim", None),
             partial_rotary_factor=self.read_cfg(float, "partial_rotary_factor", 1.0),
             max_position_embeddings=self.max_position_embeddings,

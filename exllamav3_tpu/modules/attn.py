@@ -58,7 +58,7 @@ class Attention(Module):
         self.num_q_heads = num_q_heads
         self.num_kv_heads = num_kv_heads
         self.sm_scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(head_dim)
-        self.sliding_window = sliding_window
+        self.sliding_window = max(0, sliding_window)  # -1/0 = full attention
         self.logit_softcap = logit_softcap
         self.has_sinks = has_sinks
         # Qwen3-Next style output gate: q_proj emits [q | gate] interleaved

@@ -47,8 +47,12 @@ class BlockSparseMLP(Module):
         key_routing_gate: str = "gate",
         key_shared_gate: str | None = None,
         key_expert: str = "experts.{expert_idx}",
+        key_gate_up_split: str | None = None,  # gpt-oss stacked dense tensors
+        key_down_split: str | None = None,
+        gate_up_interleaved: bool = False,
         qmap: str | None = None,
         activation: str = "silu",
+        act_limit: float = 7.0,
         routing: str = "std",
         norm_topk_prob: bool = True,
         shared_experts: Module | None = None,
@@ -71,7 +75,11 @@ class BlockSparseMLP(Module):
         self.routed_scaling_factor = routed_scaling_factor
         self.out_dtype = out_dtype
         self.key_expert = key_expert
+        self.key_gate_up_split = key_gate_up_split
+        self.key_down_split = key_down_split
+        self.gate_up_interleaved = gate_up_interleaved
         self.gated = gated
+        self.act_limit = act_limit
         self.keys_gud = (key_gate, key_up, key_down)
         self.router = Linear(config, f"{key}.{key_routing_gate}", hidden_size,
                              num_experts)
@@ -115,6 +123,12 @@ class BlockSparseMLP(Module):
             params[self.router.key]["e_bias"] = jnp.asarray(
                 eb.astype(np.float32) if eb.dtype != np.uint16 else
                 _bf16_f32(eb))
+        if self.key_gate_up_split and self.config.stc.has_tensor(
+                f"{self.key}.{self.key_gate_up_split}"):
+            if self.shared_experts is not None:
+                self.shared_experts.load(params)
+            self._load_split_experts(params)
+            return
         if self.shared_experts is not None:
             self.shared_experts.load(params)
         # load each expert linear, then stack into (E, in, out) bf16
@@ -130,6 +144,41 @@ class BlockSparseMLP(Module):
         p = {}
         for name, ws in stacked.items():
             p["w_" + name] = jnp.asarray(np.stack(ws), dtype=jnp.bfloat16)
+        params[self.key] = p
+
+    def _load_split_experts(self, params: dict) -> None:
+        """gpt-oss dense layout: experts.gate_up_proj (E, h, 2i) with gate/up
+        interleaved on the last dim, experts.down_proj (E, i, h), plus per-
+        expert biases (reference key_gate_up_split/gate_up_interleaved)."""
+        from .gated_delta_net import _get_f32
+
+        stc = self.config.stc
+        gu = _get_f32(stc, f"{self.key}.{self.key_gate_up_split}")
+        if self.gate_up_interleaved:
+            wg, wu = gu[..., 0::2], gu[..., 1::2]
+        else:
+            i = gu.shape[-1] // 2
+            wg, wu = gu[..., :i], gu[..., i:]
+        wd = _get_f32(stc, f"{self.key}.{self.key_down_split}")
+        gk, uk, dk = self.keys_gud
+        p = params.get(self.key, {})
+        p["w_" + gk] = jnp.asarray(wg, dtype=jnp.bfloat16)
+        p["w_" + uk] = jnp.asarray(wu, dtype=jnp.bfloat16)
+        p["w_" + dk] = jnp.asarray(wd, dtype=jnp.bfloat16)
+        gub = _get_f32(stc, f"{self.key}.{self.key_gate_up_split}_bias",
+                       optional=True)
+        if gub is not None:
+            if self.gate_up_interleaved:
+                p["b_" + gk], p["b_" + uk] = (jnp.asarray(gub[..., 0::2]),
+                                              jnp.asarray(gub[..., 1::2]))
+            else:
+                i = gub.shape[-1] // 2
+                p["b_" + gk], p["b_" + uk] = (jnp.asarray(gub[..., :i]),
+                                              jnp.asarray(gub[..., i:]))
+        db = _get_f32(stc, f"{self.key}.{self.key_down_split}_bias",
+                      optional=True)
+        if db is not None:
+            p["b_" + dk] = jnp.asarray(db)
         params[self.key] = p
 
     # -- routing ---------------------------------------------------------------
@@ -148,7 +197,12 @@ class BlockSparseMLP(Module):
     def route(self, logits, e_bias=None):
         """logits (T, E) f32 -> (weights (T, E) f32 with zeros off-topk)."""
         T, E = logits.shape
-        if self.routing == "ds3":
+        if self.routing == "std_bias":
+            # gpt-oss: top-k on (biased) router logits, weights = softmax
+            # over the selected logits
+            topv, topi = jax.lax.top_k(logits, self.top_k)
+            topv = jax.nn.softmax(topv, axis=-1)
+        elif self.routing == "ds3":
             # DeepSeek-V3 noaux_tc: selection by sigmoid + correction bias,
             # group-limited; weights from the UNbiased sigmoid scores
             scores = jax.nn.sigmoid(logits)
@@ -202,12 +256,23 @@ class BlockSparseMLP(Module):
         wu, wd = p["w_" + uk], p["w_" + dk]
         xb = xt.astype(jnp.bfloat16)
         u = einsum_f32("th,ehi->eti", xb, wu)
+        if "b_" + uk in p:
+            u = u + p["b_" + uk][:, None, :]
         if self.gated:
             g = einsum_f32("th,ehi->eti", xb, p["w_" + gk])
-            a = (ACT2FN[self.activation](g) * u).astype(jnp.bfloat16)
+            if "b_" + gk in p:
+                g = g + p["b_" + gk][:, None, :]
+            if self.activation == "silu_oai":
+                from .mlp import act_fn_silu_oai
+
+                a = act_fn_silu_oai(g, u, limit=self.act_limit).astype(jnp.bfloat16)
+            else:
+                a = (ACT2FN[self.activation](g) * u).astype(jnp.bfloat16)
         else:
             a = ACT2FN[self.activation](u).astype(jnp.bfloat16)
         y = einsum_f32("eti,eih->eth", a, wd)
+        if "b_" + dk in p:
+            y = y + p["b_" + dk][:, None, :]
         out = jnp.einsum("eth,te->th", y, weights)
 
         if self.shared_experts is not None:

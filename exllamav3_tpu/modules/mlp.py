@@ -22,10 +22,23 @@ ACT2FN = {
 
 def act_fn_silu_oai(gate, up, alpha: float = 1.702, limit: float = 7.0):
     """gpt-oss style clamped swiglu (reference activation.cu silu_oai)."""
-    gate = jnp.clip(gate, a_max=limit)
-    up = jnp.clip(up, a_min=-limit, a_max=limit)
+    gate = jnp.clip(gate, max=limit)
+    up = jnp.clip(up, min=-limit, max=limit)
     glu = gate * jax.nn.sigmoid(gate * alpha)
     return (up + 1.0) * glu
+
+
+def act_fn_xielu(x, alpha_p, alpha_n):
+    """Apertus xIELU with learnable positive/negative curvatures
+    (reference mlp.py act_xielu_torch:242)."""
+    ap = jax.nn.softplus(alpha_p.astype(jnp.float32))
+    an = jax.nn.softplus(alpha_n.astype(jnp.float32)) + 0.5
+    eps = -9.9838e-07
+    return jnp.where(
+        x > 0,
+        ap * x * x + 0.5 * x,
+        (jnp.expm1(jnp.minimum(x, eps)) - x) * an + 0.5 * x,
+    )
 
 
 class GatedMLP(Module):
@@ -43,10 +56,14 @@ class GatedMLP(Module):
         out_dtype=None,
         interm_dtype=None,
         act_silu_oai: bool = False,
+        key_alpha_p: str | None = None,
+        key_alpha_n: str | None = None,
     ):
         super().__init__(config, key, qmap)
         self.activation = activation
         self.act_silu_oai = act_silu_oai
+        self.key_alpha_p = key_alpha_p
+        self.key_alpha_n = key_alpha_n
         self.out_dtype = out_dtype
         self.up = Linear(config, f"{key}.{key_up}", hidden_size, intermediate_size,
                          qmap=qmap and qmap + ".up")
@@ -56,11 +73,19 @@ class GatedMLP(Module):
                            qmap=qmap and qmap + ".down")
         self.modules = [self.up, self.gate, self.down]
 
+    def load(self, params: dict) -> None:
+        super().load(params)
+        if self.activation == "xielu":
+            _load_xielu_alphas(self, params)
+
     def forward(self, x, params: dict, ctx: ForwardCtx):
         g = self.gate.forward(x, params, ctx).astype(jnp.float32)
         u = self.up.forward(x, params, ctx).astype(jnp.float32)
         if self.act_silu_oai:
             h = act_fn_silu_oai(g, u)
+        elif self.activation == "xielu":
+            p = params[self.key]
+            h = act_fn_xielu(g, p["alpha_p"], p["alpha_n"]) * u
         else:
             h = ACT2FN[self.activation](g) * u
         h = h.astype(x.dtype)
@@ -84,10 +109,34 @@ class MLP(Module):
         self.down = Linear(config, f"{key}.{key_down}", intermediate_size, hidden_size,
                            qmap=qmap and qmap + ".down")
         self.modules = [self.up, self.down]
+        self.key_alpha_p = None
+        self.key_alpha_n = None
+
+    def load(self, params: dict) -> None:
+        super().load(params)
+        if self.activation == "xielu":
+            _load_xielu_alphas(self, params)
 
     def forward(self, x, params: dict, ctx: ForwardCtx):
-        h = ACT2FN[self.activation](self.up.forward(x, params, ctx).astype(jnp.float32))
+        u = self.up.forward(x, params, ctx).astype(jnp.float32)
+        if self.activation == "xielu":
+            p = params[self.key]
+            h = act_fn_xielu(u, p["alpha_p"], p["alpha_n"])
+        else:
+            h = ACT2FN[self.activation](u)
         y = self.down.forward(h.astype(x.dtype), params, ctx)
         if self.out_dtype is not None:
             y = y.astype(self.out_dtype)
         return y
+
+
+def _load_xielu_alphas(mod, params: dict) -> None:
+    stc = mod.config.stc
+    kp = mod.key_alpha_p or f"{mod.key}.act_fn.alpha_p"
+    kn = mod.key_alpha_n or f"{mod.key}.act_fn.alpha_n"
+    from .gated_delta_net import _get_f32
+
+    params[mod.key] = {
+        "alpha_p": jnp.asarray(_get_f32(stc, kp)),
+        "alpha_n": jnp.asarray(_get_f32(stc, kn)),
+    }

@@ -23,11 +23,15 @@ def rms_norm(x, weight, eps: float, constant_bias: float = 0.0):
 
 class RMSNorm(Module):
     def __init__(self, config, key: str, rms_norm_eps: float = 1e-6,
-                 constant_bias: float = 0.0, out_dtype=None, dim: int | None = None):
+                 constant_bias: float = 0.0, out_dtype=None, dim: int | None = None,
+                 span_heads: bool = False):
         super().__init__(config, key)
         self.eps = rms_norm_eps
         self.dim = dim
         self.constant_bias = constant_bias  # +1 for Gemma-style norms
+        # Olmo2/3, MiniMax-M2: q/k norms normalize over ALL heads flattened
+        # (reference rmsnorm.py span_heads)
+        self.span_heads = span_heads
         self.out_dtype = out_dtype
 
     def load(self, params: dict) -> None:
@@ -39,7 +43,14 @@ class RMSNorm(Module):
         params[self.key] = {"weight": jnp.asarray(w.astype(np.float32))}
 
     def forward(self, x, params: dict, ctx: ForwardCtx):
-        y = rms_norm(x, params[self.key]["weight"], self.eps, self.constant_bias)
+        if self.span_heads and x.ndim >= 2:
+            shape = x.shape
+            xf = x.reshape(shape[:-2] + (shape[-2] * shape[-1],))
+            y = rms_norm(xf, params[self.key]["weight"], self.eps,
+                         self.constant_bias).reshape(shape)
+        else:
+            y = rms_norm(x, params[self.key]["weight"], self.eps,
+                         self.constant_bias)
         if self.out_dtype is not None:
             y = y.astype(self.out_dtype)
         return y

@@ -56,3 +56,26 @@ class TransformerBlock(Module):
             res = res + h.astype(jnp.float32) * self.residual_scale
             x = res.astype(x.dtype)
         return x
+
+
+class ParallelDecoderBlock(Module):
+    """Cohere-style block: one input norm feeds attention AND the MLP in
+    parallel; both outputs add to the residual (reference
+    modules/transformer.py ParallelDecoderBlock)."""
+
+    def __init__(self, config, key: str, layer_idx: int, input_norm: Module,
+                 attn: Module, mlp: Module):
+        super().__init__(config, key)
+        self.layer_idx = layer_idx
+        self.input_norm = input_norm
+        self.attn = attn
+        self.mlp = mlp
+        self.modules = [input_norm, attn, mlp]
+
+    def forward(self, x, params: dict, ctx: ForwardCtx):
+        res = x.astype(jnp.float32)
+        h = self.input_norm.forward(x, params, ctx)
+        a = self.attn.forward(h, params, ctx)
+        m = self.mlp.forward(h, params, ctx)
+        res = res + a.astype(jnp.float32) + m.astype(jnp.float32)
+        return res.astype(x.dtype)

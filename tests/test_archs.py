@@ -81,6 +81,55 @@ ARCH_CFGS = {
                                  moe_intermediate_size=64,
                                  moe_shared_expert_intermediate_size=64,
                                  layer_norm_epsilon=1e-5),
+    "SeedOssForCausalLM": dict(BASE, hidden_act="silu"),
+    "MiMoForCausalLM": dict(BASE, hidden_act="silu"),
+    "IQuestCoderForCausalLM": dict(BASE, hidden_act="silu"),
+    "Ministral3ForCausalLM": dict(BASE, hidden_act="silu"),
+    "ArceeForCausalLM": dict(BASE, hidden_act="relu2"),
+    "ApertusForCausalLM": dict(BASE, hidden_act="xielu"),
+    "SmolLM3ForCausalLM": dict(BASE, hidden_act="silu",
+                               no_rope_layers=[1, 0], tie_word_embeddings=True),
+    "Exaone4ForCausalLM": dict(BASE, hidden_act="silu", sliding_window=64,
+                               sliding_window_pattern="LG"),
+    "Olmo3ForCausalLM": dict(BASE, hidden_act="silu", sliding_window=64,
+                             layer_types=["sliding_attention", "full_attention"],
+                             rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                                           "original_max_position_embeddings": 1024}),
+    "CohereForCausalLM": dict(BASE, hidden_act="silu", use_qk_norm=True,
+                              layer_norm_eps=1e-5, logit_scale=0.125,
+                              tie_word_embeddings=True),
+    "Cohere2ForCausalLM": dict(BASE, hidden_act="silu", sliding_window=64,
+                               sliding_window_pattern=2, layer_norm_eps=1e-5,
+                               order_of_interleaved_layers="local_attn_first",
+                               tie_word_embeddings=True),
+    "GptOssForCausalLM": dict(BASE, hidden_act="silu", sliding_window=64,
+                              layer_types=["sliding_attention", "full_attention"],
+                              num_local_experts=4, num_experts_per_tok=2,
+                              swiglu_limit=7.0),
+    "Glm4ForCausalLM": dict(BASE, hidden_act="silu",
+                            partial_rotary_factor=0.5),
+    "Glm4MoeForCausalLM": dict(BASE, hidden_act="silu", use_qk_norm=True,
+                               moe_intermediate_size=64, n_routed_experts=8,
+                               num_experts_per_tok=2, n_shared_experts=1,
+                               first_k_dense_replace=1, n_group=1, topk_group=1,
+                               norm_topk_prob=True),
+    "SolarOpenForCausalLM": dict(BASE, hidden_act="silu",
+                                 moe_intermediate_size=64, n_routed_experts=4,
+                                 num_experts_per_tok=2, n_shared_experts=1,
+                                 first_k_dense_replace=1, norm_topk_prob=True),
+    "Dots1ForCausalLM": dict(BASE, hidden_act="silu", scoring_func="noaux_tc",
+                             moe_intermediate_size=64, n_routed_experts=8,
+                             num_experts_per_tok=2, n_shared_experts=1,
+                             first_k_dense_replace=1, norm_topk_prob=True),
+    "Ernie4_5_ForCausalLM": dict(BASE, hidden_act="silu"),
+    "Ernie4_5_MoeForCausalLM": dict(BASE, hidden_act="silu",
+                                    moe_intermediate_size=64,
+                                    moe_num_experts=4, moe_k=2,
+                                    moe_num_shared_experts=1,
+                                    moe_layer_start_index=1),
+    "MiniMaxM2ForCausalLM": dict(BASE, hidden_act="silu",
+                                 num_local_experts=4, num_experts_per_tok=2,
+                                 norm_topk_prob=True),
 }
 
 
