@@ -53,6 +53,7 @@ class Generator:
         draft_cache=None,
         num_draft_tokens: int = 4,
         use_ngram_draft: bool = False,
+        cpu_cache_bytes: int = 0,
     ):
         self.model = model
         self.cache = cache
@@ -90,6 +91,17 @@ class Generator:
         num_pages = cache.spec.num_pages
         assert cache.spec.layout == "paged", "Generator requires a paged cache"
         self.pagetable = PageTable(num_pages, disable_reuse=self.has_recurrent)
+
+        # host-RAM second-tier page cache (reference generator/cpu_cache.py)
+        self.cpu_cache = None
+        if cpu_cache_bytes and not self.has_recurrent:
+            from .cpu_cache import CPUPageCache
+
+            self.cpu_cache = CPUPageCache(cpu_cache_bytes)
+            self.pagetable.evict_cb = (
+                lambda h, idx: self.cpu_cache.put(h, self.cache.state, idx))
+            self.pagetable.restore_cb = (
+                lambda h, idx: self.cpu_cache.restore(h, self.cache.state, idx))
 
         self.pending: list[Job] = []
         self.active: list[Job] = []
@@ -174,6 +186,8 @@ class Generator:
                 self._decode_batch_sd(running, results)
             else:
                 self._decode_batch(running, results)
+        if results and not self.active and not self.pending:
+            self.defrag()  # queue drained (reference generator.py:444)
         return results
 
     # -- admission -------------------------------------------------------------
@@ -181,6 +195,13 @@ class Generator:
     def _admit_jobs(self, results: list):
         while self.pending and self.free_slots:
             job = self.pending[0]
+            # token healing: re-predict the last prompt token constrained to
+            # extensions of its text (reference job.py token healing)
+            if (job.token_healing and job.healing_prefix is None
+                    and self.tokenizer is not None and len(job.input_ids) > 1):
+                last = int(job.input_ids[-1])
+                job.healing_prefix = self.tokenizer.decode([last])
+                job.input_ids = job.input_ids[:-1]
             # fail fast on jobs that can never fit (prompt + 1 decode page)
             if job.pages_needed() + 1 > self.pagetable.num_pages - 1:
                 self.pending.pop(0)
@@ -295,8 +316,8 @@ class Generator:
             )
         return self._prefill_step
 
-    def _get_decode_fn(self):
-        key = "decode"
+    def _get_decode_fn(self, logprobs: bool = False):
+        key = ("decode", logprobs)
         if key not in self._decode_fns:
             model_step = self.model.step_fn(
                 "paged", k_bits=self.k_bits, v_bits=self.v_bits
@@ -310,6 +331,10 @@ class Generator:
                 counts = counts_full[slot_ids]
                 toks = batch_sample(last, sp, counts, rng, filter_mask=filter_mask)
                 counts_full = counts_full.at[slot_ids, toks].add(1)
+                if logprobs:
+                    lsm = jax.nn.log_softmax(last, axis=-1)
+                    lp_vals, lp_ids = jax.lax.top_k(lsm, 8)
+                    return toks, state, counts_full, lp_vals, lp_ids
                 return toks, state, counts_full
 
             self._decode_fns[key] = jax.jit(fn, donate_argnums=(2, 7))
@@ -352,34 +377,70 @@ class Generator:
         ).as_device()
         self.key, sub = jax.random.split(self.key)
 
-        filter_mask = None
-        if any(j.filters for j in jobs):
-            V = self.model.config.vocab_size
-            fm = np.zeros((B, V), dtype=np.float32)
-            for i, job in enumerate(jobs):
-                for f in job.filters:
-                    m = f.allowed_mask(V)
-                    if m is not None:
-                        fm[i] += m
-            filter_mask = jnp.asarray(fm)
+        filter_mask = self._build_filter_mask(jobs, B)
 
-        step = self._get_decode_fn()
-        toks, self.cache.state, self.token_counts = step(
+        want_lp = any(j.return_top_logprobs for j in jobs)
+        step = self._get_decode_fn(logprobs=want_lp)
+        out = step(
             self.model.params, jnp.asarray(ids), self.cache.state,
             jnp.asarray(pos), jnp.asarray(seqlens), jnp.asarray(bt),
             sp, self.token_counts, jnp.asarray(slots), sub, filter_mask,
         )
+        if want_lp:
+            toks, self.cache.state, self.token_counts, lp_vals, lp_ids = out
+            lp_vals, lp_ids = np.asarray(lp_vals), np.asarray(lp_ids)
+        else:
+            toks, self.cache.state, self.token_counts = out
+            lp_vals = lp_ids = None
         toks = np.asarray(toks)
 
         for i, job in enumerate(jobs):
-            self._receive_token(job, int(toks[i]), results)
+            lp = None
+            if lp_vals is not None and job.return_top_logprobs:
+                k = min(job.return_top_logprobs, lp_vals.shape[1])
+                lp = {int(lp_ids[i, j]): float(lp_vals[i, j]) for j in range(k)}
+            self._receive_token(job, int(toks[i]), results, top_logprobs=lp)
+
+    def _build_filter_mask(self, jobs: list, B: int):
+        """Additive logits mask: constrained-decoding filters, token-healing
+        prefix restriction, and banned-string positional bans."""
+        V = self.model.config.vocab_size
+        fm = None
+        NEG = np.float32(-1e30)
+
+        def row(i):
+            nonlocal fm
+            if fm is None:
+                fm = np.zeros((B, V), dtype=np.float32)
+            return fm, i
+
+        for i, job in enumerate(jobs):
+            for f in job.filters:
+                m = f.allowed_mask(V)
+                if m is not None:
+                    row(i)
+                    fm[i] += m
+            if job.healing_prefix and not job.new_tokens:
+                allowed = self.tokenizer.prefix_token_ids(job.healing_prefix)
+                row(i)
+                mask = np.full(V, NEG, dtype=np.float32)
+                mask[list(allowed) or [0]] = 0.0
+                fm[i] += mask
+            bans = job.pos_bans.get(len(job.new_tokens))
+            if bans:
+                row(i)
+                for t in bans:
+                    fm[i, t] = NEG
+        return None if fm is None else jnp.asarray(fm)
 
     # -- token handling ---------------------------------------------------------------
 
-    def _receive_token(self, job: Job, tok: int, results: list):
+    def _receive_token(self, job: Job, tok: int, results: list,
+                       top_logprobs: dict | None = None):
         if not job.new_tokens:
             job.time_first_token = time.time()
         job.new_tokens.append(tok)
+        job._stream_logprobs = top_logprobs
         self._maybe_finalize_decode_page(job)
 
         for f in job.filters:
@@ -393,11 +454,38 @@ class Generator:
             job.new_tokens.pop()  # stop token not part of the output
             self._finish_job(job, "stop_token", results)
             return
+        if job.loop_detector is not None and job.loop_detector.feed(tok):
+            self._emit_text(job, results, flush=True)
+            self._finish_job(job, "loop_detected", results)
+            return
         if len(job.new_tokens) >= job.max_new_tokens:
             self._emit_text(job, results, flush=True)
             self._finish_job(job, "max_new_tokens", results)
             return
         self._emit_text(job, results)
+
+    def _rewind_banned(self, job: Job, match_idx: int) -> None:
+        """Drop generated tokens so the decoded text ends before a banned-
+        string match; ban the first offending token at that position so the
+        resample takes a different branch (reference job.py banned strings).
+        Paged KV needs no explicit rewind: writes are position-keyed and
+        slots past the shortened length are masked until overwritten."""
+        keep_chars = len(job.emitted_text) + match_idx
+        dropped: list[int] = []
+        while job.new_tokens and len(
+                self.tokenizer.decode(job.new_tokens)) > keep_chars:
+            dropped.append(job.new_tokens.pop())
+        if not dropped:
+            return
+        job.pos_bans.setdefault(len(job.new_tokens), set()).add(dropped[-1])
+        slot = self.job_slots.get(job)
+        if slot is not None:
+            for t in dropped:
+                self.token_counts = self.token_counts.at[slot, t].add(-1)
+        if job.loop_detector is not None:
+            job.loop_detector.rollback(len(dropped))
+        full = self.tokenizer.decode(job.new_tokens) if job.new_tokens else ""
+        job.held_text = full[len(job.emitted_text):]
 
     def _maybe_finalize_decode_page(self, job: Job):
         n = job.seq_len
@@ -414,15 +502,29 @@ class Generator:
 
     def _emit_text(self, job: Job, results: list, flush: bool = False):
         if self.tokenizer is None:
-            results.append({
+            ev = {
                 "identifier": job.identifier, "stage": "streaming", "job": job,
                 "token_ids": [job.new_tokens[-1]],
-            })
+            }
+            if getattr(job, "_stream_logprobs", None):
+                ev["top_logprobs"] = job._stream_logprobs
+            results.append(ev)
             return
         full = self.tokenizer.decode(job.new_tokens)
         new = full[len(job.emitted_text) + len(job.held_text):]
         pending = job.held_text + new
         hold = 0
+        if not flush and job.banned_strings:
+            for bs in job.banned_strings:
+                bidx = pending.find(bs)
+                if bidx >= 0:
+                    self._rewind_banned(job, bidx)
+                    return
+                # hold back a suffix that could grow into the banned string
+                for hl in range(min(len(bs) - 1, len(pending)), 0, -1):
+                    if bs.startswith(pending[-hl:]):
+                        hold = max(hold, hl)
+                        break
         if not flush:
             # hold back any suffix that could grow into a stop string
             for ss in job.stop_strings:
@@ -446,10 +548,13 @@ class Generator:
         job.held_text = pending[len(pending) - hold:] if hold else ""
         if emit:
             job.emitted_text += emit
-            results.append({
+            ev = {
                 "identifier": job.identifier, "stage": "streaming", "job": job,
                 "text": emit,
-            })
+            }
+            if getattr(job, "_stream_logprobs", None):
+                ev["top_logprobs"] = job._stream_logprobs
+            results.append(ev)
 
     def _finish_job(self, job: Job, reason: str, results: list | None = None):
         job.status = "finished"
@@ -473,6 +578,29 @@ class Generator:
                 "eos_reason": reason, "new_tokens": list(job.new_tokens),
                 "full_text": job.emitted_text,
             })
+
+    # -- defragmentation ----------------------------------------------------------
+
+    def defrag(self) -> bool:
+        """Compact live/hashed pages to the front of the cache arrays
+        (reference generator.py:444 defrag on queue drain). Updates the page
+        table, active jobs' page lists, and permutes the device tensors."""
+        order = self.pagetable.plan_defrag()
+        if order is None:
+            return False
+        remap = self.pagetable.apply_defrag(order)
+        for job in self.active:
+            job.pages = [remap[p] for p in job.pages]
+        perm = jnp.asarray(np.asarray(order, dtype=np.int32))
+        num_pages = self.pagetable.num_pages
+        for key in self.cache.layer_keys:
+            layer = self.cache.state[key]
+            self.cache.state[key] = {
+                name: (arr[perm] if arr.shape[0] == num_pages
+                       and name[0] in "kv" else arr)
+                for name, arr in layer.items()
+            }
+        return True
 
     # -- speculative decoding ---------------------------------------------------
 

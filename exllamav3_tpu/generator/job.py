@@ -1,9 +1,8 @@
 """Job: one generation request in the continuous-batching generator.
 
 Feature reference: /root/reference/exllamav3/generator/job.py (Job:46 —
-prompt, sampler, stop conditions, streaming detokenization, page
-allocation :1329). v1 scope: sampling params, stop tokens/strings,
-max_new_tokens, streaming text; token healing / CFG / logprobs hooks later.
+prompt, sampler, stop conditions, token healing, banned strings, streaming
+detokenization, page allocation :1329).
 """
 from __future__ import annotations
 
@@ -28,8 +27,11 @@ class Job:
         identifier=None,
         banned_strings: list | None = None,
         return_logits: bool = False,
+        return_top_logprobs: int = 0,
         seed: int | None = None,
         filters: list | None = None,
+        token_healing: bool = False,
+        loop_detect: bool = False,
     ):
         ids = np.asarray(input_ids).reshape(-1).astype(np.int64)
         assert ids.size > 0, "empty prompt"
@@ -49,6 +51,16 @@ class Job:
             else:
                 self.stop_tokens.add(int(sc))
         self.banned_strings = banned_strings or []
+        self.return_top_logprobs = return_top_logprobs
+        self.token_healing = token_healing
+        self.healing_prefix: str | None = None
+        # banned-string rewinds: position (len(new_tokens)) -> banned token ids
+        self.pos_bans: dict[int, set] = {}
+        self.loop_detector = None
+        if loop_detect:
+            from .loop_detect import LoopDetector
+
+            self.loop_detector = LoopDetector()
 
         # runtime state (owned by the generator)
         self.status = "queued"  # queued | prefill | running | finished

@@ -44,6 +44,12 @@ class PageTable:
         # off (the reference reaches the same end via position-keyed
         # recurrent-state checkpoints, cache/recurrent.py)
         self.disable_reuse = disable_reuse
+        # CPU second-tier hooks (generator/cpu_cache.py):
+        # evict_cb(page_hash, page_idx) fires before a hashed page is evicted;
+        # restore_cb(page_hash, page_idx) -> bool refills a fresh page from
+        # the CPU tier so its tokens count as reused.
+        self.evict_cb = None
+        self.restore_cb = None
         # page 0 reserved for padding writes
         self.pages = [CachePage(index=i) for i in range(num_pages)]
         self.pages[0].ref_count = 1
@@ -77,6 +83,8 @@ class PageTable:
         if cand is None:
             return None
         if cand.page_hash is not None and self.hash_index.get(cand.page_hash) == cand.index:
+            if self.evict_cb is not None:
+                self.evict_cb(cand.page_hash, cand.index)
             del self.hash_index[cand.page_hash]
         cand.page_hash = None
         cand.prev_hash = None
@@ -114,7 +122,6 @@ class PageTable:
                 self.cached_pages_served += 1
                 self.cached_tokens_served += self.page_size
             else:
-                matching = False
                 page = self._evict_one()
                 if page is None:
                     for i in allocated:  # roll back
@@ -122,12 +129,23 @@ class PageTable:
                     return None
                 page.ref_count = 1
                 page.prev_hash = prev_hash
-                page.page_hash = page_hash
+                # hash registered only once prefill fills the page
+                # (finalize_page) — a concurrent job must not match it early
+                page.page_hash = None
                 page.kv_position = 0
                 self._touch(page)
-                if page_hash is not None:
-                    self.hash_index[page_hash] = page.index
                 allocated.append(page.index)
+                # CPU second tier: refill the fresh page from host RAM
+                if (matching and page_hash is not None
+                        and self.restore_cb is not None
+                        and self.restore_cb(page_hash, page.index)):
+                    page.page_hash = page_hash
+                    self.hash_index[page_hash] = page.index
+                    reused_tokens += self.page_size
+                    self.cached_pages_served += 1
+                    self.cached_tokens_served += self.page_size
+                else:
+                    matching = False
             prev_hash = page_hash
         return allocated, reused_tokens
 
@@ -159,3 +177,28 @@ class PageTable:
             p = self.pages[i]
             p.ref_count = max(0, p.ref_count - 1)
             self._touch(p)
+
+    # -- defragmentation -------------------------------------------------------
+
+    def plan_defrag(self) -> list[int] | None:
+        """Permutation order (new_idx -> old_idx) compacting live/hashed
+        pages to the front (reference pagetable.py defrag rotation :824).
+        Returns None when already compact."""
+        live = [p.index for p in self.pages[1:] if p.ref_count > 0 or p.page_hash]
+        free = [p.index for p in self.pages[1:]
+                if p.ref_count == 0 and not p.page_hash]
+        order = [0] + live + free
+        return None if order == list(range(self.num_pages)) else order
+
+    def apply_defrag(self, order: list[int]) -> dict:
+        """Reindex pages per `order`; returns {old_idx: new_idx} so callers
+        can remap job page lists and permute device cache tensors."""
+        remap = {old: new for new, old in enumerate(order)}
+        new_pages = [None] * self.num_pages
+        for new, old in enumerate(order):
+            p = self.pages[old]
+            p.index = new
+            new_pages[new] = p
+        self.pages = new_pages
+        self.hash_index = {h: remap[i] for h, i in self.hash_index.items()}
+        return remap
