@@ -29,10 +29,17 @@ def make_mesh(devices=None, dp: int = 1, tp: int | None = None) -> Mesh:
 
 
 # Column-parallel linears: shard out_features. Row-parallel: shard in_features.
-_COL_PAT = re.compile(r"\.(q_proj|k_proj|v_proj|up_proj|gate_proj|qkv_proj|gate_up_proj)$")
-_ROW_PAT = re.compile(r"\.(o_proj|down_proj)$")
+_COL_PAT = re.compile(
+    r"\.(q_proj|k_proj|v_proj|up_proj|gate_proj|qkv_proj|gate_up_proj|q_b_proj"
+    r"|in_proj_qkvz|in_proj_qkv|in_proj_z|in_proj)$")
+_ROW_PAT = re.compile(r"\.(o_proj|down_proj|out_proj)$")
 _HEAD_PAT = re.compile(r"(^|\.)lm_head$")
 _EMBED_PAT = re.compile(r"embed_tokens$")
+# MoE modules hold stacked expert tensors (E, in, out): shard the expert dim
+# = expert parallelism (reference channel_unit="experts",
+# block_sparse_mlp.py:1574-1586). Matched on the MODULE key (".mlp" etc.)
+# by the presence of w_<name> entries, handled in param_spec.
+_MLA_ABSORB = {"w_uk", "w_uv"}  # (kv_lora, H, dn|dv): shard the head dim
 
 
 def _linear_spec(kind: str, name: str):
@@ -56,13 +63,19 @@ def _linear_spec(kind: str, name: str):
 
 
 def param_spec(module_key: str, name: str):
+    if name in _MLA_ABSORB:
+        return P(None, "tp", None)
+    if name.startswith("w_"):  # stacked experts (E, in, out): EP on E
+        return P("tp", None, None)
+    if name.startswith("b_"):  # stacked expert biases (E, out)
+        return P("tp", None)
     if _COL_PAT.search(module_key) or _HEAD_PAT.search(module_key):
         return _linear_spec("col", name)
     if _ROW_PAT.search(module_key):
         return _linear_spec("row", name)
     if _EMBED_PAT.search(module_key) and name == "weight":
         return P(None, None)  # replicate embeddings (cheap, gather-heavy)
-    return P()  # norms, sinks, etc: replicated
+    return P()  # norms, sinks, conv states, dt/a_log vectors: replicated
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
@@ -101,8 +114,14 @@ def shard_cache_state(state: dict, mesh: Mesh) -> dict:
     for key, layer in state.items():
         g = {}
         for name, arr in layer.items():
-            # (B|P, T, Hk, D): try heads on tp
-            spec = P(None, None, "tp", None) if arr.ndim == 4 else P()
+            if name == "S":  # recurrent state (slots, Hv, dk, dv): heads on tp
+                spec = P(None, "tp", None, None)
+            elif name == "conv":  # (slots, C, ks-1): replicate (tiny)
+                spec = P()
+            elif arr.ndim == 4:  # (B|P, T, Hk, D): kv heads on tp
+                spec = P(None, None, "tp", None)
+            else:
+                spec = P()
             spec = _fit_spec(spec, arr.shape, mesh)
             g[name] = jax.device_put(arr, NamedSharding(mesh, spec))
         out[key] = g
