@@ -33,6 +33,7 @@ def tiny_llama_cfg(
 ):
     cfg = {
         "architectures": [arch],
+        "model_type": "llama",
         "bos_token_id": 1,
         "eos_token_id": 2,
         "hidden_act": "silu",

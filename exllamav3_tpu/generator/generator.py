@@ -105,6 +105,7 @@ class Generator:
 
         self.pending: list[Job] = []
         self.active: list[Job] = []
+        self._rstash = None  # host-RAM recurrent-state stash (model/recurrent.py)
         self.job_slots: dict = {}  # job -> slot
         self.free_slots = list(range(max_batch_size))
 
@@ -134,6 +135,36 @@ class Generator:
             self.pending.remove(job)
         elif job in self.active:
             self._finish_job(job, "cancelled")
+
+    def requeue(self, job: Job):
+        """Pause an active job back to the pending queue (reference job.py
+        rq_state :920-983). Attention-only models release the job's pages
+        (prefix hashes revive them on resume, else prefill re-runs);
+        recurrent-state models keep pages and stash the state slot to host
+        RAM, restoring it on re-admission."""
+        if job not in self.active:
+            return
+        self.active.remove(job)
+        slot = self.job_slots.pop(job)
+        self.free_slots.append(slot)
+        if self.has_recurrent:
+            if self._rstash is None:
+                from ..model.recurrent import RecurrentStateCache
+
+                self._rstash = RecurrentStateCache()
+            job.rq_handle = self._rstash.stash(
+                self.cache.state, self.recurrent_keys, slot, job.seq_len)
+            # everything but the newest token has flowed through the
+            # recurrent state; resume must not re-feed those tokens
+            job.prefill_done = job.seq_len - 1
+        else:
+            self.pagetable.release_sequence(job.pages)
+            job.pages = []
+            job.page_hashes = []
+            job.prefill_done = 0
+            job.cached_tokens = 0
+        job.status = "queued"
+        self.pending.append(job)
 
     def num_remaining_jobs(self) -> int:
         return len(self.pending) + len(self.active)
@@ -195,35 +226,39 @@ class Generator:
     def _admit_jobs(self, results: list):
         while self.pending and self.free_slots:
             job = self.pending[0]
-            # token healing: re-predict the last prompt token constrained to
-            # extensions of its text (reference job.py token healing)
-            if (job.token_healing and job.healing_prefix is None
-                    and self.tokenizer is not None and len(job.input_ids) > 1):
-                last = int(job.input_ids[-1])
-                job.healing_prefix = self.tokenizer.decode([last])
-                job.input_ids = job.input_ids[:-1]
-            # fail fast on jobs that can never fit (prompt + 1 decode page)
-            if job.pages_needed() + 1 > self.pagetable.num_pages - 1:
+            resume = bool(job.pages)  # requeued recurrent job kept its pages
+            if not resume:
+                # token healing: re-predict the last prompt token constrained
+                # to extensions of its text (reference job.py token healing)
+                if (job.token_healing and job.healing_prefix is None
+                        and self.tokenizer is not None and len(job.input_ids) > 1):
+                    last = int(job.input_ids[-1])
+                    job.healing_prefix = self.tokenizer.decode([last])
+                    job.input_ids = job.input_ids[:-1]
+                # fail fast on jobs that can never fit (prompt + 1 decode page)
+                if job.pages_needed() + 1 > self.pagetable.num_pages - 1:
+                    self.pending.pop(0)
+                    job.status = "finished"
+                    job.eos_reason = "too_long"
+                    results.append({
+                        "identifier": job.identifier, "stage": "finished",
+                        "job": job, "eos_reason": "too_long", "new_tokens": [],
+                        "full_text": "",
+                    })
+                    continue
+                alloc = self.pagetable.allocate_sequence(job.all_ids())
+                if alloc is None:
+                    break  # no pages free
+                pages, reused = alloc
                 self.pending.pop(0)
-                job.status = "finished"
-                job.eos_reason = "too_long"
-                results.append({
-                    "identifier": job.identifier, "stage": "finished",
-                    "job": job, "eos_reason": "too_long", "new_tokens": [],
-                    "full_text": "",
-                })
-                continue
-            alloc = self.pagetable.allocate_sequence(job.input_ids)
-            if alloc is None:
-                break  # no pages free
-            pages, reused = alloc
-            self.pending.pop(0)
-            job.pages = pages
-            job.cached_tokens = reused
-            job.prefill_done = min(reused, len(job.input_ids) - 1)
-            job.page_hashes = self._hash_chain(job)
-            for f in job.filters:
-                f.begin(self.tokenizer)
+                job.pages = pages
+                job.cached_tokens = reused
+                job.prefill_done = min(reused, job.seq_len - 1)
+                job.page_hashes = self._hash_chain(job)
+                for f in job.filters:
+                    f.begin(self.tokenizer)
+            else:
+                self.pending.pop(0)
             job.status = "prefill"
             self.active.append(job)
             self.job_slots[job] = self.free_slots.pop(0)
@@ -235,19 +270,22 @@ class Generator:
                     self.cache.state[k] = {
                         n: a.at[slot].set(0) for n, a in layer.items()
                     }
-            # seed penalty counts from the prompt
+                if getattr(job, "rq_handle", None):
+                    self._rstash.unstash(job.rq_handle, self.cache.state, slot)
+                    job.rq_handle = None
+            # seed penalty counts from the prompt (+ prior output on resume)
             counts = np.zeros(self.model.config.vocab_size, dtype=np.int32)
-            np.add.at(counts, job.input_ids % counts.size, 1)
+            np.add.at(counts, job.all_ids() % counts.size, 1)
             self.token_counts = self.token_counts.at[slot].set(jnp.asarray(counts))
             results.append({
                 "identifier": job.identifier, "stage": "started", "job": job,
-                "cached_tokens": reused,
+                "cached_tokens": job.cached_tokens,
             })
 
     def _hash_chain(self, job: Job):
         hashes: list = []
         prev = None
-        ids = job.input_ids
+        ids = job.all_ids()
         for pi in range(len(job.pages)):
             a, b = pi * PAGE_SIZE, min((pi + 1) * PAGE_SIZE, len(ids))
             if b - a == PAGE_SIZE:
@@ -260,7 +298,7 @@ class Generator:
     # -- prefill -----------------------------------------------------------------
 
     def _prefill_job(self, job: Job, results: list):
-        ids = job.input_ids
+        ids = job.all_ids()  # prompt (+ prior output when resuming a requeue)
         # all but the last token go through prefill; the last token is fed by
         # the first decode step so its logits produce the first sample
         end = len(ids) - 1

@@ -56,6 +56,7 @@ class Job:
         self.healing_prefix: str | None = None
         # banned-string rewinds: position (len(new_tokens)) -> banned token ids
         self.pos_bans: dict[int, set] = {}
+        self.rq_handle = None  # recurrent-state stash handle (requeue)
         self.loop_detector = None
         if loop_detect:
             from .loop_detect import LoopDetector
