@@ -26,7 +26,8 @@ def get_architectures() -> dict:
     register(llama.Qwen3Config)
 
     for mod_name in ("gemma", "phi", "moe", "glm", "deepseek", "qwen3_next",
-                     "nemotron_h", "llama_variants", "cohere", "gpt_oss"):
+                     "nemotron_h", "llama_variants", "cohere", "gpt_oss",
+                     "qwen3_5", "lfm2", "olmo_hybrid", "afmoe"):
         try:
             import importlib
 

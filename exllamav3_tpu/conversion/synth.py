@@ -231,8 +231,9 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                     for lin in m._expert_linears:
                         add_linear(lin)
                 if m.routing in ("ds3", "group_greedy"):
-                    add(m.router.key + ".e_score_correction_bias",
-                        rng.standard_normal(m.num_experts) * 0.05)
+                    ebk = (f"{m.key}.{m.key_e_score_bias}" if m.key_e_score_bias
+                           else m.router.key + ".e_score_correction_bias")
+                    add(ebk, rng.standard_normal(m.num_experts) * 0.05)
                 if m.routing == "std_bias":
                     add_linear(m.router, with_bias=True)
             from ..modules import Attention as _Attn
@@ -256,11 +257,22 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                 Hv = m.num_v_heads
                 add(m.key_a_log, np.log(rng.uniform(1.0, 8.0, Hv)))
                 add(m.key_dt_bias, rng.standard_normal(Hv) * 0.5)
-                add(m.key_conv1d + ".weight",
-                    rng.standard_normal((m.conv_dim, 1, m.conv_kernel_size)) * 0.3)
+                if getattr(m, "keys_conv_qkv", None):
+                    for ck, dim in zip(m.keys_conv_qkv,
+                                       (m.k_dim, m.k_dim, m.v_dim)):
+                        add(ck + ".weight",
+                            rng.standard_normal((dim, 1, m.conv_kernel_size)) * 0.3)
+                else:
+                    add(m.key_conv1d + ".weight",
+                        rng.standard_normal((m.conv_dim, 1, m.conv_kernel_size)) * 0.3)
                 if isinstance(m, Mamba2):
                     add(m.key_conv1d + ".bias", rng.standard_normal(m.conv_dim) * 0.05)
                     add(m.key_d, rng.uniform(0.5, 1.5, Hv))
+            from ..modules.short_conv import ShortConv as _SC
+
+            if isinstance(m, _SC):
+                add(m.key_conv1d + ".weight",
+                    rng.standard_normal((m.conv_dim, 1, m.conv_kernel_size)) * 0.3)
             if isinstance(m, Linear):
                 if m.alt_key and not m.key.startswith("lm_head"):
                     continue

@@ -64,7 +64,7 @@ class Config:
         for key in keys:
             node = self.cfg
             ok = True
-            for part in key.split("."):
+            for part in key.replace("->", ".").split("."):
                 if isinstance(node, dict) and part in node:
                     node = node[part]
                 else:
@@ -96,24 +96,28 @@ class Config:
             raise ValueError(f"unsupported config: {keys} = {v!r}, expected {value!r}")
 
     def read_rope_settings_default(self, style: RopeStyle, head_dim: int | None = None,
-                                   override_type: str | None = None) -> RopeSettings:
+                                   override_type: str | None = None,
+                                   default_theta: float = 10000.0,
+                                   key_prefix: str = "") -> RopeSettings:
         head_dim = head_dim or getattr(self, "head_dim", None) or (
             self.hidden_size // self.read_cfg(int, "num_attention_heads", 1)
         )
-        rope_scaling = self.read_cfg(dict, "rope_scaling", None)
+        pre = key_prefix
+        rope_scaling = self.read_cfg(dict, pre + "rope_scaling", None)
         if override_type == "default":
             rope_scaling = None  # e.g. Olmo3 sliding layers use unscaled rope
         elif override_type is not None and rope_scaling is not None:
             rope_scaling = dict(rope_scaling, rope_type=override_type)
         return RopeSettings(
             head_dim=head_dim,
-            rope_theta=self.read_cfg(float, "rope_theta", 10000.0),
+            rope_theta=self.read_cfg(float, pre + "rope_theta", default_theta),
             rope_scaling=rope_scaling,
-            rotary_dim=self.read_cfg(int, "rotary_dim", None),
-            partial_rotary_factor=self.read_cfg(float, "partial_rotary_factor", 1.0),
+            rotary_dim=self.read_cfg(int, pre + "rotary_dim", None),
+            partial_rotary_factor=self.read_cfg(
+                float, pre + "partial_rotary_factor", 1.0),
             max_position_embeddings=self.max_position_embeddings,
             original_max_position_embeddings=self.read_cfg(
-                int, "original_max_position_embeddings", None
+                int, pre + "original_max_position_embeddings", None
             ),
             rope_style=style,
         )

@@ -7,5 +7,6 @@ from .attn import Attention
 from .mla_attn import MLAttention
 from .gated_delta_net import GatedDeltaNet
 from .mamba2 import Mamba2
+from .short_conv import ShortConv
 from .block_sparse_mlp import BlockSparseMLP
 from .transformer import TransformerBlock

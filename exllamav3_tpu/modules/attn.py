@@ -50,6 +50,8 @@ class Attention(Module):
         logit_softcap: float = 0.0,
         has_sinks: bool = False,
         interleaved_gate: bool = False,
+        key_g: str | None = None,
+        full_gate: bool = False,
         out_dtype=None,
     ):
         super().__init__(config, key, qmap)
@@ -78,10 +80,20 @@ class Attention(Module):
                              num_kv_heads * head_dim, qmap=qmap and qmap + ".qkv")
         self.o_proj = Linear(config, f"{key}.{key_o}", num_q_heads * head_dim,
                              hidden_size, qmap=qmap and qmap + ".o")
+        # separate output gate projection (AFMoE full_gate; reference
+        # attn.py:345-371): sigmoid(g_proj(x)) scales the attention output,
+        # full-width (per channel) or headwise (one scalar per head)
+        self.g_proj = None
+        self.full_gate = full_gate
+        if key_g:
+            gate_features = num_q_heads * head_dim if full_gate else num_q_heads
+            self.g_proj = Linear(config, f"{key}.{key_g}", hidden_size,
+                                 gate_features)
         self.q_norm = q_norm
         self.k_norm = k_norm
         self.modules = [m for m in (self.q_proj, self.k_proj, self.v_proj,
-                                    self.o_proj, self.q_norm, self.k_norm) if m]
+                                    self.o_proj, self.g_proj, self.q_norm,
+                                    self.k_norm) if m]
 
     def new_cache_layer(self, spec) -> dict:
         """Per-head K/V layer state (fp16-analogue bf16, or int32-packed
@@ -194,6 +206,13 @@ class Attention(Module):
 
         if gate is not None:
             o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(o.dtype)
+        if self.g_proj is not None:
+            g = self.g_proj.forward(x, params, ctx).astype(jnp.float32)
+            if self.full_gate:
+                g = g.reshape(B, S, self.num_q_heads, self.head_dim)
+            else:
+                g = g[..., None]  # headwise: broadcast over head_dim
+            o = o * jax.nn.sigmoid(g).astype(o.dtype)
         o = o.reshape(B, S, self.num_q_heads * self.head_dim).astype(dt)
         y = self.o_proj.forward(o, params, ctx)
         if self.out_dtype is not None:

@@ -50,6 +50,9 @@ class BlockSparseMLP(Module):
         key_gate_up_split: str | None = None,  # gpt-oss stacked dense tensors
         key_down_split: str | None = None,
         gate_up_interleaved: bool = False,
+        # selection-bias tensor key relative to the MLP key; None = the
+        # default <router>.e_score_correction_bias
+        key_e_score_bias: str | None = None,
         qmap: str | None = None,
         activation: str = "silu",
         act_limit: float = 7.0,
@@ -75,6 +78,7 @@ class BlockSparseMLP(Module):
         self.routed_scaling_factor = routed_scaling_factor
         self.out_dtype = out_dtype
         self.key_expert = key_expert
+        self.key_e_score_bias = key_e_score_bias
         self.key_gate_up_split = key_gate_up_split
         self.key_down_split = key_down_split
         self.gate_up_interleaved = gate_up_interleaved
@@ -117,8 +121,9 @@ class BlockSparseMLP(Module):
             self.shared_gate.load(params)
         # DeepSeek-V3 noaux_tc expert-choice correction bias (not a Linear
         # bias: it shifts selection scores only, never the routing weights)
-        eb = self.config.stc.get_tensor(
-            self.router.key + ".e_score_correction_bias", optional=True)
+        eb_key = (f"{self.key}.{self.key_e_score_bias}" if self.key_e_score_bias
+                  else self.router.key + ".e_score_correction_bias")
+        eb = self.config.stc.get_tensor(eb_key, optional=True)
         if eb is not None:
             params[self.router.key]["e_bias"] = jnp.asarray(
                 eb.astype(np.float32) if eb.dtype != np.uint16 else

@@ -65,9 +65,13 @@ class GatedDeltaNet(Module):
         key_a_log: str = "A_log",
         key_dt_bias: str = "dt_bias",
         key_conv1d: str = "conv1d",
+        key_conv1d_q: str | None = None,  # OlmoHybrid: per-q/k/v conv weights
+        key_conv1d_k: str | None = None,
+        key_conv1d_v: str | None = None,
         key_fused_qkvz: str | None = None,
         key_fused_ba: str | None = None,
         key_qkv: str | None = None,
+        key_qkv_alt: list | None = None,  # fallback separate q/k/v projections
         key_z: str | None = None,
         key_b: str | None = None,
         key_a: str | None = None,
@@ -93,17 +97,35 @@ class GatedDeltaNet(Module):
         self.key_a_log = f"{key}.{key_a_log}"
         self.key_dt_bias = f"{key}.{key_dt_bias}"
         self.key_conv1d = f"{key}.{key_conv1d}"
+        self.keys_conv_qkv = None
+        if key_conv1d_q:
+            self.keys_conv_qkv = (f"{key}.{key_conv1d_q}",
+                                  f"{key}.{key_conv1d_k}",
+                                  f"{key}.{key_conv1d_v}")
 
         fdim_qkvz = 2 * self.k_dim + 2 * self.v_dim
         qmap_in = qmap and qmap + ".input"
         self.qkvz_proj = self.qkv_proj = self.z_proj = None
         self.ba_proj = self.b_proj = self.a_proj = None
+        self.qkv_alt_linears = None
         if key_fused_qkvz:
             self.qkvz_proj = Linear(config, f"{key}.{key_fused_qkvz}",
                                     hidden_size, fdim_qkvz, qmap=qmap_in)
         else:
-            self.qkv_proj = Linear(config, f"{key}.{key_qkv}", hidden_size,
-                                   2 * self.k_dim + self.v_dim, qmap=qmap_in)
+            use_alt = (key_qkv_alt and not config.stc.has_tensor_group(
+                f"{key}.{key_qkv}",
+                [["suh", "su"], ["svh", "sv"], "trellis"])
+                and not config.stc.has_tensor(f"{key}.{key_qkv}.weight"))
+            if use_alt:
+                dims = (self.k_dim, self.k_dim, self.v_dim)
+                self.qkv_alt_linears = [
+                    Linear(config, f"{key}.{ak}", hidden_size, dim,
+                           qmap=qmap_in)
+                    for ak, dim in zip(key_qkv_alt, dims)
+                ]
+            else:
+                self.qkv_proj = Linear(config, f"{key}.{key_qkv}", hidden_size,
+                                       2 * self.k_dim + self.v_dim, qmap=qmap_in)
             self.z_proj = Linear(config, f"{key}.{key_z}", hidden_size,
                                  self.v_dim, qmap=qmap_in)
         if key_fused_ba:
@@ -119,6 +141,8 @@ class GatedDeltaNet(Module):
         self.modules = [m for m in (
             self.qkvz_proj, self.qkv_proj, self.z_proj, self.ba_proj,
             self.b_proj, self.a_proj, self.norm, self.o_proj) if m]
+        if self.qkv_alt_linears:
+            self.modules += self.qkv_alt_linears
 
     # -- cache -----------------------------------------------------------------
 
@@ -141,11 +165,18 @@ class GatedDeltaNet(Module):
             "a_log": jnp.asarray(_get_f32(stc, self.key_a_log)),
             "dt_bias": jnp.asarray(_get_f32(stc, self.key_dt_bias)),
         }
-        cw = _get_f32(stc, self.key_conv1d + ".weight")  # (conv_dim, 1, ks)
-        p["conv_w"] = jnp.asarray(cw.reshape(self.conv_dim, -1))
-        cb = _get_f32(stc, self.key_conv1d + ".bias", optional=True)
-        if cb is not None:
-            p["conv_b"] = jnp.asarray(cb)
+        if self.keys_conv_qkv and stc.has_tensor(self.keys_conv_qkv[0] + ".weight"):
+            # separate per-q/k/v depthwise conv weights: fuse in channel order
+            cw = np.concatenate([
+                _get_f32(stc, k + ".weight").reshape(-1, self.conv_kernel_size)
+                for k in self.keys_conv_qkv], axis=0)
+            p["conv_w"] = jnp.asarray(cw)
+        else:
+            cw = _get_f32(stc, self.key_conv1d + ".weight")  # (conv_dim, 1, ks)
+            p["conv_w"] = jnp.asarray(cw.reshape(self.conv_dim, -1))
+            cb = _get_f32(stc, self.key_conv1d + ".bias", optional=True)
+            if cb is not None:
+                p["conv_b"] = jnp.asarray(cb)
         params[self.key] = p
 
     # -- projections -----------------------------------------------------------------
@@ -163,6 +194,11 @@ class GatedDeltaNet(Module):
             k = qkvz[..., dk : 2 * dk]
             v = qkvz[..., 2 * dk : 2 * dk + G * dv].reshape(B, S, Hv, dv)
             z = qkvz[..., 2 * dk + G * dv :].reshape(B, S, Hv, dv)
+        elif self.qkv_alt_linears:
+            q = self.qkv_alt_linears[0].forward(x, params, ctx).reshape(B, S, Hk, dk)
+            k = self.qkv_alt_linears[1].forward(x, params, ctx).reshape(B, S, Hk, dk)
+            v = self.qkv_alt_linears[2].forward(x, params, ctx).reshape(B, S, Hv, dv)
+            z = self.z_proj.forward(x, params, ctx).reshape(B, S, Hv, dv)
         else:
             qkv = self.qkv_proj.forward(x, params, ctx)
             q = qkv[..., : self.k_dim].reshape(B, S, Hk, dk)

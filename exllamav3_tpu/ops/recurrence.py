@@ -23,7 +23,8 @@ def l2norm(x, eps: float = 1e-6):
     return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
 
 
-def causal_conv1d(x, w, b=None, conv_state=None, valid_len=None):
+def causal_conv1d(x, w, b=None, conv_state=None, valid_len=None,
+                  activation: bool = True):
     """Depthwise causal conv + silu. x: (B, S, C); w: (C, ksize); b: (C,) or
     None; conv_state: (B, C, ksize-1) trailing inputs of the previous call or
     None (zeros). valid_len: (B,) count of real (non-padded) tokens per row —
@@ -43,7 +44,8 @@ def causal_conv1d(x, w, b=None, conv_state=None, valid_len=None):
         y = y + w[:, j].astype(jnp.float32)[None, :, None] * full[..., j : j + S]
     if b is not None:
         y = y + b.astype(jnp.float32)[None, :, None]
-    y = jax.nn.silu(y)
+    if activation:
+        y = jax.nn.silu(y)
     if valid_len is None:
         new_state = full[..., S:]
     else:

@@ -130,6 +130,43 @@ ARCH_CFGS = {
     "MiniMaxM2ForCausalLM": dict(BASE, hidden_act="silu",
                                  num_local_experts=4, num_experts_per_tok=2,
                                  norm_topk_prob=True),
+    "Qwen3_5ForCausalLM": dict(BASE, hidden_act="silu",
+                               full_attention_interval=2,
+                               linear_conv_kernel_dim=4,
+                               linear_num_key_heads=2,
+                               linear_num_value_heads=4,
+                               linear_key_head_dim=16,
+                               linear_value_head_dim=16),
+    "Qwen3_5MoeForCausalLM": dict(BASE, hidden_act="silu",
+                                  full_attention_interval=2,
+                                  linear_conv_kernel_dim=4,
+                                  linear_num_key_heads=2,
+                                  linear_num_value_heads=4,
+                                  linear_key_head_dim=16,
+                                  linear_value_head_dim=16,
+                                  num_experts=4, num_experts_per_tok=2,
+                                  moe_intermediate_size=64,
+                                  shared_expert_intermediate_size=64,
+                                  norm_topk_prob=True),
+    "Lfm2MoeForCausalLM": dict(BASE, hidden_act="silu", conv_L_cache=3,
+                               norm_eps=1e-5, num_experts=4,
+                               num_experts_per_tok=2, num_dense_layers=1,
+                               moe_intermediate_size=64, use_expert_bias=True,
+                               layer_types=["conv", "full_attention"]),
+    "OlmoHybridForCausalLM": dict(BASE, hidden_act="silu",
+                                  full_attention_interval=2,
+                                  linear_conv_kernel_dim=4,
+                                  linear_num_key_heads=2,
+                                  linear_num_value_heads=4,
+                                  linear_key_head_dim=16,
+                                  linear_value_head_dim=16,
+                                  linear_allow_neg_eigval=True),
+    "AfmoeForCausalLM": dict(BASE, hidden_act="silu", num_dense_layers=1,
+                             moe_intermediate_size=64, num_experts=4,
+                             num_experts_per_tok=2, num_shared_experts=1,
+                             route_norm=True, route_scale=1.5,
+                             sliding_window=64,
+                             layer_types=["sliding_attention", "full_attention"]),
 }
 
 
