@@ -82,7 +82,8 @@ class Generator:
             self.use_ngram_draft = False
             self.recurrent_keys = [m.key for m in model.root.walk()
                                    if getattr(m, "is_recurrent", False)]
-            n_slots = cache.state[self.recurrent_keys[0]]["S"].shape[0]
+            first_layer = cache.state[self.recurrent_keys[0]]
+            n_slots = next(iter(first_layer.values())).shape[0]
             assert n_slots >= max_batch_size + 1, (
                 f"recurrent cache has {n_slots} state slots; need "
                 f"max_batch_size+1 = {max_batch_size + 1} "
