@@ -48,6 +48,7 @@ def convert_model(
     verbose: bool = True,
     viterbi_backend: str = "auto",
     fast: bool = False,
+    strategy: dict | None = None,  # per-linear-key K overrides (optimize.py)
 ):
     os.makedirs(out_dir, exist_ok=True)
     qdir = os.path.join(out_dir, "qtensors")
@@ -122,17 +123,18 @@ def convert_model(
                     hd = capture.get(qmap_key) or HessianData(k=lin.in_features)
                     w = lin.get_weight_f32(params)  # (in, out) f32
                     t0 = time.time()
+                    K = (strategy or {}).get(lin.key, g.K)
                     out, proxy_err, _ = quantize_exl3_np(
-                        w, hd, K=g.K, cb=cb, seed=seed + hash(lin.key) % 65536,
+                        w, hd, K=K, cb=cb, seed=seed + hash(lin.key) % 65536,
                         backend=viterbi_backend, skip_g_scale=fast,
                     )
                     if verbose:
-                        print(f" -- {lin.key}: K={g.K} proxy_err={proxy_err:.6f} "
+                        print(f" -- {lin.key}: K={K} proxy_err={proxy_err:.6f} "
                               f"({time.time()-t0:.1f}s)")
                     job["proxy_err"][lin.key] = proxy_err
                     for name, arr in out.items():
                         shard[f"{lin.key}.{name}"] = arr
-                    _swap_linear_to_exl3(lin, params, out, g.K, cb)
+                    _swap_linear_to_exl3(lin, params, out, K, cb)
             save_file(shard, shard_path)
             job["completed"].append(mi)
             with open(state_path, "w") as f:
