@@ -54,16 +54,17 @@ class Gemma2Model(Model):
     config_class = Gemma2Config
     use_qk_norm = False
 
-    def __init__(self, config, **kwargs):
+    def __init__(self, config, key_prefix: str = "model", head_key: str = "lm_head",
+                 **kwargs):
         super().__init__(config, **kwargs)
         h = config.hidden_size
         self.modules += [
-            Embedding(config, "model.embed_tokens", config.vocab_size, h,
+            Embedding(config, f"{key_prefix}.embed_tokens", config.vocab_size, h,
                       scale=math.sqrt(h))
         ]
         self.first_block_idx = len(self.modules)
         for idx in range(config.num_hidden_layers):
-            lk = f"model.layers.{idx}"
+            lk = f"{key_prefix}.layers.{idx}"
             sliding = config.layer_is_sliding(idx)
             rope = self.layer_rope_settings(config, idx, sliding)
             q_norm = k_norm = None
@@ -117,10 +118,11 @@ class Gemma2Model(Model):
             ]
         self.last_kv_module_idx = len(self.modules) - 1
         self.modules += [
-            RMSNorm(config, "model.norm", config.rms_norm_eps, constant_bias=1.0,
+            RMSNorm(config, f"{key_prefix}.norm", config.rms_norm_eps, constant_bias=1.0,
                     out_dtype=jnp.bfloat16),
-            Linear(config, "lm_head", h, config.vocab_size, qmap="block.lm_head",
-                   alt_key="model.embed_tokens" if config.tie_word_embeddings else None,
+            Linear(config, head_key, h, config.vocab_size, qmap="block.lm_head",
+                   alt_key=(f"{key_prefix}.embed_tokens"
+                            if config.tie_word_embeddings else None),
                    softcap=config.final_logit_softcapping, out_dtype=jnp.float32),
         ]
         self.logit_layer_idx = len(self.modules) - 1
@@ -162,4 +164,84 @@ class Gemma3Model(Gemma2Model):
         return config.rope_settings
 
 
-ARCHITECTURES = [Gemma2Config, Gemma3Config]
+class Gemma3VLConfig(Gemma3Config):
+    """Gemma3 multimodal: SigLIP tower + projector + text model under the
+    language_model prefix (reference architecture/gemma3.py conditional
+    variant). Text params resolve through the text_config fallback."""
+
+    arch_string = "Gemma3ForConditionalGeneration"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, **kwargs)
+        self.model_classes = {"text": Gemma3VLModel,
+                              "vision": Gemma3VisionModel}
+        vc = self.read_cfg(dict, "vision_config", {}) or {}
+        self.vision_hidden = int(vc.get("hidden_size", 1152))
+        self.vision_heads = int(vc.get("num_attention_heads", 16))
+        self.vision_layers = int(vc.get("num_hidden_layers", 27))
+        self.vision_intermediate = int(vc.get("intermediate_size", 4304))
+        self.vision_image_size = int(vc.get("image_size", 896))
+        self.vision_patch_size = int(vc.get("patch_size", 14))
+        self.vision_eps = float(vc.get("layer_norm_eps", 1e-6))
+        self.mm_tokens_per_image = self.read_cfg(int, "mm_tokens_per_image", 256)
+        self.image_token_id = self.read_cfg(int, "image_token_index", 262144)
+
+
+class Gemma3VLModel(Gemma3Model):
+    config_class = Gemma3VLConfig
+
+    def __init__(self, config, **kwargs):
+        super().__init__(config, key_prefix="language_model.model",
+                         head_key="language_model.lm_head", **kwargs)
+
+
+class Gemma3VisionModel(Model):
+    """Vision component: tower + projector; get_image_embeddings() returns
+    text-hidden-size embeddings ready to wrap in an MMEmbedding."""
+
+    config_class = Gemma3VLConfig
+
+    def __init__(self, config: Gemma3VLConfig, **kwargs):
+        super().__init__(config, **kwargs)
+        from ..modules.vision import SiglipVisionTower, Gemma3MultimodalProjector
+
+        self.tower = SiglipVisionTower(
+            config, hidden=config.vision_hidden, heads=config.vision_heads,
+            layers=config.vision_layers,
+            intermediate=config.vision_intermediate,
+            image_size=config.vision_image_size,
+            patch_size=config.vision_patch_size, eps=config.vision_eps)
+        self.projector = Gemma3MultimodalProjector(
+            config, vision_hidden=config.vision_hidden,
+            text_hidden=config.hidden_size,
+            patches_per_side=self.tower.patches_per_side,
+            mm_tokens_per_image=config.mm_tokens_per_image)
+        self.modules = [self.tower, self.projector]
+
+    def get_image_embeddings(self, pixels, text_alias: str | None = None):
+        """pixels: (H, W, 3) or (B, H, W, 3) f32 in [-1, 1] (SigLIP
+        normalization). Returns MMEmbedding (or list for a batch)."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from ..modules.module import ForwardCtx
+        from ..tokenizer.mm_embedding import MMEmbedding
+
+        single = pixels.ndim == 3
+        if single:
+            pixels = pixels[None]
+        if "vision_fwd" not in self._step_cache:
+
+            def fn(params, px):
+                ctx = ForwardCtx()
+                h = self.tower.forward(px, params, ctx)
+                return self.projector.forward(h, params, ctx)
+
+            self._step_cache["vision_fwd"] = jax.jit(fn)
+        emb = np.asarray(jax.device_get(self._step_cache["vision_fwd"](
+            self.params, jnp.asarray(pixels, dtype=jnp.float32))))
+        out = [MMEmbedding(e, text_alias=text_alias) for e in emb]
+        return out[0] if single else out
+
+
+ARCHITECTURES = [Gemma2Config, Gemma3Config, Gemma3VLConfig]

@@ -282,7 +282,8 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                 if fused_phi3 and m.fkey:
                     fused[m.fkey] = max(fused.get(m.fkey, 0), m.frange[1])
             elif isinstance(m, (RMSNorm, LayerNorm, GatedRMSNorm)):
-                dim = getattr(m, "dim", None) or cfg["hidden_size"]
+                dim = (getattr(m, "dim", None) or cfg.get("hidden_size")
+                       or cfg.get("text_config", {}).get("hidden_size"))
                 is_gemma = "gemma" in str(cfg.get("architectures", [""])[0]).lower()
                 add(m.key + ".weight", np.zeros(dim) if is_gemma else np.ones(dim))
             elif isinstance(m, Embedding):
@@ -299,6 +300,32 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                         scale = 1.0 / math.sqrt(max(m.in_features, 1))
                         add(m.fkey + ".weight",
                             rng.standard_normal((n_out, m.in_features)) * scale)
+
+    # vision component (multimodal architectures)
+    if "vision" in getattr(config, "model_classes", {}):
+        from ..modules.vision import SiglipVisionTower, Gemma3MultimodalProjector
+
+        vm = Model.from_config(config, component="vision")
+        for module in vm.modules:
+            for m in module.walk():
+                if isinstance(m, Linear):
+                    add_linear(m)
+                elif isinstance(m, (RMSNorm, LayerNorm)):
+                    dim = (getattr(m, "dim", None) or cfg.get("hidden_size")
+                       or cfg.get("text_config", {}).get("hidden_size"))
+                    add(m.key + ".weight", np.ones(dim))
+                if isinstance(m, SiglipVisionTower):
+                    P, D = m.patch_size, m.hidden
+                    add(f"{m.key}.embeddings.patch_embedding.weight",
+                        rng.standard_normal((D, 3, P, P)) / math.sqrt(P * P * 3))
+                    add(f"{m.key}.embeddings.patch_embedding.bias",
+                        rng.standard_normal(D) * 0.02)
+                    add(f"{m.key}.embeddings.position_embedding.weight",
+                        rng.standard_normal((m.num_patches, D)) * 0.02)
+                if isinstance(m, Gemma3MultimodalProjector):
+                    add(f"{m.key}.mm_input_projection_weight",
+                        rng.standard_normal((m.vision_hidden, m.text_hidden))
+                        / math.sqrt(m.vision_hidden))
 
     save_file(tensors, os.path.join(directory, "model.safetensors"), bf16_keys=bf16_keys)
     return directory

@@ -309,8 +309,17 @@ class Generator:
             s_bucket = _bucket(chunk, self.prefill_buckets)
             mp_bucket = _bucket(len(job.pages), self.pages_buckets)
             step = self._get_prefill_fn()
+            seg = ids[start : start + chunk]
+            if job.embeddings:
+                # remap >=1e9 dynamic mm ids into [vocab, vocab + n) int32
+                from ..tokenizer.mm_embedding import FIRST_MM_EMBEDDING_INDEX
+
+                base = min(e.first_index for e in job.embeddings)
+                vocab = self.model.config.vocab_size
+                seg = np.where(seg >= FIRST_MM_EMBEDDING_INDEX,
+                               vocab + (seg - base), seg)
             ids_pad = np.zeros((1, s_bucket), np.int32)
-            ids_pad[0, :chunk] = ids[start : start + chunk]
+            ids_pad[0, :chunk] = seg
             pos = np.full((1, s_bucket), 0, np.int32)
             pos[0, :chunk] = np.arange(start, start + chunk, dtype=np.int32)
             # padded positions park in the scratch column (page 0)
@@ -319,10 +328,20 @@ class Generator:
             bt[0, : len(job.pages)] = job.pages
             slots1 = (jnp.asarray([self.job_slots[job]], dtype=jnp.int32)
                       if self.has_recurrent else None)
+            mm_table = mm_base = None
+            if job.embeddings:
+                from ..tokenizer.mm_embedding import build_mm_table
+
+                n_mm = sum(e.mm_length for e in job.embeddings)
+                pad = ((n_mm + 255) // 256) * 256  # bucket to avoid recompiles
+                tbl, _ = build_mm_table(job.embeddings,
+                                        self.model.config.hidden_size,
+                                        pad_to=pad)
+                mm_table = jnp.asarray(tbl, dtype=jnp.bfloat16)
             _, self.cache.state = step(
                 self.model.params, jnp.asarray(ids_pad), self.cache.state,
                 jnp.asarray(pos), jnp.asarray(np.array([start], np.int32)),
-                jnp.asarray(bt), slots1,
+                jnp.asarray(bt), slots1, mm_table,
             )
             job.prefill_done = start + chunk
         if job.prefill_done >= end:

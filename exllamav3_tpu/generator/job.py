@@ -32,6 +32,7 @@ class Job:
         filters: list | None = None,
         token_healing: bool = False,
         loop_detect: bool = False,
+        embeddings: list | None = None,  # MMEmbedding payloads (images etc.)
     ):
         ids = np.asarray(input_ids).reshape(-1).astype(np.int64)
         assert ids.size > 0, "empty prompt"
@@ -56,6 +57,12 @@ class Job:
         self.healing_prefix: str | None = None
         # banned-string rewinds: position (len(new_tokens)) -> banned token ids
         self.pos_bans: dict[int, set] = {}
+        self.embeddings = embeddings or []
+        if self.embeddings:
+            from ..tokenizer.mm_embedding import FIRST_MM_EMBEDDING_INDEX
+
+            assert int(ids[-1]) < FIRST_MM_EMBEDDING_INDEX, \
+                "prompt must end with a text token"
         self.rq_handle = None  # recurrent-state stash handle (requeue)
         self.loop_detector = None
         if loop_detect:

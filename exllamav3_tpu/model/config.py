@@ -58,9 +58,15 @@ class Config:
     # -- config readers --------------------------------------------------
 
     def _walk(self, keys):
-        """keys may be 'a.b.c' path or list of fallbacks."""
+        """keys may be 'a.b.c' path or list of fallbacks. Keys missing at the
+        top level fall back to text_config.<key> (HF conditional-generation
+        configs nest the text model's parameters there)."""
         if isinstance(keys, str):
             keys = [keys]
+        keys = list(keys)
+        if isinstance(self.cfg.get("text_config"), dict):
+            keys = keys + [f"text_config.{k}" for k in keys
+                           if not k.startswith("text_config")]
         for key in keys:
             node = self.cfg
             ok = True

@@ -40,8 +40,10 @@ class Model:
         return _Root(self.config, self.modules)
 
     @staticmethod
-    def from_config(config, **kwargs) -> "Model":
-        cls = config.model_classes["text"]
+    def from_config(config, component: str = "text", **kwargs) -> "Model":
+        """component: "text" (default), "vision" (multimodal tower) or "mtp"
+        (draft head), when the architecture provides them."""
+        cls = config.model_classes[component]
         return cls(config, **kwargs)
 
     # -- loading -------------------------------------------------------------
@@ -75,7 +77,7 @@ class Model:
         block_tables) -> (logits, new_cache_state)."""
 
         def fn(params, ids, cache_state, positions, cache_seqlens, block_tables,
-               state_slots=None):
+               state_slots=None, mm_embeddings=None):
             ctx = ForwardCtx(
                 positions=positions,
                 attn_mode=attn_mode,
@@ -86,6 +88,8 @@ class Model:
                 v_bits=v_bits,
                 state_slots=state_slots,
             )
+            if mm_embeddings is not None:
+                ctx.extras["mm_embeddings"] = mm_embeddings
             logits = self.forward_modules(ids, params, ctx)
             new_state = ctx.cache if cache_state is not None else None
             return logits, new_state

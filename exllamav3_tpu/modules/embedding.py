@@ -33,10 +33,15 @@ class Embedding(Module):
         w = params[self.key]["weight"]
         mm = ctx.extras.get("mm_embeddings")
         if mm is not None:
-            is_mm = ids >= MM_BASE
+            # multimodal ids arrive remapped to [vocab, vocab + n_mm) —
+            # the host remaps the >= 1e9 dynamic ids (int64) into int32
+            # range before feeding the device (generator prefill)
+            is_mm = ids >= self.vocab_size
             tok = jnp.where(is_mm, 0, ids)
             x = w[tok]
-            x_mm = mm[jnp.where(is_mm, ids - MM_BASE, 0)]
+            mm_idx = jnp.clip(jnp.where(is_mm, ids - self.vocab_size, 0), 0,
+                              mm.shape[0] - 1)
+            x_mm = mm[mm_idx]
             x = jnp.where(is_mm[..., None], x_mm.astype(x.dtype), x)
         else:
             x = w[ids]
