@@ -73,6 +73,10 @@ class Qwen3_5Config(Config):
             self, self.num_hidden_layers, self.full_attention_interval, pre)
         self.rope_settings = self.read_rope_settings_default(
             RopeStyle.NEOX, key_prefix=pre)
+        self.mtp_num_hidden_layers = self.read_cfg(
+            int, pre + "mtp_num_hidden_layers", 0)
+        if self.mtp_num_hidden_layers:
+            self.model_classes["mtp"] = Qwen3_5MTPModel
 
 
 class Qwen3_5MoeConfig(Qwen3_5Config):
@@ -178,6 +182,101 @@ class Qwen3_5Model(Model):
 class Qwen3_5MoeModel(Qwen3_5Model):
     config_class = Qwen3_5MoeConfig
     use_moe = True
+
+
+class Qwen3_5MTPModel(Model):
+    """MTP draft head (reference architecture/qwen3_5_mtp.py): input layer
+    (pre_fc norms + 2H->H fc) -> mtp.layers.N full-attention blocks ->
+    mtp.norm; embedding and lm_head are BORROWED from the target model
+    (attach()). Drives near-free speculative drafting in the generator."""
+
+    config_class = None
+
+    def __init__(self, config, **kwargs):
+        super().__init__(config, **kwargs)
+        from ..modules.mtp import MTPInputLayer
+
+        self.input_layer = MTPInputLayer(
+            config, "mtp", config.hidden_size, config.rms_norm_eps,
+            key_pre_fc_norm_hidden="mtp.pre_fc_norm_hidden",
+            key_pre_fc_norm_embedding="mtp.pre_fc_norm_embedding",
+            key_fc="mtp.fc", constant_bias=1.0, out_dtype=jnp.float32,
+        )
+        self.modules = [self.input_layer]
+        self.first_block_idx = len(self.modules)
+        n_layers = getattr(config, "mtp_num_hidden_layers", 1) or 1
+        for idx in range(n_layers):
+            lk = f"mtp.layers.{idx}"
+            self.modules += [
+                TransformerBlock(
+                    config=config, key=lk, layer_idx=idx,
+                    attn_norm=RMSNorm(config, f"{lk}.input_layernorm",
+                                      config.rms_norm_eps, constant_bias=1.0),
+                    attn=Attention(
+                        config=config, key=f"{lk}.self_attn", layer_idx=idx,
+                        hidden_size=config.hidden_size,
+                        head_dim=config.head_dim,
+                        num_q_heads=config.num_q_heads,
+                        num_kv_heads=config.num_kv_heads,
+                        rope_settings=config.rope_settings,
+                        qmap="block.attn",
+                        q_norm=RMSNorm(config, f"{lk}.self_attn.q_norm",
+                                       config.rms_norm_eps, constant_bias=1.0,
+                                       dim=config.head_dim),
+                        k_norm=RMSNorm(config, f"{lk}.self_attn.k_norm",
+                                       config.rms_norm_eps, constant_bias=1.0,
+                                       dim=config.head_dim),
+                        interleaved_gate=True,
+                        out_dtype=jnp.float32,
+                    ),
+                    mlp_norm=RMSNorm(config, f"{lk}.post_attention_layernorm",
+                                     config.rms_norm_eps, constant_bias=1.0),
+                    mlp=GatedMLP(config=config, key=f"{lk}.mlp",
+                                 hidden_size=config.hidden_size,
+                                 intermediate_size=config.intermediate_size
+                                 or config.moe_intermediate_size,
+                                 qmap="block.mlp", out_dtype=jnp.float32),
+                )
+            ]
+        self.last_kv_module_idx = len(self.modules) - 1
+        self.modules += [
+            RMSNorm(config, "mtp.norm", config.rms_norm_eps, constant_bias=1.0,
+                    out_dtype=jnp.bfloat16),
+        ]
+        self.caps["mtp_draft"] = True
+        self.target = None
+
+    def attach(self, target_model):
+        """Borrow the target's embedding and lm_head modules."""
+        from ..modules import Embedding
+
+        self.target = target_model
+        self.embed = next(m for m in target_model.root.walk()
+                          if isinstance(m, Embedding))
+        self.head = target_model.modules[target_model.logit_layer_idx]
+
+    def mtp_step_fn(self, attn_mode: str = "paged"):
+        """(t_params, m_params, ids, target_hidden, cache_state, positions,
+        seqlens, block_tables) -> (logits, hidden_out, new_cache)."""
+        from ..modules.module import ForwardCtx
+
+        def fn(t_params, m_params, ids, target_hidden, cache_state, positions,
+               seqlens, block_tables):
+            ctx = ForwardCtx(
+                positions=positions, attn_mode=attn_mode,
+                cache=dict(cache_state) if cache_state is not None else None,
+                block_tables=block_tables, cache_seqlens=seqlens,
+            )
+            ctx.extras["target_hidden"] = target_hidden
+            x = self.embed.forward(ids, t_params, ctx)
+            for m in self.modules[:-1]:
+                x = m.forward(x, m_params, ctx)
+            hidden = x
+            x = self.modules[-1].forward(x, m_params, ctx)
+            logits = self.head.forward(x, t_params, ctx)
+            return logits, hidden, ctx.cache
+
+        return fn
 
 
 ARCHITECTURES = [Qwen3_5Config, Qwen3_5MoeConfig]

@@ -301,6 +301,18 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                         add(m.fkey + ".weight",
                             rng.standard_normal((n_out, m.in_features)) * scale)
 
+    # MTP draft-head component
+    if "mtp" in getattr(config, "model_classes", {}):
+        mm = Model.from_config(config, component="mtp")
+        for module in mm.modules:
+            for m in module.walk():
+                if isinstance(m, Linear):
+                    add_linear(m)
+                elif isinstance(m, (RMSNorm, LayerNorm, GatedRMSNorm)):
+                    dim = (getattr(m, "dim", None) or cfg.get("hidden_size")
+                           or cfg.get("text_config", {}).get("hidden_size"))
+                    add(m.key + ".weight", np.ones(dim))
+
     # vision component (multimodal architectures)
     if "vision" in getattr(config, "model_classes", {}):
         from ..modules.vision import SiglipVisionTower, Gemma3MultimodalProjector

@@ -53,6 +53,7 @@ class Generator:
         draft_cache=None,
         num_draft_tokens: int = 4,
         use_ngram_draft: bool = False,
+        mtp_model=None,
         cpu_cache_bytes: int = 0,
     ):
         self.model = model
@@ -72,6 +73,17 @@ class Generator:
         self.num_drafted = 0
         self.num_accepted = 0
         self._sd_fns = {}
+        # MTP draft head (reference generator.py:568 iterate_draftmodel_mtp):
+        # its own paged cache shares the job's page indices/positions
+        self.mtp_model = mtp_model
+        self.mtp_cache = None
+        self._mtp_fns = {}
+        if mtp_model is not None:
+            mtp_model.attach(model)
+            from ..model.cache import Cache as _Cache, CacheSpec as _Spec
+
+            self.mtp_cache = _Cache(mtp_model, _Spec(
+                layout="paged", num_pages=cache.spec.num_pages))
 
         # recurrent-state layers (GDN/Mamba2): state advances destructively,
         # so prefix-page reuse and speculative rewind are off for these models
@@ -80,6 +92,10 @@ class Generator:
         if self.has_recurrent:
             self.draft_model = None
             self.use_ngram_draft = False
+            # speculative rejection would rewind recurrent state; the
+            # reference does this via per-token state history (round 2)
+            self.mtp_model = None
+            self.mtp_cache = None
             self.recurrent_keys = [m.key for m in model.root.walk()
                                    if getattr(m, "is_recurrent", False)]
             first_layer = cache.state[self.recurrent_keys[0]]
@@ -211,10 +227,10 @@ class Generator:
                 break  # one chunk per iteration keeps decode latency bounded
         running = [j for j in self.active if j.status == "running"]
         if running and not prefilling:
-            sd = (self.draft_model is not None or self.use_ngram_draft) and all(
-                j.sampler.greedy for j in running
-            )
-            if sd:
+            greedy = all(j.sampler.greedy for j in running)
+            if self.mtp_model is not None and greedy:
+                self._decode_batch_mtp(running, results)
+            elif (self.draft_model is not None or self.use_ngram_draft) and greedy:
                 self._decode_batch_sd(running, results)
             else:
                 self._decode_batch(running, results)
@@ -338,11 +354,23 @@ class Generator:
                                         self.model.config.hidden_size,
                                         pad_to=pad)
                 mm_table = jnp.asarray(tbl, dtype=jnp.bfloat16)
-            _, self.cache.state = step(
-                self.model.params, jnp.asarray(ids_pad), self.cache.state,
-                jnp.asarray(pos), jnp.asarray(np.array([start], np.int32)),
-                jnp.asarray(bt), slots1, mm_table,
-            )
+            if self.mtp_model is not None:
+                step = self._get_prefill_fn(hidden=True)
+                _, hid, self.cache.state = step(
+                    self.model.params, jnp.asarray(ids_pad), self.cache.state,
+                    jnp.asarray(pos), jnp.asarray(np.array([start], np.int32)),
+                    jnp.asarray(bt), slots1, mm_table,
+                )
+                # sync the MTP cache: position p takes (token p+1, hidden p)
+                hid = np.asarray(hid[0, :chunk], dtype=np.float32)
+                self._mtp_sync(job, ids[start + 1 : start + chunk + 1],
+                               hid, np.arange(start, start + chunk))
+            else:
+                _, self.cache.state = step(
+                    self.model.params, jnp.asarray(ids_pad), self.cache.state,
+                    jnp.asarray(pos), jnp.asarray(np.array([start], np.int32)),
+                    jnp.asarray(bt), slots1, mm_table,
+                )
             job.prefill_done = start + chunk
         if job.prefill_done >= end:
             job.status = "running"
@@ -367,12 +395,58 @@ class Generator:
 
     # -- decode --------------------------------------------------------------------
 
-    def _get_prefill_fn(self):
-        if self._prefill_step is None:
-            self._prefill_step = self.model.jitted_step(
-                "paged", donate_cache=True, k_bits=self.k_bits, v_bits=self.v_bits
-            )
-        return self._prefill_step
+    def _get_prefill_fn(self, hidden: bool = False):
+        key = ("prefill", hidden)
+        if key not in self._decode_fns:
+            fn = self.model.step_fn("paged", k_bits=self.k_bits,
+                                    v_bits=self.v_bits, return_hidden=hidden)
+            self._decode_fns[key] = jax.jit(fn, donate_argnums=(2,))
+        return self._decode_fns[key]
+
+    def _get_mtp_fn(self):
+        if "mtp" not in self._mtp_fns:
+            self._mtp_fns["mtp"] = jax.jit(self.mtp_model.mtp_step_fn("paged"))
+        return self._mtp_fns["mtp"]
+
+    def _mtp_sync(self, job, tokens, hiddens, positions):
+        """Feed (token, hidden) pairs into the MTP cache; returns the last
+        position's (logits, hidden) for draft chaining. tokens: (S,) int;
+        hiddens: (S, H) f32; positions: (S,) int."""
+        S = len(tokens)
+        s_bucket = _bucket(S, [1, 2, 4, 8, 16, 32, 256, self.max_chunk_size])
+        mp_bucket = _bucket(len(job.pages), self.pages_buckets)
+        ids = np.zeros((1, s_bucket), np.int32)
+        ids[0, :S] = tokens
+        pos = np.full((1, s_bucket), mp_bucket * PAGE_SIZE, np.int32)
+        pos[0, :S] = positions
+        hid = np.zeros((1, s_bucket, hiddens.shape[-1]), np.float32)
+        hid[0, :S] = hiddens
+        bt = np.zeros((1, mp_bucket + 1), np.int32)
+        bt[0, : len(job.pages)] = job.pages
+        step = self._get_mtp_fn()
+        logits, hidden, self.mtp_cache.state = step(
+            self.model.params, self.mtp_model.params, jnp.asarray(ids),
+            jnp.asarray(hid), self.mtp_cache.state, jnp.asarray(pos),
+            jnp.asarray(np.array([int(positions[0])], np.int32)),
+            jnp.asarray(bt))
+        return (np.asarray(logits[0, S - 1]), np.asarray(hidden[0, S - 1]))
+
+    def _mtp_drafts(self, job, k: int) -> list:
+        """Sync pending (token, hidden) pairs, then chain-draft k tokens."""
+        pend = getattr(job, "mtp_pend", None)
+        if pend is None:
+            return []
+        tokens, hiddens, positions = pend
+        logits, hidden = self._mtp_sync(job, tokens, hiddens, positions)
+        job.mtp_pend = None
+        drafts = [int(logits.argmax())]
+        pos = int(positions[-1]) + 1
+        for _ in range(k - 1):
+            logits, hidden = self._mtp_sync(
+                job, np.array([drafts[-1]]), hidden[None], np.array([pos]))
+            drafts.append(int(logits.argmax()))
+            pos += 1
+        return drafts
 
     def _get_decode_fn(self, logprobs: bool = False):
         key = ("decode", logprobs)
@@ -728,6 +802,74 @@ class Generator:
             t += 1
         self._draft_done[job.identifier] = job.seq_len - 1
         return drafts
+
+    def _decode_batch_mtp(self, jobs: list, results: list):
+        """Greedy speculative decode with the MTP head as the drafter
+        (reference generator.py:568). One verify forward per iteration
+        returns logits AND hiddens; accepted (token, hidden) pairs sync the
+        MTP cache next iteration before chain-drafting."""
+        k = self.num_draft_tokens
+        for job in list(jobs):
+            need = (job.seq_len + k + 1 + PAGE_SIZE - 1) // PAGE_SIZE
+            while len(job.pages) < need:
+                newp = self.pagetable.extend_sequence(job.pages)
+                if newp is None:
+                    self._finish_job(job, "cache_overflow", results)
+                    jobs.remove(job)
+                    break
+                job.pages.append(newp)
+                job.page_hashes.append(None)
+        if not jobs:
+            return
+
+        drafts = [self._mtp_drafts(j, k) for j in jobs]
+        self.num_drafted += sum(len(d) for d in drafts)
+
+        B = _bucket(len(jobs), self.batch_buckets)
+        mp = max(len(j.pages) for j in jobs)
+        mp_bucket = _bucket(mp, self.pages_buckets)
+        S = k + 1
+
+        ids = np.zeros((B, S), np.int32)
+        pos = np.full((B, S), mp_bucket * PAGE_SIZE, np.int32)
+        bt = np.zeros((B, mp_bucket + 1), np.int32)
+        for i, job in enumerate(jobs):
+            last = job.new_tokens[-1] if job.new_tokens else job.input_ids[-1]
+            row = [int(last)] + list(drafts[i]) + [0] * (k - len(drafts[i]))
+            ids[i] = row[:S]
+            pos[i] = np.arange(job.seq_len - 1, job.seq_len - 1 + S)
+            bt[i, : len(job.pages)] = job.pages
+
+        step = self._get_prefill_fn(hidden=True)
+        logits, hiddens, self.cache.state = step(
+            self.model.params, jnp.asarray(ids), self.cache.state,
+            jnp.asarray(pos), jnp.zeros(B, np.int32), jnp.asarray(bt),
+        )
+        out = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)
+        hiddens = np.asarray(hiddens, dtype=np.float32)
+
+        for i, job in enumerate(jobs):
+            d = drafts[i]
+            T = job.seq_len
+            accepted = 0
+            for j in range(len(d)):
+                if out[i, j] == d[j]:
+                    accepted += 1
+                else:
+                    break
+            self.num_accepted += accepted
+            new = [int(out[i, j]) for j in range(accepted + 1)]
+            # next iteration's MTP sync: token a_j at position T-1+j paired
+            # with the hidden computed there (valid through the accepted run)
+            job.mtp_pend = (
+                np.asarray(new, dtype=np.int64),
+                hiddens[i, : accepted + 1].copy(),
+                np.arange(T - 1, T + accepted),
+            )
+            for tok in new:
+                if job.status != "running":
+                    break
+                self._receive_token(job, tok, results)
 
     def _decode_batch_sd(self, jobs: list, results: list):
         """Greedy speculative decode: verify drafts with one (B, k+1) forward.

@@ -72,9 +72,12 @@ class Model:
             x = m.forward(x, params, ctx)
         return x
 
-    def step_fn(self, attn_mode: str = "dense", k_bits: int = 0, v_bits: int = 0):
+    def step_fn(self, attn_mode: str = "dense", k_bits: int = 0, v_bits: int = 0,
+                return_hidden: bool = False):
         """Pure (params, ids, cache_state, positions, cache_seqlens,
-        block_tables) -> (logits, new_cache_state)."""
+        block_tables) -> (logits, new_cache_state). With return_hidden, also
+        returns the pre-final-norm residual stream (for MTP draft heads):
+        (logits, hidden, new_cache_state)."""
 
         def fn(params, ids, cache_state, positions, cache_seqlens, block_tables,
                state_slots=None, mm_embeddings=None):
@@ -90,6 +93,17 @@ class Model:
             )
             if mm_embeddings is not None:
                 ctx.extras["mm_embeddings"] = mm_embeddings
+            if return_hidden:
+                # run up to (excluding) the final norm + head; the residual
+                # stream there is what MTP heads consume
+                x = ids
+                for m in self.modules[: self.logit_layer_idx - 1]:
+                    x = m.forward(x, params, ctx)
+                hidden = x
+                for m in self.modules[self.logit_layer_idx - 1 :]:
+                    x = m.forward(x, params, ctx)
+                new_state = ctx.cache if cache_state is not None else None
+                return x, hidden, new_state
             logits = self.forward_modules(ids, params, ctx)
             new_state = ctx.cache if cache_state is not None else None
             return logits, new_state
