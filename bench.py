@@ -44,7 +44,7 @@ def main():
             vocab_size=32768, hidden_size=2048, intermediate_size=8192,
             num_layers=16, num_q_heads=32, num_kv_heads=8, head_dim=64,
         )
-        mode = "int8"
+        mode = os.environ.get("EXL3TPU_BENCH_MODE", "int8")
         decode_steps = 128
     else:
         cfg = tiny_llama_cfg(
@@ -70,7 +70,8 @@ def main():
     wbytes = 0
     for key, grp in model.params.items():
         for name, arr in grp.items():
-            if name in ("weight", "weight_q", "trellis"):
+            if name in ("weight", "weight_q", "trellis", "qkv_w", "qkv_q",
+                        "gate_up_w", "gate_up_q", "words"):
                 wbytes += arr.size * arr.dtype.itemsize
     roofline_tok_s = hbm_gbps * 1e9 / max(wbytes, 1)
 

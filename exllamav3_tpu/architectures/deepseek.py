@@ -235,4 +235,52 @@ class DeepseekV1Model(LlamaModel):
                                      m.mlp_norm, m.mlp, m.mlp_post_norm) if x]
 
 
-ARCHITECTURES = [DeepseekV3Config, DeepseekV2Config, DeepseekV1Config]
+class DeepseekV32Config(DeepseekV3Config):
+    """DeepSeek-V3.2: V3 + lightning-indexer sparse attention (DSA).
+    Feature reference: /root/reference/exllamav3/architecture/deepseek_v4.py
+    (index_n_heads/index_head_dim/index_topk); the V4 compressor pool layer
+    types are round-2 work."""
+
+    arch_string = "DeepseekV32ForCausalLM"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, derived_model={"text": DeepseekV32Model},
+                         **kwargs)
+        self.index_n_heads = self.read_cfg(int, "index_n_heads", 64)
+        self.index_head_dim = self.read_cfg(int, "index_head_dim", 128)
+        self.index_topk = self.read_cfg(int, "index_topk", 2048)
+
+
+class DeepseekV32Model(DeepseekV3Model):
+    config_class = DeepseekV32Config
+
+    def __init__(self, config: DeepseekV32Config, **kwargs):
+        super().__init__(config, **kwargs)
+        from ..modules.dsa_attn import DSAttention
+        from ..modules import TransformerBlock
+
+        for m in self.modules:
+            if not isinstance(m, TransformerBlock) or m.attn is None:
+                continue
+            lk = m.key
+            m.attn = DSAttention(
+                config, f"{lk}.self_attn", m.layer_idx,
+                config.hidden_size, config.num_q_heads,
+                config.kv_lora_rank, config.qk_nope_head_dim,
+                config.qk_rope_head_dim, config.v_head_dim,
+                rope_settings=config.rope_settings,
+                q_lora_rank=config.q_lora_rank or 128,
+                sm_scale=config.sm_scale,
+                rms_norm_eps=config.rms_norm_eps,
+                qmap="block.attn",
+                index_n_heads=config.index_n_heads,
+                index_head_dim=config.index_head_dim,
+                index_topk=config.index_topk,
+                out_dtype=jnp.float32,
+            )
+            m.modules = [x for x in (m.attn_norm, m.attn, m.attn_post_norm,
+                                     m.mlp_norm, m.mlp, m.mlp_post_norm) if x]
+
+
+ARCHITECTURES = [DeepseekV3Config, DeepseekV2Config, DeepseekV1Config,
+                 DeepseekV32Config]

@@ -55,7 +55,11 @@ def convert_model(
     os.makedirs(qdir, exist_ok=True)
     state_path = os.path.join(out_dir, "job_state.json")
 
-    config = Config.from_directory(in_dir)
+    # fusion would hide per-projection weights from Hessian capture
+    from ..model.config import InferParams
+
+    config = Config.from_directory(
+        in_dir, infer_params=InferParams(fuse_projections=False))
     model = Model.from_config(config)
 
     tokenizer = None

@@ -33,7 +33,10 @@ def measure_model(
     seed: int = 0,
     verbose: bool = True,
 ) -> dict:
-    config = Config.from_directory(in_dir)
+    from ..model.config import InferParams
+
+    config = Config.from_directory(
+        in_dir, infer_params=InferParams(fuse_projections=False))
     model = Model.from_config(config)
     tokenizer = None
     try:

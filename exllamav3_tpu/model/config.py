@@ -32,6 +32,10 @@ class InferParams:
     reconstruct_threshold: int = 32
     max_chunk_size: int = 2048
     activation_dtype: str = "bfloat16"
+    # fuse q/k/v and gate/up into single matmuls at load (the reference's
+    # MultiLinear/MGEMM batching, modules/multilinear.py:5) — fewer, larger
+    # kernels on the decode path. Disable under TP channel splits.
+    fuse_projections: bool = True
 
 
 class Config:

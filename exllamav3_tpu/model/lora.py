@@ -56,6 +56,16 @@ class LoRA:
         """Add adapter tensors to the loaded model's params. Returns the
         number of Linear modules patched."""
         n = 0
+        # fused qkv/gate_up projections hide their children's entries: split
+        # any parent whose child is targeted by an adapter
+        missing = [k for k in self.adapters if k not in model.params]
+        if missing:
+            for m in model.root.walk():
+                if not hasattr(m, "unfuse"):
+                    continue
+                child_keys = {c.key for c in m.modules}
+                if any(k in child_keys for k in missing):
+                    m.unfuse(model.params)
         for key, (a, b) in self.adapters.items():
             if key in model.params:
                 p = model.params[key]
@@ -71,6 +81,10 @@ class LoRA:
             if key in model.params:
                 for name in ("lora_a", "lora_b", "lora_scale"):
                     model.params[key].pop(name, None)
+        # restore any projection fusion that attach() had to split
+        for m in model.root.walk():
+            if hasattr(m, "refuse"):
+                m.refuse(model.params)
         model._step_cache.clear()
 
 

@@ -114,20 +114,62 @@ class Attention(Module):
             s = self.config.stc.get_tensor(self.key + ".sinks", optional=True)
             if s is not None:
                 params[self.key] = {"sinks": jnp.asarray(s.astype(np.float32))}
+        self._fused_qkv = False
+        if getattr(self.config.infer_params, "fuse_projections", False) \
+                and not self.interleaved_gate:
+            from .multilinear import try_fuse
+
+            self._fused_qkv = try_fuse(
+                params, self.key, "qkv",
+                [self.q_proj, self.k_proj, self.v_proj])
+
+    def refuse(self, params: dict) -> None:
+        """Re-fuse after LoRA detach (bitwise-identical to the load-time
+        fusion: concatenation of unchanged weights)."""
+        if getattr(self, "_fused_qkv", False) or self.interleaved_gate \
+                or not getattr(self.config.infer_params, "fuse_projections", False):
+            return
+        from .multilinear import try_fuse
+
+        self._fused_qkv = try_fuse(params, self.key, "qkv",
+                                   [self.q_proj, self.k_proj, self.v_proj])
+
+    def unfuse(self, params: dict) -> None:
+        """Split the fused qkv entry back into per-projection params (needed
+        before attaching LoRA adapters to q/k/v)."""
+        if not getattr(self, "_fused_qkv", False):
+            return
+        from .multilinear import unfuse
+
+        hd = self.head_dim
+        outs = [self.num_q_heads * hd, self.num_kv_heads * hd,
+                self.num_kv_heads * hd]
+        unfuse(params, self.key, "qkv",
+               [self.q_proj, self.k_proj, self.v_proj], outs)
+        self._fused_qkv = False
 
     def forward(self, x, params: dict, ctx: ForwardCtx):
         B, S, H = x.shape
         dt = x.dtype
         gate = None
-        if self.interleaved_gate:
-            qg = self.q_proj.forward(x, params, ctx).reshape(
-                B, S, self.num_q_heads, 2 * self.head_dim)
-            q, gate = qg[..., : self.head_dim], qg[..., self.head_dim:]
+        hd = self.head_dim
+        nq, nkv = self.num_q_heads, self.num_kv_heads
+        if getattr(self, "_fused_qkv", False):
+            from .multilinear import fused_forward
+
+            qkv = fused_forward(params, self.key, "qkv", x)
+            q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
+            k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(B, S, nkv, hd)
+            v = qkv[..., (nq + nkv) * hd :].reshape(B, S, nkv, hd)
+        elif self.interleaved_gate:
+            qg = self.q_proj.forward(x, params, ctx).reshape(B, S, nq, 2 * hd)
+            q, gate = qg[..., :hd], qg[..., hd:]
+            k = self.k_proj.forward(x, params, ctx).reshape(B, S, nkv, hd)
+            v = self.v_proj.forward(x, params, ctx).reshape(B, S, nkv, hd)
         else:
-            q = self.q_proj.forward(x, params, ctx).reshape(
-                B, S, self.num_q_heads, self.head_dim)
-        k = self.k_proj.forward(x, params, ctx).reshape(B, S, self.num_kv_heads, self.head_dim)
-        v = self.v_proj.forward(x, params, ctx).reshape(B, S, self.num_kv_heads, self.head_dim)
+            q = self.q_proj.forward(x, params, ctx).reshape(B, S, nq, hd)
+            k = self.k_proj.forward(x, params, ctx).reshape(B, S, nkv, hd)
+            v = self.v_proj.forward(x, params, ctx).reshape(B, S, nkv, hd)
 
         if self.q_norm is not None:
             q = self.q_norm.forward(q, params, ctx)

@@ -77,10 +77,42 @@ class GatedMLP(Module):
         super().load(params)
         if self.activation == "xielu":
             _load_xielu_alphas(self, params)
+        self._fused_gu = False
+        if getattr(self.config.infer_params, "fuse_projections", False) \
+                and self.activation != "xielu":
+            from .multilinear import try_fuse
+
+            self._fused_gu = try_fuse(params, self.key, "gate_up",
+                                      [self.gate, self.up])
+
+    def refuse(self, params: dict) -> None:
+        if getattr(self, "_fused_gu", False) or self.activation == "xielu" \
+                or not getattr(self.config.infer_params, "fuse_projections", False):
+            return
+        from .multilinear import try_fuse
+
+        self._fused_gu = try_fuse(params, self.key, "gate_up",
+                                  [self.gate, self.up])
+
+    def unfuse(self, params: dict) -> None:
+        if not getattr(self, "_fused_gu", False):
+            return
+        from .multilinear import unfuse
+
+        n = self.up.out_features
+        unfuse(params, self.key, "gate_up", [self.gate, self.up], [n, n])
+        self._fused_gu = False
 
     def forward(self, x, params: dict, ctx: ForwardCtx):
-        g = self.gate.forward(x, params, ctx).astype(jnp.float32)
-        u = self.up.forward(x, params, ctx).astype(jnp.float32)
+        if getattr(self, "_fused_gu", False):
+            from .multilinear import fused_forward
+
+            gu = fused_forward(params, self.key, "gate_up", x)
+            inter = gu.shape[-1] // 2
+            g, u = gu[..., :inter], gu[..., inter:]
+        else:
+            g = self.gate.forward(x, params, ctx).astype(jnp.float32)
+            u = self.up.forward(x, params, ctx).astype(jnp.float32)
         if self.act_silu_oai:
             h = act_fn_silu_oai(g, u)
         elif self.activation == "xielu":

@@ -1,0 +1,80 @@
+"""Projection fusion: run several same-input Linears as ONE matmul.
+
+Feature reference: /root/reference/exllamav3/modules/multilinear.py
+(MultiLinear:5 — pointer-table batching of same-shape Linears for one
+exl3_mgemm launch: Q+gate, K+V, MoE experts). TPU version: at load time the
+already-materialized dense/int8 weights of sibling projections concatenate
+along the output dim, so the decode path launches one large matmul instead
+of 2-3 small ones (fewer kernels, better MXU/DMA shapes). The fused entry
+lives under the parent module's key; forward slices the result.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def try_fuse(params: dict, parent_key: str, name: str, linears: list) -> bool:
+    """Fuse `linears` (same in_features, loaded) into params[parent_key]
+    [name_*]; pops the children's param entries. Returns False (leaving
+    everything untouched) when the representations don't match or biases/
+    LoRA are present."""
+    groups = []
+    for lin in linears:
+        p = params.get(lin.key)
+        if p is None or "bias" in p or "lora_a" in p:
+            return False
+        if "weight" in p and len(p) == 1:
+            groups.append(("weight", p))
+        elif "weight_q" in p and "scale" in p and len(p) == 2:
+            groups.append(("int8", p))
+        else:
+            return False
+    kinds = {k for k, _ in groups}
+    if len(kinds) != 1:
+        return False
+    kind = kinds.pop()
+    parent = params.setdefault(parent_key, {})
+    if kind == "weight":
+        parent[name + "_w"] = jnp.concatenate(
+            [p["weight"] for _, p in groups], axis=1)
+    else:
+        parent[name + "_q"] = jnp.concatenate(
+            [p["weight_q"] for _, p in groups], axis=1)
+        parent[name + "_scale"] = jnp.concatenate(
+            [p["scale"] for _, p in groups], axis=0)
+    for lin in linears:
+        params.pop(lin.key, None)
+    return True
+
+
+def unfuse(params: dict, parent_key: str, name: str, linears: list,
+           out_features: list) -> None:
+    """Inverse of try_fuse: split the concatenated weights back into the
+    children's param entries (LoRA attach, TP re-planning)."""
+    parent = params.get(parent_key, {})
+    offs = [0]
+    for n in out_features:
+        offs.append(offs[-1] + n)
+    if name + "_w" in parent:
+        w = parent.pop(name + "_w")
+        for lin, a, b in zip(linears, offs, offs[1:]):
+            params[lin.key] = {"weight": w[:, a:b]}
+    elif name + "_q" in parent:
+        q = parent.pop(name + "_q")
+        s = parent.pop(name + "_scale")
+        for lin, a, b in zip(linears, offs, offs[1:]):
+            params[lin.key] = {"weight_q": q[:, a:b], "scale": s[a:b]}
+
+
+def fused_forward(params: dict, parent_key: str, name: str, x,
+                  out_dtype=jnp.float32):
+    """One matmul over the fused weights; returns the full (..., sum_n)."""
+    p = params[parent_key]
+    if name + "_w" in p:
+        y = jnp.dot(x.astype(jnp.bfloat16), p[name + "_w"],
+                    preferred_element_type=jnp.float32)
+    else:
+        from ..ops.q_matmul import int8_matmul
+
+        y = int8_matmul(x, p[name + "_q"], p[name + "_scale"])
+    return y.astype(out_dtype)

@@ -39,13 +39,15 @@ def attend_dense(
     sliding_window: int = 0,
     logit_softcap: float = 0.0,
     sinks=None,
+    select_mask=None,
 ):
     """Masked SDPA. q: (B,S,Hq,D); k: (B,T,Hk,D); v: (B,T,Hk,Dv) — Dv may
     differ from D (MLA attends queries against the latent itself).
 
     Mask: key j visible to query i iff k_pos[j] <= q_pos[i] (causal over
     absolute positions; stale cache slots have k_pos > q_pos or are excluded
-    via k_valid), and within the sliding window when set.
+    via k_valid), and within the sliding window when set. select_mask
+    (B, S, T) bool further restricts keys per query (DSA top-k selection).
     """
     B, S, Hq, D = q.shape
     Hk = k.shape[2]
@@ -61,6 +63,8 @@ def attend_dense(
         mask &= kp > qp - sliding_window
     if k_valid is not None:
         mask &= k_valid[:, None, None, None, :]
+    if select_mask is not None:
+        mask &= select_mask[:, None, None, :, :]
     scores = jnp.where(mask, scores, NEG_INF)
 
     if sinks is not None:

@@ -65,6 +65,11 @@ def _linear_spec(kind: str, name: str):
 def param_spec(module_key: str, name: str):
     if name in _MLA_ABSORB:
         return P(None, "tp", None)
+    # fused projections (multilinear.py): (in, sum_out) column-style
+    if name in ("qkv_w", "gate_up_w", "qkv_q", "gate_up_q"):
+        return P(None, "tp")
+    if name in ("qkv_scale", "gate_up_scale"):
+        return P("tp")
     if name.startswith("w_"):  # stacked experts (E, in, out): EP on E
         return P("tp", None, None)
     if name.startswith("b_"):  # stacked expert biases (E, out)

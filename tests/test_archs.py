@@ -161,6 +161,31 @@ ARCH_CFGS = {
                                   linear_key_head_dim=16,
                                   linear_value_head_dim=16,
                                   linear_allow_neg_eigval=True),
+    "DeciLMForCausalLM": dict(BASE, hidden_act="silu", num_hidden_layers=4,
+                              block_configs=[
+                                  {"attention": {"n_heads_in_group": 2},
+                                   "ffn": {"ffn_mult": 3.0}},
+                                  {"attention": {"no_op": True},
+                                   "ffn": {"ffn_mult": 1.5}},
+                                  {"attention": {"n_heads_in_group": 4},
+                                   "ffn": {"no_op": True}},
+                                  {"attention": {"n_heads_in_group": 1},
+                                   "ffn": {"ffn_mult": 3.0}},
+                              ]),
+    "HYV3ForCausalLM": dict(BASE, hidden_act="silu", qk_norm=True,
+                            moe_intermediate_size=64, num_experts=4,
+                            num_experts_per_tok=2, num_shared_experts=1,
+                            first_k_dense_replace=1,
+                            router_scaling_factor=2.826),
+    "DeepseekV32ForCausalLM": dict(BASE, hidden_act="silu", q_lora_rank=48,
+                                   kv_lora_rank=64, qk_nope_head_dim=32,
+                                   qk_rope_head_dim=32, v_head_dim=32,
+                                   n_routed_experts=4, num_experts_per_tok=2,
+                                   n_shared_experts=1,
+                                   moe_intermediate_size=64,
+                                   first_k_dense_replace=1,
+                                   scoring_func="sigmoid", index_n_heads=4,
+                                   index_head_dim=32, index_topk=8),
     "AfmoeForCausalLM": dict(BASE, hidden_act="silu", num_dense_layers=1,
                              moe_intermediate_size=64, num_experts=4,
                              num_experts_per_tok=2, num_shared_experts=1,
