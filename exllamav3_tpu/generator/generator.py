@@ -227,7 +227,8 @@ class Generator:
                 break  # one chunk per iteration keeps decode latency bounded
         running = [j for j in self.active if j.status == "running"]
         if running and not prefilling:
-            greedy = all(j.sampler.greedy for j in running)
+            greedy = all(j.sampler.greedy for j in running) and not any(
+                j.cfg_scale is not None for j in running)
             if self.mtp_model is not None and greedy:
                 self._decode_batch_mtp(running, results)
             elif (self.draft_model is not None or self.use_ngram_draft) and greedy:
@@ -266,6 +267,15 @@ class Generator:
                 alloc = self.pagetable.allocate_sequence(job.all_ids())
                 if alloc is None:
                     break  # no pages free
+                if job.cfg_scale is not None:
+                    alloc_neg = self.pagetable.allocate_sequence(
+                        job.all_ids_neg())
+                    if alloc_neg is None:
+                        self.pagetable.release_sequence(alloc[0])
+                        break
+                    job.pages_neg = alloc_neg[0]
+                    job.prefill_done_neg = min(alloc_neg[1],
+                                               job.seq_len_neg - 1)
                 pages, reused = alloc
                 self.pending.pop(0)
                 job.pages = pages
@@ -372,13 +382,40 @@ class Generator:
                     jnp.asarray(bt), slots1, mm_table,
                 )
             job.prefill_done = start + chunk
-        if job.prefill_done >= end:
+        neg_done = True
+        if job.cfg_scale is not None and job.prefill_done >= end:
+            neg_done = self._prefill_negative(job)
+        if job.prefill_done >= end and neg_done:
             job.status = "running"
             self._finalize_full_pages(job, upto=end)
         results.append({
             "identifier": job.identifier, "stage": "prefill", "job": job,
             "curr_progress": job.prefill_done, "max_progress": end,
         })
+
+    def _prefill_negative(self, job: Job) -> bool:
+        """Prefill one chunk of the CFG negative sequence; True when done."""
+        ids = job.all_ids_neg()
+        end = len(ids) - 1
+        start = job.prefill_done_neg
+        chunk = min(self.max_chunk_size, end - start)
+        if chunk > 0:
+            s_bucket = _bucket(chunk, self.prefill_buckets)
+            mp_bucket = _bucket(len(job.pages_neg), self.pages_buckets)
+            step = self._get_prefill_fn()
+            ids_pad = np.zeros((1, s_bucket), np.int32)
+            ids_pad[0, :chunk] = ids[start : start + chunk]
+            pos = np.full((1, s_bucket), mp_bucket * PAGE_SIZE, np.int32)
+            pos[0, :chunk] = np.arange(start, start + chunk, dtype=np.int32)
+            bt = np.zeros((1, mp_bucket + 1), np.int32)
+            bt[0, : len(job.pages_neg)] = job.pages_neg
+            _, self.cache.state = step(
+                self.model.params, jnp.asarray(ids_pad), self.cache.state,
+                jnp.asarray(pos), jnp.asarray(np.array([start], np.int32)),
+                jnp.asarray(bt), None, None,
+            )
+            job.prefill_done_neg = start + chunk
+        return job.prefill_done_neg >= end
 
     def _finalize_full_pages(self, job: Job, upto: int):
         """Register pages fully written by prefill for prefix reuse."""
@@ -456,10 +493,15 @@ class Generator:
             )
 
             def fn(params, ids, cache_state, positions, seqlens, block_tables,
-                   sp, counts_full, slot_ids, rng, filter_mask=None):
+                   sp, counts_full, slot_ids, rng, filter_mask=None,
+                   cfg_pair=None, cfg_mix=None):
                 logits, state = model_step(params, ids, cache_state, positions,
                                            seqlens, block_tables, slot_ids)
                 last = logits[:, -1].astype(jnp.float32)
+                if cfg_pair is not None:
+                    # classifier-free guidance: l = l_neg + s * (l_pos - l_neg)
+                    l_neg = last[cfg_pair]
+                    last = l_neg + cfg_mix[:, None] * (last - l_neg)
                 counts = counts_full[slot_ids]
                 toks = batch_sample(last, sp, counts, rng, filter_mask=filter_mask)
                 counts_full = counts_full.at[slot_ids, toks].add(1)
@@ -473,22 +515,35 @@ class Generator:
         return self._decode_fns[key]
 
     def _decode_batch(self, jobs: list, results: list):
-        # grow pages for jobs crossing a boundary
+        # grow pages for jobs crossing a boundary (CFG negatives too)
         for job in list(jobs):
-            if job.pages_needed() > len(job.pages):
-                newp = self.pagetable.extend_sequence(job.pages)
-                if newp is None:
-                    # out of cache: finish the youngest job to relieve pressure
-                    self._finish_job(job, "cache_overflow", results)
-                    jobs.remove(job)
-                    continue
-                job.pages.append(newp)
-                job.page_hashes.append(None)
+            seqs = [(job.pages_needed(), job.pages, job.page_hashes)]
+            if job.cfg_scale is not None:
+                seqs.append((job.pages_needed_neg(), job.pages_neg, None))
+            for need, pages, hashes in seqs:
+                while need > len(pages):
+                    newp = self.pagetable.extend_sequence(pages)
+                    if newp is None:
+                        # out of cache: finish the job to relieve pressure
+                        self._finish_job(job, "cache_overflow", results)
+                        if job in jobs:
+                            jobs.remove(job)
+                        break
+                    pages.append(newp)
+                    if hashes is not None:
+                        hashes.append(None)
         if not jobs:
             return
 
-        B = _bucket(len(jobs), self.batch_buckets)
-        mp = max(len(j.pages) for j in jobs)
+        # one row per sequence; CFG jobs contribute a negative row whose
+        # logits mix into the main row's sample
+        rows: list = []  # (job, is_neg)
+        for job in jobs:
+            rows.append((job, False))
+            if job.cfg_scale is not None:
+                rows.append((job, True))
+        B = _bucket(len(rows), self.batch_buckets)
+        mp = max(max(len(j.pages), len(j.pages_neg) or 1) for j in jobs)
         mp_bucket = _bucket(mp, self.pages_buckets)
 
         ids = np.zeros((B, 1), np.int32)
@@ -496,20 +551,33 @@ class Generator:
         bt = np.zeros((B, mp_bucket + 1), np.int32)
         slots = np.full(B, self.max_batch_size, np.int32)  # scrap row default
         seqlens = np.zeros(B, np.int32)
-        for i, job in enumerate(jobs):
-            last_tok = job.new_tokens[-1] if job.new_tokens else job.input_ids[-1]
+        pair = np.arange(B, dtype=np.int32)
+        mix = np.ones(B, np.float32)
+        for i, (job, is_neg) in enumerate(rows):
+            last_tok = job.new_tokens[-1] if job.new_tokens else (
+                job.negative_input_ids[-1] if is_neg else job.input_ids[-1])
             ids[i, 0] = last_tok
-            pos[i, 0] = job.seq_len - 1
-            bt[i, : len(job.pages)] = job.pages
-            slots[i] = self.job_slots[job]
-            seqlens[i] = job.seq_len - 1
+            if is_neg:
+                pos[i, 0] = job.seq_len_neg - 1
+                bt[i, : len(job.pages_neg)] = job.pages_neg
+                seqlens[i] = job.seq_len_neg - 1
+            else:
+                pos[i, 0] = job.seq_len - 1
+                bt[i, : len(job.pages)] = job.pages
+                slots[i] = self.job_slots[job]
+                seqlens[i] = job.seq_len - 1
+                if job.cfg_scale is not None:
+                    pair[i] = i + 1  # its negative row follows
+                    mix[i] = job.cfg_scale
 
+        row_jobs = [j for j, _ in rows]
         sp = BatchSamplerParams.from_samplers(
-            [j.sampler for j in jobs] + [jobs[-1].sampler] * (B - len(jobs))
+            [j.sampler for j in row_jobs]
+            + [row_jobs[-1].sampler] * (B - len(rows))
         ).as_device()
         self.key, sub = jax.random.split(self.key)
 
-        filter_mask = self._build_filter_mask(jobs, B)
+        filter_mask = self._build_filter_mask(row_jobs, B)
 
         want_lp = any(j.return_top_logprobs for j in jobs)
         step = self._get_decode_fn(logprobs=want_lp)
@@ -517,6 +585,7 @@ class Generator:
             self.model.params, jnp.asarray(ids), self.cache.state,
             jnp.asarray(pos), jnp.asarray(seqlens), jnp.asarray(bt),
             sp, self.token_counts, jnp.asarray(slots), sub, filter_mask,
+            jnp.asarray(pair), jnp.asarray(mix),
         )
         if want_lp:
             toks, self.cache.state, self.token_counts, lp_vals, lp_ids = out
@@ -526,7 +595,9 @@ class Generator:
             lp_vals = lp_ids = None
         toks = np.asarray(toks)
 
-        for i, job in enumerate(jobs):
+        for i, (job, is_neg) in enumerate(rows):
+            if is_neg:
+                continue
             lp = None
             if lp_vals is not None and job.return_top_logprobs:
                 k = min(job.return_top_logprobs, lp_vals.shape[1])
@@ -694,6 +765,9 @@ class Generator:
         if job in self.active:
             self.active.remove(job)
         self.pagetable.release_sequence(job.pages)
+        if job.pages_neg:
+            self.pagetable.release_sequence(job.pages_neg)
+            job.pages_neg = []
         slot = self.job_slots.pop(job, None)
         if slot is not None:
             self.free_slots.append(slot)

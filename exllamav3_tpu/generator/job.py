@@ -33,6 +33,11 @@ class Job:
         token_healing: bool = False,
         loop_detect: bool = False,
         embeddings: list | None = None,  # MMEmbedding payloads (images etc.)
+        # classifier-free guidance: mixed logits
+        #   l = l_neg + cfg_scale * (l_pos - l_neg)
+        # (reference job.py CFG sequence pairs)
+        negative_input_ids: np.ndarray | None = None,
+        cfg_scale: float | None = None,
     ):
         ids = np.asarray(input_ids).reshape(-1).astype(np.int64)
         assert ids.size > 0, "empty prompt"
@@ -63,6 +68,15 @@ class Job:
 
             assert int(ids[-1]) < FIRST_MM_EMBEDDING_INDEX, \
                 "prompt must end with a text token"
+        self.cfg_scale = cfg_scale
+        self.negative_input_ids = None
+        if cfg_scale is not None:
+            assert negative_input_ids is not None, "CFG needs a negative prompt"
+            self.negative_input_ids = np.asarray(
+                negative_input_ids).reshape(-1).astype(np.int64)
+        # negative-sequence bookkeeping (pages parallel the main sequence)
+        self.pages_neg: list[int] = []
+        self.prefill_done_neg = 0
         self.rq_handle = None  # recurrent-state stash handle (requeue)
         self.loop_detector = None
         if loop_detect:
@@ -96,3 +110,16 @@ class Job:
 
     def pages_needed(self) -> int:
         return (self.seq_len + PAGE_SIZE - 1) // PAGE_SIZE
+
+    @property
+    def seq_len_neg(self) -> int:
+        return int(self.negative_input_ids.size) + len(self.new_tokens)
+
+    def all_ids_neg(self) -> np.ndarray:
+        if not self.new_tokens:
+            return self.negative_input_ids
+        return np.concatenate([self.negative_input_ids,
+                               np.asarray(self.new_tokens, dtype=np.int64)])
+
+    def pages_needed_neg(self) -> int:
+        return (self.seq_len_neg + PAGE_SIZE - 1) // PAGE_SIZE
