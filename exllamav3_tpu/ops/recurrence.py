@@ -87,5 +87,9 @@ def gated_recurrence(q, k, v, g, beta, S0, scale: float, delta_rule: bool = True
         o_t = jnp.einsum("bhkv,bhk->bhv", S, q_t) * scale
         return S, o_t
 
-    S_T, o = jax.lax.scan(step, S0.astype(jnp.float32), (qT, kT, vT, gT, bT))
+    # unrolling packs 8 steps per scan iteration: fewer loop trips and larger
+    # fused bodies (the step math is tiny VPU work; loop overhead dominates)
+    unroll = 8 if q.shape[1] >= 8 else 1
+    S_T, o = jax.lax.scan(step, S0.astype(jnp.float32), (qT, kT, vT, gT, bT),
+                          unroll=unroll)
     return jnp.moveaxis(o, 0, 1), S_T
