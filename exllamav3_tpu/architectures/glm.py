@@ -43,15 +43,15 @@ class Glm4Config(Config):
 class Glm4Model(Model):
     config_class = Glm4Config
 
-    def __init__(self, config: Glm4Config, **kwargs):
+    def __init__(self, config: Glm4Config, key_prefix: str = "model", **kwargs):
         super().__init__(config, **kwargs)
         self.modules += [
-            Embedding(config=config, key="model.embed_tokens",
+            Embedding(config=config, key=f"{key_prefix}.embed_tokens",
                       vocab_size=config.vocab_size, hidden_size=config.hidden_size)
         ]
         self.first_block_idx = len(self.modules)
         for idx in range(config.num_hidden_layers):
-            lk = f"model.layers.{idx}"
+            lk = f"{key_prefix}.layers.{idx}"
             self.modules += [
                 TransformerBlock(
                     config=config, key=lk, layer_idx=idx,
@@ -81,9 +81,9 @@ class Glm4Model(Model):
         self.last_kv_module_idx = len(self.modules) - 1
         head_alt_key = None
         if config.tie_word_embeddings and not config.stc.has_tensor("lm_head.weight"):
-            head_alt_key = "model.embed_tokens"
+            head_alt_key = f"{key_prefix}.embed_tokens"
         self.modules += [
-            RMSNorm(config, "model.norm", config.rms_norm_eps,
+            RMSNorm(config, f"{key_prefix}.norm", config.rms_norm_eps,
                     out_dtype=jnp.bfloat16),
             Linear(config=config, key="lm_head", in_features=config.hidden_size,
                    out_features=config.vocab_size, qmap="block.lm_head",
@@ -121,16 +121,16 @@ class Glm4MoeConfig(Config):
 class Glm4MoeModel(Model):
     config_class = Glm4MoeConfig
 
-    def __init__(self, config: Glm4MoeConfig, **kwargs):
+    def __init__(self, config: Glm4MoeConfig, key_prefix: str = "model", **kwargs):
         super().__init__(config, **kwargs)
         self.modules += [
-            Embedding(config=config, key="model.embed_tokens",
+            Embedding(config=config, key=f"{key_prefix}.embed_tokens",
                       vocab_size=config.vocab_size, hidden_size=config.hidden_size)
         ]
         self.first_block_idx = len(self.modules)
         qk = config.use_qk_norm
         for idx in range(config.num_hidden_layers):
-            lk = f"model.layers.{idx}"
+            lk = f"{key_prefix}.layers.{idx}"
             if idx < config.first_k_dense_replace:
                 mlp = GatedMLP(config=config, key=f"{lk}.mlp",
                                hidden_size=config.hidden_size,
@@ -185,9 +185,9 @@ class Glm4MoeModel(Model):
         self.last_kv_module_idx = len(self.modules) - 1
         head_alt_key = None
         if config.tie_word_embeddings and not config.stc.has_tensor("lm_head.weight"):
-            head_alt_key = "model.embed_tokens"
+            head_alt_key = f"{key_prefix}.embed_tokens"
         self.modules += [
-            RMSNorm(config, "model.norm", config.rms_norm_eps,
+            RMSNorm(config, f"{key_prefix}.norm", config.rms_norm_eps,
                     out_dtype=jnp.bfloat16),
             Linear(config=config, key="lm_head", in_features=config.hidden_size,
                    out_features=config.vocab_size, qmap="block.lm_head",

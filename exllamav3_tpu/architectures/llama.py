@@ -45,13 +45,14 @@ class LlamaModel(Model):
     # subclass knobs
     use_qk_norm = False
 
-    def __init__(self, config: LlamaConfig, **kwargs):
+    def __init__(self, config: LlamaConfig, key_prefix: str = "model",
+                 head_key: str = "lm_head", **kwargs):
         super().__init__(config, **kwargs)
 
         self.modules += [
             Embedding(
                 config=config,
-                key="model.embed_tokens",
+                key=f"{key_prefix}.embed_tokens",
                 vocab_size=config.vocab_size,
                 hidden_size=config.hidden_size,
             )
@@ -59,7 +60,7 @@ class LlamaModel(Model):
         self.first_block_idx = len(self.modules)
 
         for idx in range(config.num_hidden_layers):
-            lk = f"model.layers.{idx}"
+            lk = f"{key_prefix}.layers.{idx}"
             q_norm = k_norm = None
             if self.use_qk_norm:
                 q_norm = RMSNorm(config, f"{lk}.self_attn.q_norm", config.rms_norm_eps, dim=config.head_dim)
@@ -103,12 +104,12 @@ class LlamaModel(Model):
 
         head_alt_key = None
         if config.tie_word_embeddings and not config.stc.has_tensor("lm_head.weight"):
-            head_alt_key = "model.embed_tokens"
+            head_alt_key = f"{key_prefix}.embed_tokens"
         self.modules += [
-            RMSNorm(config, "model.norm", config.rms_norm_eps, out_dtype=jnp.bfloat16),
+            RMSNorm(config, f"{key_prefix}.norm", config.rms_norm_eps, out_dtype=jnp.bfloat16),
             Linear(
                 config=config,
-                key="lm_head",
+                key=head_key,
                 in_features=config.hidden_size,
                 out_features=config.vocab_size,
                 qmap="block.lm_head",

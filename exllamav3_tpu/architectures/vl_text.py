@@ -1,0 +1,114 @@
+"""Text sides of the multimodal (ForConditionalGeneration) architectures.
+
+Feature reference: /root/reference/exllamav3/architecture/qwen2_5_vl.py:150,
+qwen3_vl.py:149, glm4v.py:134, mistral3.py:153 — each wraps its base text
+model under a language_model key prefix; text params resolve through the
+text_config fallback (model/config.py _walk). Vision towers: SigLIP/Gemma3
+is implemented (modules/vision.py); the Qwen-VL window-attention and Pixtral
+towers are round-2 work — until then these run text-only, and images can be
+fed as precomputed MMEmbedding payloads.
+
+Text-only MRoPE note: with no image grid every t/h/w position stream equals
+the token index, which makes mrope identical to standard NEOX rope, so the
+base models' rope is exact for text.
+"""
+from __future__ import annotations
+
+from .llama import LlamaConfig, LlamaModel, Qwen2Config, Qwen2Model, Qwen3Model
+from .glm import Glm4Config, Glm4Model, Glm4MoeConfig, Glm4MoeModel
+from .moe import Qwen3MoeConfig, Qwen3MoeModel
+
+
+class Qwen25VLConfig(LlamaConfig):
+    arch_string = "Qwen2_5_VLForConditionalGeneration"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, derived_model={"text": Qwen25VLModel},
+                         **kwargs)
+
+
+class Qwen25VLModel(Qwen2Model):
+    config_class = Qwen25VLConfig
+
+    def __init__(self, config, **kwargs):
+        super().__init__(config, key_prefix="model.language_model", **kwargs)
+
+
+class Qwen3VLConfig(LlamaConfig):
+    arch_string = "Qwen3VLForConditionalGeneration"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, derived_model={"text": Qwen3VLModel},
+                         **kwargs)
+
+
+class Qwen3VLModel(Qwen3Model):
+    config_class = Qwen3VLConfig
+
+    def __init__(self, config, **kwargs):
+        super().__init__(config, key_prefix="model.language_model", **kwargs)
+
+
+class Qwen3VLMoeConfig(Qwen3MoeConfig):
+    arch_string = "Qwen3VLMoeForConditionalGeneration"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, **kwargs)
+        self.model_classes = {"text": Qwen3VLMoeModel}
+
+
+class Qwen3VLMoeModel(Qwen3MoeModel):
+    config_class = Qwen3VLMoeConfig
+
+    def __init__(self, config, **kwargs):
+        super().__init__(config, key_prefix="model.language_model", **kwargs)
+
+
+class Glm4vConfig(Glm4Config):
+    arch_string = "Glm4vForConditionalGeneration"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, derived_model={"text": Glm4vModel},
+                         **kwargs)
+
+
+class Glm4vModel(Glm4Model):
+    config_class = Glm4vConfig
+
+    def __init__(self, config, **kwargs):
+        super().__init__(config, key_prefix="model.language_model", **kwargs)
+
+
+class Glm4vMoeConfig(Glm4MoeConfig):
+    arch_string = "Glm4vMoeForConditionalGeneration"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, derived_model={"text": Glm4vMoeModel},
+                         **kwargs)
+
+
+class Glm4vMoeModel(Glm4MoeModel):
+    config_class = Glm4vMoeConfig
+
+    def __init__(self, config, **kwargs):
+        super().__init__(config, key_prefix="model.language_model", **kwargs)
+
+
+class Mistral3Config(LlamaConfig):
+    arch_string = "Mistral3ForConditionalGeneration"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, derived_model={"text": Mistral3Model},
+                         **kwargs)
+
+
+class Mistral3Model(LlamaModel):
+    config_class = Mistral3Config
+
+    def __init__(self, config, **kwargs):
+        super().__init__(config, key_prefix="language_model.model",
+                         head_key="language_model.lm_head", **kwargs)
+
+
+ARCHITECTURES = [Qwen25VLConfig, Qwen3VLConfig, Qwen3VLMoeConfig,
+                 Glm4vConfig, Glm4vMoeConfig, Mistral3Config]

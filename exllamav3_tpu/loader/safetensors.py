@@ -36,7 +36,36 @@ _DTYPES = {
     "U32": np.uint32,
     "U64": np.uint64,
     "BOOL": np.bool_,
+    # fp8 read as raw bytes; decode with fp8_e4m3_to_f32 / fp8_e5m2_to_f32
+    "F8_E4M3": np.uint8,
+    "F8_E5M2": np.uint8,
 }
+
+
+def fp8_e4m3_to_f32(u8: np.ndarray) -> np.ndarray:
+    """Decode float8 e4m3fn bytes (sign/4-bit exp bias 7/3-bit mantissa;
+    no infinities, e=15&m=7 is NaN)."""
+    u = u8.astype(np.uint32)
+    s = (u >> 7) & 1
+    e = (u >> 3) & 0xF
+    m = u & 0x7
+    sub = (m / 8.0) * 2.0 ** -6
+    norm = (1.0 + m / 8.0) * np.exp2(e.astype(np.float64) - 7.0)
+    val = np.where(e == 0, sub, norm)
+    val = np.where((e == 15) & (m == 7), np.nan, val)
+    return np.where(s == 1, -val, val).astype(np.float32)
+
+
+def fp8_e5m2_to_f32(u8: np.ndarray) -> np.ndarray:
+    u = u8.astype(np.uint32)
+    s = (u >> 7) & 1
+    e = (u >> 2) & 0x1F
+    m = u & 0x3
+    sub = (m / 4.0) * 2.0 ** -14
+    norm = (1.0 + m / 4.0) * np.exp2(e.astype(np.float64) - 15.0)
+    val = np.where(e == 0, sub, norm)
+    val = np.where(e == 31, np.where(m == 0, np.inf, np.nan), val)
+    return np.where(s == 1, -val, val).astype(np.float32)
 
 _DTYPE_NAMES = {
     np.dtype(np.float64): "F64",

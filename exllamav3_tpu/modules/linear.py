@@ -151,12 +151,7 @@ class Linear(Module):
 
     def _load_dense(self, params: dict, key: str, frange: tuple | None = None) -> None:
         stc = self.config.stc
-        dt = stc.get_dtype_str(key + ".weight")
-        if dt == "BF16":
-            raw = stc.get_tensor(key + ".weight", allow_bf16=True)
-            w = bf16_to_f32(raw)
-        else:
-            w = stc.get_tensor(key + ".weight").astype(np.float32)
+        w = read_dense_weight(stc, key)
         bias = stc.get_tensor(key + ".bias", optional=True)
         if frange is not None:  # slice of a fused tensor, HF (out, in) rows
             w = w[frange[0] : frange[1]]
@@ -243,6 +238,37 @@ class Linear(Module):
                 jax.device_get(p["weight_q"].astype(jnp.float32) * p["scale"][None, :])
             )
         return np.asarray(jax.device_get(p["weight"].astype(jnp.float32)))
+
+
+def read_dense_weight(stc, key: str) -> np.ndarray:
+    """HF-layout (out, in) f32 weight from bf16/f16/f32 or fp8-block
+    checkpoints (reference modules/linear.py:179-380 — fp8 weights carry a
+    weight_scale_inv block grid, typically 128x128)."""
+    from ..loader.safetensors import fp8_e4m3_to_f32, fp8_e5m2_to_f32
+
+    dt = stc.get_dtype_str(key + ".weight")
+    if dt == "BF16":
+        w = bf16_to_f32(stc.get_tensor(key + ".weight", allow_bf16=True))
+    elif dt in ("F8_E4M3", "F8_E5M2"):
+        raw = stc.get_tensor(key + ".weight")
+        w = (fp8_e4m3_to_f32 if dt == "F8_E4M3" else fp8_e5m2_to_f32)(raw)
+        si = stc.get_tensor(key + ".weight_scale_inv", optional=True)
+        if si is None:
+            si = stc.get_tensor(key + ".weight_scale", optional=True)
+        if si is not None:
+            if si.dtype == np.uint16:
+                si = bf16_to_f32(si)
+            si = si.astype(np.float32)
+            if si.ndim == 2:
+                r, c = w.shape
+                sr, sc = si.shape
+                w = (w.reshape(sr, r // sr, sc, c // sc)
+                     * si.reshape(sr, 1, sc, 1)).reshape(r, c)
+            else:
+                w = w * si
+    else:
+        w = stc.get_tensor(key + ".weight").astype(np.float32)
+    return w
 
 
 def _unpack_signs(packed_i16: np.ndarray) -> np.ndarray:

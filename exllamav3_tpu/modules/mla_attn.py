@@ -137,12 +137,9 @@ class MLAttention(Module):
     def load(self, params: dict) -> None:
         super().load(params)
         stc = self.config.stc
-        kb = f"{self.key}.{self.key_kv_b}.weight"
-        dt = stc.get_dtype_str(kb)
-        if dt == "BF16":
-            w = bf16_to_f32(stc.get_tensor(kb, allow_bf16=True))
-        else:
-            w = stc.get_tensor(kb).astype(np.float32)
+        from .linear import read_dense_weight
+
+        w = read_dense_weight(stc, f"{self.key}.{self.key_kv_b}")
         H, dn, dv, c = (self.num_q_heads, self.qk_nope_head_dim,
                         self.v_head_dim, self.kv_lora_rank)
         assert w.shape == (H * (dn + dv), c), f"{kb}: unexpected shape {w.shape}"

@@ -186,6 +186,17 @@ ARCH_CFGS = {
                                    first_k_dense_replace=1,
                                    scoring_func="sigmoid", index_n_heads=4,
                                    index_head_dim=32, index_topk=8),
+    "Qwen2_5_VLForConditionalGeneration": dict(
+        BASE, hidden_act="silu",
+        rope_scaling={"type": "mrope", "mrope_section": [2, 1, 1]}),
+    "Qwen3VLForConditionalGeneration": dict(BASE, hidden_act="silu"),
+    "Glm4vForConditionalGeneration": dict(BASE, hidden_act="silu"),
+    "Mistral3ForConditionalGeneration": dict(
+        BASE, text_config=dict(hidden_size=128, intermediate_size=256,
+                               num_attention_heads=4, num_key_value_heads=2,
+                               num_hidden_layers=2, rms_norm_eps=1e-5,
+                               rope_theta=10000.0, head_dim=32,
+                               hidden_act="silu", vocab_size=512)),
     "AfmoeForCausalLM": dict(BASE, hidden_act="silu", num_dense_layers=1,
                              moe_intermediate_size=64, num_experts=4,
                              num_experts_per_tok=2, num_shared_experts=1,
