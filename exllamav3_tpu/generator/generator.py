@@ -90,12 +90,13 @@ class Generator:
         self.has_recurrent = any(
             getattr(m, "is_recurrent", False) for m in model.root.walk())
         if self.has_recurrent:
-            self.draft_model = None
-            self.use_ngram_draft = False
-            # speculative rejection would rewind recurrent state; the
-            # reference does this via per-token state history (round 2)
-            self.mtp_model = None
-            self.mtp_cache = None
+            # speculative rejection rewinds via per-step state history
+            # (reference: batched conv/state rewind jobs, gdn.cu). A
+            # recurrent DRAFT model has no such path — disable just that.
+            if self.draft_model is not None and any(
+                    getattr(m, "is_recurrent", False)
+                    for m in self.draft_model.root.walk()):
+                self.draft_model = None
             self.recurrent_keys = [m.key for m in model.root.walk()
                                    if getattr(m, "is_recurrent", False)]
             first_layer = cache.state[self.recurrent_keys[0]]
@@ -432,13 +433,26 @@ class Generator:
 
     # -- decode --------------------------------------------------------------------
 
-    def _get_prefill_fn(self, hidden: bool = False):
-        key = ("prefill", hidden)
+    def _get_prefill_fn(self, hidden: bool = False, history: bool = False):
+        key = ("prefill", hidden, history)
         if key not in self._decode_fns:
             fn = self.model.step_fn("paged", k_bits=self.k_bits,
-                                    v_bits=self.v_bits, return_hidden=hidden)
+                                    v_bits=self.v_bits, return_hidden=hidden,
+                                    recurrent_history=history)
             self._decode_fns[key] = jax.jit(fn, donate_argnums=(2,))
         return self._decode_fns[key]
+
+    def _rewind_recurrent(self, job, row: int, accepted: int, rec_hist: dict):
+        """Set the job's recurrent state to the snapshot after its last
+        VALID verify token (position T-1+accepted)."""
+        slot = self.job_slots[job]
+        for k in self.recurrent_keys:
+            layer = dict(self.cache.state[k])
+            h = rec_hist[k]
+            if "S" in layer and "S" in h:
+                layer["S"] = layer["S"].at[slot].set(h["S"][row, accepted])
+            layer["conv"] = layer["conv"].at[slot].set(h["conv"][row, accepted])
+            self.cache.state[k] = layer
 
     def _get_mtp_fn(self):
         if "mtp" not in self._mtp_fns:
@@ -914,11 +928,22 @@ class Generator:
             pos[i] = np.arange(job.seq_len - 1, job.seq_len - 1 + S)
             bt[i, : len(job.pages)] = job.pages
 
-        step = self._get_prefill_fn(hidden=True)
-        logits, hiddens, self.cache.state = step(
+        seqlens = np.zeros(B, np.int32)
+        slots = np.full(B, self.max_batch_size, np.int32)
+        for i, job in enumerate(jobs):
+            seqlens[i] = job.seq_len - 1
+            slots[i] = self.job_slots[job]
+        step = self._get_prefill_fn(hidden=True, history=self.has_recurrent)
+        vout = step(
             self.model.params, jnp.asarray(ids), self.cache.state,
-            jnp.asarray(pos), jnp.zeros(B, np.int32), jnp.asarray(bt),
+            jnp.asarray(pos), jnp.asarray(seqlens), jnp.asarray(bt),
+            jnp.asarray(slots) if self.has_recurrent else None,
         )
+        if self.has_recurrent:
+            logits, hiddens, self.cache.state, rec_hist = vout
+        else:
+            logits, hiddens, self.cache.state = vout
+            rec_hist = None
         out = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)
         hiddens = np.asarray(hiddens, dtype=np.float32)
 
@@ -932,6 +957,8 @@ class Generator:
                 else:
                     break
             self.num_accepted += accepted
+            if rec_hist is not None:
+                self._rewind_recurrent(job, i, accepted, rec_hist)
             new = [int(out[i, j]) for j in range(accepted + 1)]
             # next iteration's MTP sync: token a_j at position T-1+j paired
             # with the hidden computed there (valid through the accepted run)
@@ -974,18 +1001,28 @@ class Generator:
         ids = np.zeros((B, S), np.int32)
         pos = np.full((B, S), mp_bucket * PAGE_SIZE, np.int32)
         bt = np.zeros((B, mp_bucket + 1), np.int32)
+        seqlens = np.zeros(B, np.int32)
+        slots = np.full(B, self.max_batch_size, np.int32)
         for i, job in enumerate(jobs):
             last = job.new_tokens[-1] if job.new_tokens else job.input_ids[-1]
             row = [int(last)] + list(drafts[i]) + [0] * (k - len(drafts[i]))
             ids[i] = row[:S]
             pos[i] = np.arange(job.seq_len - 1, job.seq_len - 1 + S)
             bt[i, : len(job.pages)] = job.pages
+            seqlens[i] = job.seq_len - 1
+            slots[i] = self.job_slots[job]
 
-        step = self._get_prefill_fn()  # same paged step fn, S-shaped
-        logits, self.cache.state = step(
+        step = self._get_prefill_fn(history=self.has_recurrent)
+        out = step(
             self.model.params, jnp.asarray(ids), self.cache.state,
-            jnp.asarray(pos), jnp.zeros(B, np.int32), jnp.asarray(bt),
+            jnp.asarray(pos), jnp.asarray(seqlens), jnp.asarray(bt),
+            jnp.asarray(slots) if self.has_recurrent else None,
         )
+        if self.has_recurrent:
+            logits, self.cache.state, rec_hist = out
+        else:
+            logits, self.cache.state = out
+            rec_hist = None
         out = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)  # (B, S)
 
         for i, job in enumerate(jobs):
@@ -997,6 +1034,8 @@ class Generator:
                 else:
                     break
             self.num_accepted += accepted
+            if rec_hist is not None:
+                self._rewind_recurrent(job, i, accepted, rec_hist)
             # accepted draft tokens + one bonus token, in order
             new = [int(out[i, j]) for j in range(accepted + 1)]
             for tok in new:

@@ -73,11 +73,13 @@ class Model:
         return x
 
     def step_fn(self, attn_mode: str = "dense", k_bits: int = 0, v_bits: int = 0,
-                return_hidden: bool = False):
+                return_hidden: bool = False, recurrent_history: bool = False):
         """Pure (params, ids, cache_state, positions, cache_seqlens,
         block_tables) -> (logits, new_cache_state). With return_hidden, also
-        returns the pre-final-norm residual stream (for MTP draft heads):
-        (logits, hidden, new_cache_state)."""
+        returns the pre-final-norm residual stream (for MTP draft heads).
+        With recurrent_history, also returns per-step recurrent states
+        {layer_key: {"conv": (B,S,C,ks-1), "S": (B,S,H,dk,dv)}} for
+        speculative rewind."""
 
         def fn(params, ids, cache_state, positions, cache_seqlens, block_tables,
                state_slots=None, mm_embeddings=None):
@@ -93,6 +95,10 @@ class Model:
             )
             if mm_embeddings is not None:
                 ctx.extras["mm_embeddings"] = mm_embeddings
+            rec_hist = None
+            if recurrent_history:
+                rec_hist = {}
+                ctx.extras["recurrent_history"] = rec_hist
             if return_hidden:
                 # run up to (excluding) the final norm + head; the residual
                 # stream there is what MTP heads consume
@@ -103,9 +109,13 @@ class Model:
                 for m in self.modules[self.logit_layer_idx - 1 :]:
                     x = m.forward(x, params, ctx)
                 new_state = ctx.cache if cache_state is not None else None
+                if recurrent_history:
+                    return x, hidden, new_state, rec_hist
                 return x, hidden, new_state
             logits = self.forward_modules(ids, params, ctx)
             new_state = ctx.cache if cache_state is not None else None
+            if recurrent_history:
+                return logits, new_state, rec_hist
             return logits, new_state
 
         return fn

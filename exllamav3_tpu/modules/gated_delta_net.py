@@ -254,6 +254,11 @@ class GatedDeltaNet(Module):
         else:
             conv_state = None
             S0 = jnp.zeros((B, Hv, dk, dv), jnp.float32)
+        hist = ctx.extras.get("recurrent_history")
+        if hist is not None:
+            from ..ops.recurrence import conv_history
+
+            conv_hist = conv_history(mixed, conv_state, self.conv_kernel_size)
         mixed, new_conv = causal_conv1d(mixed, p["conv_w"], p.get("conv_b"),
                                         conv_state, valid_len=valid_len)
         q = mixed[..., : self.k_dim].reshape(B, S, Hk, dk)
@@ -264,8 +269,14 @@ class GatedDeltaNet(Module):
         q = jnp.repeat(l2norm(q), G, axis=2)
         k = jnp.repeat(l2norm(k), G, axis=2)
 
-        o, S_T = gated_recurrence(q, k, v, g, beta, S0,
-                                  scale=1.0 / math.sqrt(dk), delta_rule=True)
+        if hist is not None:
+            o, S_T, S_hist = gated_recurrence(
+                q, k, v, g, beta, S0, scale=1.0 / math.sqrt(dk),
+                delta_rule=True, return_history=True)
+            hist[self.key] = {"conv": conv_hist, "S": S_hist}
+        else:
+            o, S_T = gated_recurrence(q, k, v, g, beta, S0,
+                                      scale=1.0 / math.sqrt(dk), delta_rule=True)
 
         if layer is not None:
             ctx.cache[self.key] = {

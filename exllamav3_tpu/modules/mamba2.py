@@ -142,6 +142,11 @@ class Mamba2(Module):
             conv_state = None
             S0 = jnp.zeros((B, Hv, dk, dv), jnp.float32)
 
+        hist = ctx.extras.get("recurrent_history")
+        if hist is not None:
+            from ..ops.recurrence import conv_history
+
+            conv_hist = conv_history(xbc, conv_state, self.conv_kernel_size)
         xbc, new_conv = causal_conv1d(xbc, p["conv_w"], p.get("conv_b"),
                                       conv_state, valid_len=valid_len)
         x_v = xbc[..., : self.v_dim].reshape(B, S, Hv, dv)
@@ -152,8 +157,14 @@ class Mamba2(Module):
         k = jnp.repeat(Bm, G, axis=2)
         v = x_v.astype(jnp.float32) * dt[..., None]
         ones = jnp.ones_like(g)
-        o, S_T = gated_recurrence(q, k, v, g, ones, S0, scale=1.0,
-                                  delta_rule=False)
+        if hist is not None:
+            o, S_T, S_hist = gated_recurrence(q, k, v, g, ones, S0, scale=1.0,
+                                              delta_rule=False,
+                                              return_history=True)
+            hist[self.key] = {"conv": conv_hist, "S": S_hist}
+        else:
+            o, S_T = gated_recurrence(q, k, v, g, ones, S0, scale=1.0,
+                                      delta_rule=False)
         o = o + p["d_skip"][None, None, :, None] * x_v.astype(jnp.float32)
 
         if layer is not None:

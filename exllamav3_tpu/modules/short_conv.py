@@ -83,6 +83,12 @@ class ShortConv(Module):
             conv_state = None
 
         conv_in = (b.astype(jnp.float32) * xin.astype(jnp.float32))
+        hist = ctx.extras.get("recurrent_history")
+        if hist is not None:
+            from ..ops.recurrence import conv_history
+
+            hist[self.key] = {"conv": conv_history(conv_in, conv_state,
+                                                   self.conv_kernel_size)}
         y, new_conv = causal_conv1d(conv_in, p["conv_w"], p.get("conv_b"),
                                     conv_state, valid_len=valid_len,
                                     activation=False)

@@ -56,7 +56,8 @@ def causal_conv1d(x, w, b=None, conv_state=None, valid_len=None,
     return jnp.swapaxes(y, 1, 2), new_state
 
 
-def gated_recurrence(q, k, v, g, beta, S0, scale: float, delta_rule: bool = True):
+def gated_recurrence(q, k, v, g, beta, S0, scale: float, delta_rule: bool = True,
+                     return_history: bool = False):
     """Gated delta rule (delta_rule=True) or plain gated linear attention.
 
     q, k: (B, T, H, dk); v: (B, T, H, dv); g (log decay), beta: (B, T, H);
@@ -85,11 +86,28 @@ def gated_recurrence(q, k, v, g, beta, S0, scale: float, delta_rule: bool = True
             b_t[..., None, None] * k_t[..., :, None] * v_t[..., None, :]
         )
         o_t = jnp.einsum("bhkv,bhk->bhv", S, q_t) * scale
-        return S, o_t
+        out = (o_t, S) if return_history else o_t
+        return S, out
 
     # unrolling packs 8 steps per scan iteration: fewer loop trips and larger
     # fused bodies (the step math is tiny VPU work; loop overhead dominates)
     unroll = 8 if q.shape[1] >= 8 else 1
-    S_T, o = jax.lax.scan(step, S0.astype(jnp.float32), (qT, kT, vT, gT, bT),
-                          unroll=unroll)
-    return jnp.moveaxis(o, 0, 1), S_T
+    S_T, out = jax.lax.scan(step, S0.astype(jnp.float32), (qT, kT, vT, gT, bT),
+                            unroll=unroll)
+    if return_history:
+        o, S_hist = out
+        # per-step states for speculative rewind (B, T, H, dk, dv)
+        return jnp.moveaxis(o, 0, 1), S_T, jnp.moveaxis(S_hist, 0, 1)
+    return jnp.moveaxis(out, 0, 1), S_T
+
+
+def conv_history(x, conv_state, ksize: int):
+    """Per-step conv tails for speculative rewind: after step t the carried
+    state is the last ksize-1 inputs. x: (B, S, C); conv_state: (B, C, ks-1)
+    or None. Returns (B, S, C, ks-1)."""
+    B, S, C = x.shape
+    xt = jnp.swapaxes(x, 1, 2).astype(jnp.float32)
+    if conv_state is None:
+        conv_state = jnp.zeros((B, C, ksize - 1), dtype=jnp.float32)
+    full = jnp.concatenate([conv_state.astype(jnp.float32), xt], axis=-1)
+    return jnp.stack([full[:, :, t + 1 : t + ksize] for t in range(S)], axis=1)

@@ -74,6 +74,24 @@ def test_recurrent_generator_matches_reference(model):
         assert agree >= 0.8, (got, ref)
 
 
+def test_recurrent_ngram_sd_matches_plain(model):
+    """Speculative decoding on a recurrent hybrid: per-step state history
+    rewinds rejected tokens, so output must equal plain greedy decode."""
+    # repetitive prompt so the suffix automaton actually drafts
+    prompt = np.array([7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8], np.int64)
+
+    gen_plain = Generator(model, Cache(model, CacheSpec(
+        layout="paged", num_pages=16, recurrent_slots=5)), max_batch_size=4)
+    ref = gen_plain.generate(prompt.copy(), max_new_tokens=12)
+
+    gen_sd = Generator(model, Cache(model, CacheSpec(
+        layout="paged", num_pages=16, recurrent_slots=5)), max_batch_size=4,
+        use_ngram_draft=True, num_draft_tokens=3)
+    out = gen_sd.generate(prompt.copy(), max_new_tokens=12)
+    assert out == ref
+    assert gen_sd.num_drafted > 0
+
+
 def test_recurrent_slot_reuse_is_clean(model):
     """A new job on a recycled slot must not see the previous job's state."""
     cache = Cache(model, CacheSpec(layout="paged", num_pages=16,
