@@ -1,0 +1,247 @@
+"""Step-3.5 and HyperCLOVAX architectures.
+
+Feature references: /root/reference/exllamav3/architecture/step3_5.py
+(Step3p5ForCausalLM — dual attention geometries for sliding vs full layers,
+per-layer rope theta/partial factors, headwise attention output gate,
+clamped-swiglu MLPs with per-layer limits, dots-routed MoE on enumerated
+layers with router_bias) and hyperclovax.py (HyperCLOVAXForCausalLM —
+Granite-style embedding/attention/logits multipliers, pre+post norms).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..model.config import Config, no_default
+from ..model.model import Model
+from ..modules import (
+    Attention,
+    BlockSparseMLP,
+    Embedding,
+    GatedMLP,
+    Linear,
+    RMSNorm,
+    TransformerBlock,
+)
+from ..util.rope import RopeStyle
+
+
+class Step3p5Config(Config):
+    arch_string = "Step3p5ForCausalLM"
+
+    def __init__(self, directory: str, derived_model=None, **kwargs):
+        super().__init__(directory, derived_model or {"text": Step3p5Model},
+                         **kwargs)
+        self.num_hidden_layers = self.read_cfg(int, "num_hidden_layers", no_default)
+        self.tie_word_embeddings = self.read_cfg(bool, "tie_word_embeddings", False)
+        self.head_dim = self.read_cfg(int, "head_dim", None)
+        self.num_q_heads = self.read_cfg(int, "num_attention_heads", no_default)
+        self.num_kv_heads = self.read_cfg(int, "num_attention_groups", no_default)
+        if not self.head_dim:
+            self.head_dim = self.hidden_size // self.num_q_heads
+        self.sliding_window = self.read_cfg(int, "sliding_window", -1)
+        self.alt_head_dim = self.read_cfg(
+            int, "attention_other_setting->head_dim", None) or self.head_dim
+        self.alt_num_q_heads = self.read_cfg(
+            int, "attention_other_setting->num_attention_heads", no_default)
+        self.alt_num_kv_heads = self.read_cfg(
+            int, "attention_other_setting->num_attention_groups", no_default)
+        self.layer_types = self.read_cfg(list, "layer_types", no_default)
+        rope_theta = self.read_cfg(list, "rope_theta", no_default)
+        prf = self.read_cfg(list, "partial_rotary_factors", no_default)
+        from ..util.rope import RopeSettings
+
+        self.rope_settings_list = []
+        for rt, pf, lt in zip(rope_theta, prf, self.layer_types):
+            hd = (self.head_dim if lt == "sliding_attention"
+                  else self.alt_head_dim)
+            self.rope_settings_list.append(RopeSettings(
+                head_dim=hd, rope_theta=float(rt),
+                partial_rotary_factor=float(pf),
+                max_position_embeddings=self.max_position_embeddings,
+                rope_style=RopeStyle.NEOX,
+            ))
+        self.intermediate_size = self.read_cfg(int, "intermediate_size", no_default)
+        self.moe_intermediate_size = self.read_cfg(int, "moe_intermediate_size",
+                                                   no_default)
+        self.num_experts = self.read_cfg(int, "moe_num_experts", no_default)
+        self.num_experts_per_tok = self.read_cfg(int, "moe_top_k", no_default)
+        self.shared_expert_intermediate_size = self.read_cfg(
+            int, "share_expert_dim", no_default)
+        self.routed_scaling_factor = self.read_cfg(
+            float, "moe_router_scaling_factor", 3.0)
+        moe_layers = self.read_cfg(str, "moe_layers_enum", no_default)
+        self.moe_layers = set(int(l) for l in str(moe_layers).split(","))
+        self.swiglu_limits = self.read_cfg(list, "swiglu_limits", no_default)
+        self.swiglu_limits_shared = self.read_cfg(list, "swiglu_limits_shared",
+                                                  no_default)
+        self.rms_norm_eps = self.read_cfg(float, "rms_norm_eps", 1e-5)
+        self.use_qk_norm = self.read_cfg(bool, "use_qk_norm", True)
+
+
+class Step3p5Model(Model):
+    config_class = Step3p5Config
+
+    def __init__(self, config: Step3p5Config, key_prefix: str = "model",
+                 **kwargs):
+        super().__init__(config, **kwargs)
+        self.modules += [
+            Embedding(config=config, key=f"{key_prefix}.embed_tokens",
+                      vocab_size=config.vocab_size, hidden_size=config.hidden_size)
+        ]
+        self.first_block_idx = len(self.modules)
+        for idx in range(config.num_hidden_layers):
+            lk = f"{key_prefix}.layers.{idx}"
+            is_moe = idx in config.moe_layers
+            is_swa = config.layer_types[idx] == "sliding_attention"
+            nq = config.num_q_heads if not is_swa else config.alt_num_q_heads
+            nkv = config.num_kv_heads if not is_swa else config.alt_num_kv_heads
+            hd = config.head_dim if is_swa else config.alt_head_dim
+            act_limit = float(config.swiglu_limits[idx])
+            qk = config.use_qk_norm
+            if is_moe:
+                mlp = BlockSparseMLP(
+                    config=config, key=f"{lk}.moe",
+                    hidden_size=config.hidden_size,
+                    intermediate_size=config.moe_intermediate_size,
+                    num_experts=config.num_experts,
+                    num_experts_per_tok=config.num_experts_per_tok,
+                    key_routing_gate="gate",
+                    key_e_score_bias="router_bias",
+                    routing="ds3", norm_topk_prob=True,
+                    routed_scaling_factor=config.routed_scaling_factor,
+                    activation="silu_oai", act_limit=act_limit or 7.0,
+                    qmap="block.mlp",
+                    shared_experts=GatedMLP(
+                        config=config, key=f"{lk}.share_expert",
+                        hidden_size=config.hidden_size,
+                        intermediate_size=config.shared_expert_intermediate_size,
+                        act_limit=float(config.swiglu_limits_shared[idx]),
+                        qmap="block.mlp",
+                    ),
+                    out_dtype=jnp.float32,
+                )
+            else:
+                mlp = GatedMLP(config=config, key=f"{lk}.mlp",
+                               hidden_size=config.hidden_size,
+                               intermediate_size=config.intermediate_size,
+                               act_limit=act_limit, qmap="block.mlp",
+                               out_dtype=jnp.float32)
+            self.modules += [
+                TransformerBlock(
+                    config=config, key=lk, layer_idx=idx,
+                    attn_norm=RMSNorm(config, f"{lk}.input_layernorm",
+                                      config.rms_norm_eps, constant_bias=1.0),
+                    attn=Attention(
+                        config=config, key=f"{lk}.self_attn", layer_idx=idx,
+                        hidden_size=config.hidden_size, head_dim=hd,
+                        num_q_heads=nq, num_kv_heads=nkv,
+                        rope_settings=config.rope_settings_list[idx],
+                        sliding_window=config.sliding_window if is_swa else 0,
+                        key_g="g_proj",  # headwise output gate
+                        qmap="block.attn",
+                        q_norm=RMSNorm(config, f"{lk}.self_attn.q_norm",
+                                       config.rms_norm_eps, constant_bias=1.0,
+                                       dim=hd) if qk else None,
+                        k_norm=RMSNorm(config, f"{lk}.self_attn.k_norm",
+                                       config.rms_norm_eps, constant_bias=1.0,
+                                       dim=hd) if qk else None,
+                        out_dtype=jnp.float32,
+                    ),
+                    mlp_norm=RMSNorm(config, f"{lk}.post_attention_layernorm",
+                                     config.rms_norm_eps, constant_bias=1.0),
+                    mlp=mlp,
+                )
+            ]
+        self.last_kv_module_idx = len(self.modules) - 1
+        head_alt_key = None
+        if config.tie_word_embeddings and not config.stc.has_tensor("lm_head.weight"):
+            head_alt_key = f"{key_prefix}.embed_tokens"
+        self.modules += [
+            RMSNorm(config, f"{key_prefix}.norm", config.rms_norm_eps,
+                    constant_bias=1.0, out_dtype=jnp.bfloat16),
+            Linear(config=config, key="lm_head", in_features=config.hidden_size,
+                   out_features=config.vocab_size, qmap="block.lm_head",
+                   alt_key=head_alt_key, out_dtype=jnp.float32),
+        ]
+        self.logit_layer_idx = len(self.modules) - 1
+
+
+class HyperClovaxConfig(Config):
+    arch_string = "HyperCLOVAXForCausalLM"
+
+    def __init__(self, directory: str, derived_model=None, **kwargs):
+        super().__init__(directory,
+                         derived_model or {"text": HyperClovaxModel}, **kwargs)
+        self.embedding_multiplier = self.read_cfg(float, "embedding_multiplier", 1.0)
+        self.logits_scaling = self.read_cfg(float, "logits_scaling", 1.0)
+        self.head_dim = self.read_cfg(int, "head_dim", None)
+        self.num_q_heads = self.read_cfg(int, "num_attention_heads", no_default)
+        self.num_kv_heads = self.read_cfg(int, "num_key_value_heads", self.num_q_heads)
+        if not self.head_dim:
+            self.head_dim = self.hidden_size // self.num_q_heads
+        self.attention_multiplier = self.read_cfg(float, "attention_multiplier", None)
+        self.intermediate_size = self.read_cfg(int, "intermediate_size", no_default)
+        self.rms_norm_eps = self.read_cfg(float, "rms_norm_eps", no_default)
+        self.num_hidden_layers = self.read_cfg(int, "num_hidden_layers", no_default)
+        self.tie_word_embeddings = self.read_cfg(bool, "tie_word_embeddings", False)
+        self.rope_settings = self.read_rope_settings_default(RopeStyle.NEOX)
+
+
+class HyperClovaxModel(Model):
+    config_class = HyperClovaxConfig
+
+    def __init__(self, config: HyperClovaxConfig, key_prefix: str = "model",
+                 **kwargs):
+        super().__init__(config, **kwargs)
+        self.modules += [
+            Embedding(config=config, key=f"{key_prefix}.embed_tokens",
+                      vocab_size=config.vocab_size, hidden_size=config.hidden_size,
+                      scale=config.embedding_multiplier)
+        ]
+        self.first_block_idx = len(self.modules)
+        for idx in range(config.num_hidden_layers):
+            lk = f"{key_prefix}.layers.{idx}"
+            self.modules += [
+                TransformerBlock(
+                    config=config, key=lk, layer_idx=idx,
+                    attn_norm=RMSNorm(config, f"{lk}.input_layernorm",
+                                      config.rms_norm_eps),
+                    attn=Attention(
+                        config=config, key=f"{lk}.self_attn", layer_idx=idx,
+                        hidden_size=config.hidden_size, head_dim=config.head_dim,
+                        num_q_heads=config.num_q_heads,
+                        num_kv_heads=config.num_kv_heads,
+                        rope_settings=config.rope_settings,
+                        sm_scale=config.attention_multiplier,
+                        qmap="block.attn",
+                    ),
+                    attn_post_norm=RMSNorm(config, f"{lk}.post_norm1",
+                                           config.rms_norm_eps),
+                    mlp_norm=RMSNorm(config, f"{lk}.post_attention_layernorm",
+                                     config.rms_norm_eps),
+                    mlp=GatedMLP(config=config, key=f"{lk}.mlp",
+                                 hidden_size=config.hidden_size,
+                                 intermediate_size=config.intermediate_size,
+                                 qmap="block.mlp"),
+                    mlp_post_norm=RMSNorm(config, f"{lk}.post_norm2",
+                                          config.rms_norm_eps,
+                                          out_dtype=jnp.float32),
+                )
+            ]
+        self.last_kv_module_idx = len(self.modules) - 1
+        head_alt_key = None
+        if config.tie_word_embeddings and not config.stc.has_tensor("lm_head.weight"):
+            head_alt_key = f"{key_prefix}.embed_tokens"
+        self.modules += [
+            RMSNorm(config, f"{key_prefix}.norm", config.rms_norm_eps,
+                    out_dtype=jnp.bfloat16),
+            Linear(config=config, key="lm_head", in_features=config.hidden_size,
+                   out_features=config.vocab_size, qmap="block.lm_head",
+                   alt_key=head_alt_key,
+                   post_scale=1.0 / config.logits_scaling,
+                   out_dtype=jnp.float32),
+        ]
+        self.logit_layer_idx = len(self.modules) - 1
+
+
+ARCHITECTURES = [Step3p5Config, HyperClovaxConfig]

@@ -56,12 +56,14 @@ class GatedMLP(Module):
         out_dtype=None,
         interm_dtype=None,
         act_silu_oai: bool = False,
+        act_limit: float = 0.0,  # non-zero: clamped oai swiglu (step3, gpt-oss)
         key_alpha_p: str | None = None,
         key_alpha_n: str | None = None,
     ):
         super().__init__(config, key, qmap)
         self.activation = activation
-        self.act_silu_oai = act_silu_oai
+        self.act_silu_oai = act_silu_oai or bool(act_limit)
+        self.act_limit = act_limit or 7.0
         self.key_alpha_p = key_alpha_p
         self.key_alpha_n = key_alpha_n
         self.out_dtype = out_dtype
@@ -114,7 +116,7 @@ class GatedMLP(Module):
             g = self.gate.forward(x, params, ctx).astype(jnp.float32)
             u = self.up.forward(x, params, ctx).astype(jnp.float32)
         if self.act_silu_oai:
-            h = act_fn_silu_oai(g, u)
+            h = act_fn_silu_oai(g, u, limit=self.act_limit)
         elif self.activation == "xielu":
             p = params[self.key]
             h = act_fn_xielu(g, p["alpha_p"], p["alpha_n"]) * u

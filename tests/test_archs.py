@@ -186,6 +186,21 @@ ARCH_CFGS = {
                                    first_k_dense_replace=1,
                                    scoring_func="sigmoid", index_n_heads=4,
                                    index_head_dim=32, index_topk=8),
+    "Step3p5ForCausalLM": dict(
+        BASE, num_hidden_layers=2, num_attention_groups=2,
+        attention_other_setting={"head_dim": 32, "num_attention_heads": 4,
+                                 "num_attention_groups": 2},
+        layer_types=["sliding_attention", "full_attention"],
+        sliding_window=64, rope_theta=[10000.0, 100000.0],
+        partial_rotary_factors=[0.5, 1.0], hidden_act="silu",
+        moe_intermediate_size=64, moe_num_experts=4, moe_top_k=2,
+        share_expert_dim=64, moe_layers_enum="1",
+        swiglu_limits=[7.0, 7.0], swiglu_limits_shared=[7.0, 7.0],
+        use_qk_norm=True),
+    "HyperCLOVAXForCausalLM": dict(BASE, hidden_act="silu",
+                                   embedding_multiplier=12.0,
+                                   logits_scaling=8.0,
+                                   attention_multiplier=0.13),
     "Qwen2_5_VLForConditionalGeneration": dict(
         BASE, hidden_act="silu",
         rope_scaling={"type": "mrope", "mrope_section": [2, 1, 1]}),
