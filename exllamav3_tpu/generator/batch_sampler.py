@@ -21,6 +21,7 @@ from .sampler import (
     SS_MinP,
     SS_RepP,
     SS_PresFreqP,
+    SS_XTC,
     NEG_INF,
 )
 
@@ -38,6 +39,8 @@ class BatchSamplerParams:
     rep_p: np.ndarray  # (B,) f32, 1 = off
     presence_p: np.ndarray  # (B,) f32
     frequency_p: np.ndarray  # (B,) f32
+    xtc_threshold: np.ndarray  # (B,) f32
+    xtc_probability: np.ndarray  # (B,) f32, 0 = off
     greedy: np.ndarray  # (B,) bool
 
     @staticmethod
@@ -51,6 +54,8 @@ class BatchSamplerParams:
             rep_p=np.ones(B, np.float32),
             presence_p=np.zeros(B, np.float32),
             frequency_p=np.zeros(B, np.float32),
+            xtc_threshold=np.ones(B, np.float32),
+            xtc_probability=np.zeros(B, np.float32),
             greedy=np.zeros(B, bool),
         )
         for i, s in enumerate(samplers):
@@ -69,6 +74,9 @@ class BatchSamplerParams:
                 elif isinstance(step, SS_PresFreqP):
                     p.presence_p[i] = step.presence_p
                     p.frequency_p[i] = step.frequency_p
+                elif isinstance(step, SS_XTC):
+                    p.xtc_threshold[i] = step.threshold
+                    p.xtc_probability[i] = step.probability
         return p
 
     def as_device(self) -> dict:
@@ -80,6 +88,8 @@ class BatchSamplerParams:
             "rep_p": jnp.asarray(self.rep_p),
             "presence_p": jnp.asarray(self.presence_p),
             "frequency_p": jnp.asarray(self.frequency_p),
+            "xtc_threshold": jnp.asarray(self.xtc_threshold),
+            "xtc_probability": jnp.asarray(self.xtc_probability),
             "greedy": jnp.asarray(self.greedy),
         }
 
@@ -122,6 +132,16 @@ def batch_sample(logits, sp: dict, counts, key, filter_mask=None):
     probs = jax.nn.softmax(x, axis=-1)
     mp_thresh = jnp.max(probs, axis=-1, keepdims=True) * sp["min_p"][:, None]
     x = jnp.where(probs < mp_thresh, NEG_INF, x)
+    # XTC: with probability p drop every token with prob >= threshold except
+    # the least likely of them (reference SS_XTC)
+    key, xtc_key = jax.random.split(key)
+    probs = jax.nn.softmax(x, axis=-1)
+    above = probs >= sp["xtc_threshold"][:, None]
+    n_above = jnp.sum(above, axis=-1, keepdims=True)
+    min_above = jnp.min(jnp.where(above, probs, jnp.inf), axis=-1, keepdims=True)
+    gate = (jax.random.uniform(xtc_key, (B, 1)) < sp["xtc_probability"][:, None])
+    drop = above & (probs > min_above) & (n_above >= 2) & gate
+    x = jnp.where(drop, NEG_INF, x)
     # sample / argmax
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, x.shape, minval=1e-20, maxval=1.0)))
     noisy = jnp.where(x <= NEG_INF / 2, NEG_INF, x + gumbel)

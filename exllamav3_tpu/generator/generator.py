@@ -631,12 +631,22 @@ class Generator:
                 fm = np.zeros((B, V), dtype=np.float32)
             return fm, i
 
+        from .sampler import SS_LogitBias, SS_BanTokens
+
         for i, job in enumerate(jobs):
             for f in job.filters:
                 m = f.allowed_mask(V)
                 if m is not None:
                     row(i)
                     fm[i] += m
+            for step in job.sampler.steps:
+                if isinstance(step, SS_LogitBias) and step.bias:
+                    row(i)
+                    for tid, b in step.bias:
+                        fm[i, tid] += b
+                elif isinstance(step, SS_BanTokens) and step.tokens:
+                    row(i)
+                    fm[i, list(step.tokens)] = NEG
             if job.healing_prefix and not job.new_tokens:
                 allowed = self.tokenizer.prefix_token_ids(job.healing_prefix)
                 row(i)

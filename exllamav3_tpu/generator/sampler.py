@@ -127,6 +127,33 @@ class SS_BanTokens(SS):
 
 
 @dataclass(frozen=True)
+class SS_XTC(SS):
+    """Exclude-top-choices (reference sampler/custom.py SS_XTC): with
+    probability `probability`, drop every token whose probability is >=
+    `threshold` EXCEPT the least likely of them (keeps outputs creative by
+    removing the dominant heads)."""
+
+    threshold: float = 0.1
+    probability: float = 0.5
+
+    def apply(self, logits, state):
+        import jax
+
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        above = probs >= self.threshold
+        n_above = jnp.sum(above, axis=-1, keepdims=True)
+        min_above = jnp.min(jnp.where(above, probs, jnp.inf), axis=-1,
+                            keepdims=True)
+        drop = above & (probs > min_above) & (n_above >= 2)
+        key = state.get("xtc_key")
+        if key is not None:
+            gate = jax.random.uniform(key, n_above.shape) < self.probability
+        else:
+            gate = jnp.ones_like(n_above, dtype=bool)
+        return jnp.where(drop & gate, NEG_INF, logits)
+
+
+@dataclass(frozen=True)
 class SS_MaskApply(SS):
     """Apply a (B, V) additive mask from constrained-decoding filters."""
 
@@ -145,6 +172,10 @@ class Sampler:
     def sample(self, logits, key, state=None):
         """logits: (B, V) -> token ids (B,) int32. Traceable."""
         state = state or {}
+        if "xtc_key" not in state and any(isinstance(s, SS_XTC)
+                                          for s in self.steps):
+            key, xkey = jax.random.split(key)
+            state["xtc_key"] = xkey
         x = logits.astype(jnp.float32)
         for s in self.steps:
             x = s.apply(x, state)
