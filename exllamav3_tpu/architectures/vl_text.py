@@ -25,6 +25,10 @@ class Qwen25VLConfig(LlamaConfig):
     def __init__(self, directory: str, **kwargs):
         super().__init__(directory, derived_model={"text": Qwen25VLModel},
                          **kwargs)
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc:
+            self.vision_config = vc
+            self.model_classes["vision"] = Qwen25VLVisionModel
 
 
 class Qwen25VLModel(Qwen2Model):
@@ -32,6 +36,57 @@ class Qwen25VLModel(Qwen2Model):
 
     def __init__(self, config, **kwargs):
         super().__init__(config, key_prefix="model.language_model", **kwargs)
+
+
+class Qwen25VLVisionModel:
+    """Vision component wrapper (Model-like) for the Qwen2.5-VL tower."""
+
+    def __new__(cls, config, **kwargs):
+        from ..model.model import Model
+        from ..modules.vision_qwen import Qwen25VisionTower
+
+        vc = config.vision_config
+
+        class _VisionModel(Model):
+            def __init__(self, config, **kw):
+                super().__init__(config, **kw)
+                self.tower = Qwen25VisionTower(
+                    config, key="model.visual",
+                    depth=int(vc.get("depth", 32)),
+                    hidden=int(vc.get("hidden_size", 1280)),
+                    heads=int(vc.get("num_heads", 16)),
+                    intermediate=int(vc.get("intermediate_size", 3420)),
+                    patch_size=int(vc.get("patch_size", 14)),
+                    temporal_patch_size=int(vc.get("temporal_patch_size", 2)),
+                    spatial_merge_size=int(vc.get("spatial_merge_size", 2)),
+                    window_size=int(vc.get("window_size", 112)),
+                    fullatt_block_indexes=tuple(
+                        vc.get("fullatt_block_indexes", (7, 15, 23, 31))),
+                    out_hidden=int(vc.get("out_hidden_size",
+                                          config.hidden_size)),
+                )
+                self.modules = [self.tower]
+
+            def get_image_embeddings(self, pixels, text_alias=None):
+                import numpy as np
+                import jax
+                import jax.numpy as jnp
+                from ..modules.module import ForwardCtx
+                from ..tokenizer.mm_embedding import MMEmbedding
+
+                single = pixels.ndim == 3
+                if single:
+                    pixels = pixels[None]
+                if "vision_fwd" not in self._step_cache:
+                    self._step_cache["vision_fwd"] = jax.jit(
+                        lambda params, px: self.tower.forward(
+                            px, params, ForwardCtx()))
+                emb = np.asarray(jax.device_get(self._step_cache["vision_fwd"](
+                    self.params, jnp.asarray(pixels, dtype=jnp.float32))))
+                out = [MMEmbedding(e, text_alias=text_alias) for e in emb]
+                return out[0] if single else out
+
+        return _VisionModel(config, **kwargs)
 
 
 class Qwen3VLConfig(LlamaConfig):
