@@ -120,6 +120,53 @@ def main():
     dt = time.time() - t0
     tok_s = decode_steps / dt
 
+    # serving-shaped extras: batched decode aggregate and prefill throughput
+    batch_tok_s = prefill_tok_s = 0.0
+    if on_tpu:
+        BB = 8
+        cache_b = Cache(model, CacheSpec(layout="linear", batch_size=BB,
+                                         max_len=S + 256))
+        B = BB  # scan_decode closes over B
+
+        def scan_decode_b(params, tok, state, t0_):
+            return scan_decode(params, tok, state, t0_)
+
+        scan_b = jax.jit(scan_decode_b, donate_argnums=(2,))
+        ids_b = rng.integers(0, cfg["vocab_size"], size=(BB, S)).astype(np.int32)
+        pos_b = np.broadcast_to(np.arange(S, dtype=np.int32), (BB, S)).copy()
+        _, cache_b.state = step(model.params, jnp.asarray(ids_b), cache_b.state,
+                                jnp.asarray(pos_b), jnp.zeros(BB, jnp.int32),
+                                None)
+        tok_b = jnp.asarray(ids_b[:, -1:])
+        tok_b, cache_b.state, toks_b = scan_b(model.params, tok_b,
+                                              cache_b.state, jnp.int32(S))
+        np.asarray(toks_b)
+        t0 = time.time()
+        tok_b, cache_b.state, toks_b = scan_b(model.params, tok_b,
+                                              cache_b.state,
+                                              jnp.int32(S + decode_steps))
+        np.asarray(toks_b)
+        batch_tok_s = BB * decode_steps / (time.time() - t0)
+        B = 1
+
+        # prefill throughput: 2048 tokens, steady state (pre-compiled shape)
+        Sp = 2048
+        cache_p = Cache(model, CacheSpec(layout="linear", batch_size=1,
+                                         max_len=Sp + 8))
+        ids_p = rng.integers(0, cfg["vocab_size"], size=(1, Sp)).astype(np.int32)
+        pos_p = np.broadcast_to(np.arange(Sp, dtype=np.int32), (1, Sp)).copy()
+        lp, cache_p.state = step(model.params, jnp.asarray(ids_p),
+                                 cache_p.state, jnp.asarray(pos_p),
+                                 jnp.zeros(1, jnp.int32), None)
+        np.asarray(lp[:, -1, :8])
+        cache_p.reset()
+        t0 = time.time()
+        lp, cache_p.state = step(model.params, jnp.asarray(ids_p),
+                                 cache_p.state, jnp.asarray(pos_p),
+                                 jnp.zeros(1, jnp.int32), None)
+        np.asarray(lp[:, -1, :8])
+        prefill_tok_s = Sp / (time.time() - t0)
+
     print(json.dumps({
         "metric": "decode_tok_s",
         "value": round(tok_s, 2),
@@ -133,6 +180,8 @@ def main():
             "weight_bytes": wbytes,
             "roofline_tok_s": round(roofline_tok_s, 2),
             "prefill_s_128tok_incl_compile": round(prefill_s, 3),
+            "batch8_decode_tok_s": round(batch_tok_s, 2),
+            "prefill_tok_s_2048": round(prefill_tok_s, 2),
             "load_s": round(load_s, 2),
         },
     }))
