@@ -247,6 +247,51 @@ class BlockSparseMLP(Module):
 
     # -- forward ------------------------------------------------------------------
 
+    def _grouped_experts(self, xt, weights, p):
+        """Exact grouped-expert compute: sort token-expert assignments by
+        expert and run ragged MXU matmuls (jax.lax.ragged_dot) — k/E of the
+        dense-all FLOPs with NO capacity drops (SURVEY §7 hard part #6:
+        sort + segment matmul preserves exact routing)."""
+        T, E = weights.shape
+        k = self.top_k
+        # recover the top-k assignment (weights has zeros off-topk)
+        topv, topi = jax.lax.top_k(weights, k)  # (T, k)
+        flat_e = topi.reshape(-1)  # (T*k,)
+        flat_t = jnp.repeat(jnp.arange(T), k)
+        flat_w = topv.reshape(-1)
+        order = jnp.argsort(flat_e)
+        e_sorted = flat_e[order]
+        t_sorted = flat_t[order]
+        w_sorted = flat_w[order]
+        group_sizes = jnp.bincount(e_sorted, length=E).astype(jnp.int32)
+
+        gk, uk, dk = self.keys_gud
+        xs = xt[t_sorted].astype(jnp.bfloat16)  # (T*k, h)
+        u = jax.lax.ragged_dot(xs, p["w_" + uk], group_sizes,
+                               preferred_element_type=jnp.float32)
+        if "b_" + uk in p:
+            u = u + p["b_" + uk][e_sorted]
+        if self.gated:
+            g = jax.lax.ragged_dot(xs, p["w_" + gk], group_sizes,
+                                   preferred_element_type=jnp.float32)
+            if "b_" + gk in p:
+                g = g + p["b_" + gk][e_sorted]
+            if self.activation == "silu_oai":
+                from .mlp import act_fn_silu_oai
+
+                a = act_fn_silu_oai(g, u, limit=self.act_limit)
+            else:
+                a = ACT2FN[self.activation](g) * u
+        else:
+            a = ACT2FN[self.activation](u)
+        y = jax.lax.ragged_dot(a.astype(jnp.bfloat16), p["w_" + dk],
+                               group_sizes, preferred_element_type=jnp.float32)
+        if "b_" + dk in p:
+            y = y + p["b_" + dk][e_sorted]
+        y = y * w_sorted[:, None]
+        out = jnp.zeros((T, xt.shape[-1]), jnp.float32)
+        return out.at[t_sorted].add(y)
+
     def forward(self, x, params: dict, ctx: ForwardCtx):
         p = params[self.key]
         shape = x.shape
@@ -256,6 +301,20 @@ class BlockSparseMLP(Module):
 
         logits = self.router.forward(xt, params, ctx).astype(jnp.float32)
         weights = self.route(logits, params[self.router.key].get("e_bias"))  # (T, E)
+
+        # grouped path when it saves real compute (prefill shapes); the
+        # dense-all path below is optimal for bandwidth-bound decode
+        if T * self.top_k * 2 < T * self.num_experts and T >= 16:
+            out = self._grouped_experts(xt, weights, p)
+            if self.shared_experts is not None:
+                so = self.shared_experts.forward(xt, params, ctx).astype(jnp.float32)
+                if self.shared_gate is not None:
+                    sg = self.shared_gate.forward(xt, params, ctx).astype(jnp.float32)
+                    so = so * jax.nn.sigmoid(sg)
+                out = out + so
+            out = out.reshape(shape[:-1] + (h,))
+            dt = self.out_dtype if self.out_dtype is not None else x.dtype
+            return out.astype(dt)
 
         gk, uk, dk = self.keys_gud
         wu, wd = p["w_" + uk], p["w_" + dk]
