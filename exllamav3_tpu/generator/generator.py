@@ -89,6 +89,16 @@ class Generator:
         # so prefix-page reuse and speculative rewind are off for these models
         self.has_recurrent = any(
             getattr(m, "is_recurrent", False) for m in model.root.walk())
+        # SWA ring caches also key state by stable per-job slots (but are
+        # position-keyed, so they need no speculative rewind history)
+        self.ring_keys: list = []
+        if cache.spec.swa_ring:
+            self.ring_keys = [
+                m.key for m in model.root.walk()
+                if getattr(m, "is_kv_cache_user", False)
+                and getattr(m, "sliding_window", 0)
+                and not getattr(m, "is_recurrent", False)]
+        self.has_recurrent = self.has_recurrent or bool(self.ring_keys)
         if self.has_recurrent:
             # speculative rejection rewinds via per-step state history
             # (reference: batched conv/state rewind jobs, gdn.cu). A
@@ -99,7 +109,8 @@ class Generator:
                 self.draft_model = None
             self.recurrent_keys = [m.key for m in model.root.walk()
                                    if getattr(m, "is_recurrent", False)]
-            first_layer = cache.state[self.recurrent_keys[0]]
+            first_layer = cache.state[
+                (self.recurrent_keys + self.ring_keys)[0]]
             n_slots = next(iter(first_layer.values())).shape[0]
             assert n_slots >= max_batch_size + 1, (
                 f"recurrent cache has {n_slots} state slots; need "
@@ -171,7 +182,8 @@ class Generator:
 
                 self._rstash = RecurrentStateCache()
             job.rq_handle = self._rstash.stash(
-                self.cache.state, self.recurrent_keys, slot, job.seq_len)
+                self.cache.state, self.recurrent_keys + self.ring_keys,
+                slot, job.seq_len)
             # everything but the newest token has flowed through the
             # recurrent state; resume must not re-feed those tokens
             job.prefill_done = job.seq_len - 1
@@ -292,11 +304,13 @@ class Generator:
             self.job_slots[job] = self.free_slots.pop(0)
             slot = self.job_slots[job]
             if self.has_recurrent:
-                # the slot may have been used by a finished job: zero its state
-                for k in self.recurrent_keys:
+                # the slot may have been used by a finished job: clear it
+                # (ring position arrays clear to -1 = "never written")
+                for k in self.recurrent_keys + self.ring_keys:
                     layer = self.cache.state[k]
                     self.cache.state[k] = {
-                        n: a.at[slot].set(0) for n, a in layer.items()
+                        n: a.at[slot].set(-1 if n == "pos" else 0)
+                        for n, a in layer.items()
                     }
                 if getattr(job, "rq_handle", None):
                     self._rstash.unstash(job.rq_handle, self.cache.state, slot)

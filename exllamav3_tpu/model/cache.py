@@ -39,6 +39,11 @@ class CacheSpec:
     # batch_size for linear layout, 33 (generator max_batch 32 + scrap row)
     # for paged.
     recurrent_slots: int = 0
+    # sliding-window layers as fixed-size rolling rings instead of full-
+    # length caches (reference modules/sliding_attn.py "recurrent mode";
+    # -swa_full flips it off there, opt-in here). Saves window/max_len of
+    # the KV memory on SWA layers; disables prefix-cache reuse for them.
+    swa_ring: bool = False
 
 
 def cache_base_shape(spec: CacheSpec, heads: int, dim: int) -> tuple:

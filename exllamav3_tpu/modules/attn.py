@@ -97,9 +97,21 @@ class Attention(Module):
 
     def new_cache_layer(self, spec) -> dict:
         """Per-head K/V layer state (fp16-analogue bf16, or int32-packed
-        quantized; reference cache/fp16.py, cache/quant.py)."""
+        quantized; reference cache/fp16.py, cache/quant.py). With
+        spec.swa_ring, sliding-window layers hold a fixed W-slot ring per
+        sequence slot plus a position array for masking/overwrite."""
         from ..model.cache import cache_base_shape, cache_dtype
 
+        if spec.swa_ring and self.sliding_window:
+            n = spec.recurrent_slots or (
+                spec.batch_size if spec.layout == "linear" else 33)
+            W = self.sliding_window + 1  # the window plus the query's own slot
+            dt = cache_dtype(spec)
+            return {
+                "k": jnp.zeros((n, W, self.num_kv_heads, self.head_dim), dt),
+                "v": jnp.zeros((n, W, self.num_kv_heads, self.head_dim), dt),
+                "pos": jnp.full((n, W), -1, jnp.int32),
+            }
         shape = cache_base_shape(spec, self.num_kv_heads, self.head_dim)
         if spec.k_bits:
             from ..ops.kv_quant import quant_cache_shapes
@@ -189,6 +201,60 @@ class Attention(Module):
                 q.astype(dt), k.astype(dt), v.astype(dt),
                 q_positions=ctx.positions, k_positions=ctx.positions,
                 k_valid=None, scale=self.sm_scale,
+                sliding_window=self.sliding_window,
+                logit_softcap=self.logit_softcap, sinks=sinks,
+            )
+        elif "pos" in ctx.cache[self.key]:
+            # SWA ring: W+1 slots per sequence, slot = position mod W+1.
+            # Queries attend over [prior ring contents | this chunk's keys]
+            # (the chunk may be longer than the window, so its keys can't all
+            # land in the ring); only the LAST W+1 chunk positions write back
+            # — ring slots alias every W+1 positions and duplicate-scatter
+            # order is unspecified. The stored position array masks unwritten
+            # (-1) and speculative (future) slots, so overwrite IS eviction.
+            layer = ctx.cache[self.key]
+            W = layer["k"].shape[1]
+            slots = (ctx.state_slots if ctx.state_slots is not None
+                     else jnp.arange(B, dtype=jnp.int32))
+            k_prev = layer["k"][slots]
+            v_prev = layer["v"][slots]
+            pos_prev = layer["pos"][slots]
+
+            if ctx.cache_seqlens is not None:
+                expect = (ctx.cache_seqlens[:, None]
+                          + jnp.arange(S, dtype=jnp.int32))
+                valid = ctx.positions == expect
+            else:
+                valid = jnp.ones((B, S), dtype=bool)
+            vlen = jnp.sum(valid, axis=1)
+            last_pos = (ctx.cache_seqlens if ctx.cache_seqlens is not None
+                        else jnp.zeros(B, jnp.int32)) + vlen - 1
+            keep = valid & (ctx.positions > (last_pos[:, None] - W))
+            idx = jnp.where(keep, ctx.positions % W, W)
+            rows = slots[:, None]
+            layer = {
+                "k": layer["k"].at[rows, idx].set(
+                    k.astype(layer["k"].dtype), mode="drop"),
+                "v": layer["v"].at[rows, idx].set(
+                    v.astype(layer["v"].dtype), mode="drop"),
+                "pos": layer["pos"].at[rows, idx].set(
+                    ctx.positions, mode="drop"),
+            }
+            ctx.cache[self.key] = layer
+
+            # prior entries must be strictly older than the chunk start —
+            # stale speculative slots could otherwise duplicate chunk keys
+            start = (ctx.cache_seqlens if ctx.cache_seqlens is not None
+                     else jnp.min(ctx.positions, axis=1))
+            prev_valid = (pos_prev >= 0) & (pos_prev < start[:, None])
+            k_all = jnp.concatenate([k_prev.astype(dt), k.astype(dt)], axis=1)
+            v_all = jnp.concatenate([v_prev.astype(dt), v.astype(dt)], axis=1)
+            k_pos = jnp.concatenate([pos_prev, ctx.positions], axis=1)
+            k_valid = jnp.concatenate([prev_valid, valid], axis=1)
+            o = attend_dense(
+                q.astype(dt), k_all, v_all,
+                q_positions=ctx.positions, k_positions=k_pos,
+                k_valid=k_valid, scale=self.sm_scale,
                 sliding_window=self.sliding_window,
                 logit_softcap=self.logit_softcap, sinks=sinks,
             )
