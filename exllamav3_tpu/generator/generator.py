@@ -73,6 +73,19 @@ class Generator:
         self.num_drafted = 0
         self.num_accepted = 0
         self._sd_fns = {}
+        # DFlash block-diffusion drafter (reference generator.py:639): the
+        # draft's KV context is built from captured target hidden states
+        self.dflash_model = None
+        if draft_model is not None and draft_model.caps.get("dflash_draft"):
+            self.dflash_model = draft_model
+            draft_model = self.draft_model = None
+            self.dflash_model.attach(model)
+            from ..model.cache import Cache as _C, CacheSpec as _CS
+
+            self.dflash_cache = _C(self.dflash_model, _CS(
+                layout="paged", num_pages=cache.spec.num_pages))
+            self._dflash_fns = {}
+
         # MTP draft head (reference generator.py:568 iterate_draftmodel_mtp):
         # its own paged cache shares the job's page indices/positions
         self.mtp_model = mtp_model
@@ -119,7 +132,11 @@ class Generator:
 
         num_pages = cache.spec.num_pages
         assert cache.spec.layout == "paged", "Generator requires a paged cache"
-        self.pagetable = PageTable(num_pages, disable_reuse=self.has_recurrent)
+        # dflash needs target hiddens for every cached position, so prefix
+        # reuse (which skips target forwards) is off for it too
+        self.pagetable = PageTable(
+            num_pages,
+            disable_reuse=self.has_recurrent or self.dflash_model is not None)
 
         # host-RAM second-tier page cache (reference generator/cpu_cache.py)
         self.cpu_cache = None
@@ -242,7 +259,9 @@ class Generator:
         if running and not prefilling:
             greedy = all(j.sampler.greedy for j in running) and not any(
                 j.cfg_scale is not None for j in running)
-            if self.mtp_model is not None and greedy:
+            if self.dflash_model is not None and greedy:
+                self._decode_batch_dflash(running, results)
+            elif self.mtp_model is not None and greedy:
                 self._decode_batch_mtp(running, results)
             elif (self.draft_model is not None or self.use_ngram_draft) and greedy:
                 self._decode_batch_sd(running, results)
@@ -379,7 +398,18 @@ class Generator:
                                         self.model.config.hidden_size,
                                         pad_to=pad)
                 mm_table = jnp.asarray(tbl, dtype=jnp.bfloat16)
-            if self.mtp_model is not None:
+            if self.dflash_model is not None:
+                step = self._get_capture_fn()
+                _, caps, self.cache.state = step(
+                    self.model.params, jnp.asarray(ids_pad), self.cache.state,
+                    jnp.asarray(pos), jnp.asarray(np.array([start], np.int32)),
+                    jnp.asarray(bt), slots1, mm_table,
+                )
+                self._dflash_update(job, [c[:, :chunk] for c in caps],
+                                    np.arange(start, start + chunk))
+                if start + chunk >= end:
+                    job.dflash_ready = True
+            elif self.mtp_model is not None:
                 step = self._get_prefill_fn(hidden=True)
                 _, hid, self.cache.state = step(
                     self.model.params, jnp.asarray(ids_pad), self.cache.state,
@@ -467,6 +497,118 @@ class Generator:
                 layer["S"] = layer["S"].at[slot].set(h["S"][row, accepted])
             layer["conv"] = layer["conv"].at[slot].set(h["conv"][row, accepted])
             self.cache.state[k] = layer
+
+    def _get_capture_fn(self):
+        key = ("capture",)
+        if key not in self._decode_fns:
+            fn = self.model.step_fn(
+                "paged", k_bits=self.k_bits, v_bits=self.v_bits,
+                capture_layers=tuple(self.dflash_model.target_layer_ids))
+            self._decode_fns[key] = jax.jit(fn, donate_argnums=(2,))
+        return self._decode_fns[key]
+
+    def _dflash_update(self, job, caps, positions):
+        """Write target hiddens (list of (1|B, S, h) slices already cut to
+        the job row) into the DFlash context cache at `positions`."""
+        if "update" not in self._dflash_fns:
+            self._dflash_fns["update"] = jax.jit(self.dflash_model.update_fn())
+        th = jnp.concatenate([c.astype(jnp.float32) for c in caps], axis=-1)
+        S = th.shape[1]
+        mp_bucket = _bucket(len(job.pages), self.pages_buckets)
+        bt = np.zeros((1, mp_bucket + 1), np.int32)
+        bt[0, : len(job.pages)] = job.pages
+        pos = np.full((1, S), mp_bucket * PAGE_SIZE, np.int32)
+        n = len(positions)
+        pos[0, :n] = positions
+        self.dflash_cache.state = self._dflash_fns["update"](
+            self.dflash_model.params, th, self.dflash_cache.state,
+            jnp.asarray(pos), jnp.asarray(bt),
+            jnp.asarray(np.array([int(positions[0])], np.int32)))
+
+    def _decode_batch_dflash(self, jobs: list, results: list):
+        """Block-diffusion speculative decode: one DFlash forward drafts the
+        whole block; the target verifies and its captured hiddens extend the
+        DFlash context for the accepted run."""
+        bs = self.dflash_model.block_size
+        k = min(self.num_draft_tokens, bs - 1)
+        for job in list(jobs):
+            need = (job.seq_len + bs + 1 + PAGE_SIZE - 1) // PAGE_SIZE
+            while len(job.pages) < need:
+                newp = self.pagetable.extend_sequence(job.pages)
+                if newp is None:
+                    self._finish_job(job, "cache_overflow", results)
+                    jobs.remove(job)
+                    break
+                job.pages.append(newp)
+                job.page_hashes.append(None)
+        if not jobs:
+            return
+
+        if "draft" not in self._dflash_fns:
+            self._dflash_fns["draft"] = jax.jit(self.dflash_model.draft_fn())
+
+        drafts = []
+        for job in jobs:
+            if not getattr(job, "dflash_ready", False):
+                drafts.append([])
+                continue
+            T = job.seq_len
+            last = job.new_tokens[-1] if job.new_tokens else job.input_ids[-1]
+            ids = np.full((1, bs), self.dflash_model.mask_token_id, np.int32)
+            ids[0, 0] = int(last)
+            pos = np.arange(T - 1, T - 1 + bs, dtype=np.int32)[None]
+            mp_bucket = _bucket(len(job.pages), self.pages_buckets)
+            bt = np.zeros((1, mp_bucket + 1), np.int32)
+            bt[0, : len(job.pages)] = job.pages
+            out = self._dflash_fns["draft"](
+                self.model.params, self.dflash_model.params, jnp.asarray(ids),
+                self.dflash_cache.state, jnp.asarray(pos), jnp.asarray(bt))
+            drafts.append([int(t) for t in np.asarray(out[0, :k])])
+        self.num_drafted += sum(len(d) for d in drafts)
+
+        B = _bucket(len(jobs), self.batch_buckets)
+        mp = max(len(j.pages) for j in jobs)
+        mp_bucket = _bucket(mp, self.pages_buckets)
+        S = k + 1
+        ids = np.zeros((B, S), np.int32)
+        pos = np.full((B, S), mp_bucket * PAGE_SIZE, np.int32)
+        bt = np.zeros((B, mp_bucket + 1), np.int32)
+        seqlens = np.zeros(B, np.int32)
+        for i, job in enumerate(jobs):
+            last = job.new_tokens[-1] if job.new_tokens else job.input_ids[-1]
+            row = [int(last)] + list(drafts[i]) + [0] * (k - len(drafts[i]))
+            ids[i] = row[:S]
+            pos[i] = np.arange(job.seq_len - 1, job.seq_len - 1 + S)
+            bt[i, : len(job.pages)] = job.pages
+            seqlens[i] = job.seq_len - 1
+
+        step = self._get_capture_fn()
+        logits, caps, self.cache.state = step(
+            self.model.params, jnp.asarray(ids), self.cache.state,
+            jnp.asarray(pos), jnp.asarray(seqlens), jnp.asarray(bt),
+        )
+        out = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)
+
+        for i, job in enumerate(jobs):
+            d = drafts[i]
+            T = job.seq_len
+            accepted = 0
+            for j in range(len(d)):
+                if out[i, j] == d[j]:
+                    accepted += 1
+                else:
+                    break
+            self.num_accepted += accepted
+            # extend the DFlash context with hiddens of the valid run
+            self._dflash_update(
+                job, [c[i : i + 1, : accepted + 1] for c in caps],
+                np.arange(T - 1, T + accepted))
+            job.dflash_ready = True
+            new = [int(out[i, j]) for j in range(accepted + 1)]
+            for tok in new:
+                if job.status != "running":
+                    break
+                self._receive_token(job, tok, results)
 
     def _get_mtp_fn(self):
         if "mtp" not in self._mtp_fns:

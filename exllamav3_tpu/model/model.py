@@ -73,7 +73,8 @@ class Model:
         return x
 
     def step_fn(self, attn_mode: str = "dense", k_bits: int = 0, v_bits: int = 0,
-                return_hidden: bool = False, recurrent_history: bool = False):
+                return_hidden: bool = False, recurrent_history: bool = False,
+                capture_layers: tuple = ()):
         """Pure (params, ids, cache_state, positions, cache_seqlens,
         block_tables) -> (logits, new_cache_state). With return_hidden, also
         returns the pre-final-norm residual stream (for MTP draft heads).
@@ -99,6 +100,19 @@ class Model:
             if recurrent_history:
                 rec_hist = {}
                 ctx.extras["recurrent_history"] = rec_hist
+            if capture_layers:
+                # residual stream after selected blocks (DFlash draft input);
+                # indices are block numbers (0-based transformer layers)
+                caps: list = []
+                x = ids
+                want = set(capture_layers)
+                for mi, m in enumerate(self.modules):
+                    x = m.forward(x, params, ctx)
+                    li = mi - self.first_block_idx
+                    if li in want:
+                        caps.append(x)
+                new_state = ctx.cache if cache_state is not None else None
+                return x, caps, new_state
             if return_hidden:
                 # run up to (excluding) the final norm + head; the residual
                 # stream there is what MTP heads consume

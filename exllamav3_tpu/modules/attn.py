@@ -128,7 +128,8 @@ class Attention(Module):
                 params[self.key] = {"sinks": jnp.asarray(s.astype(np.float32))}
         self._fused_qkv = False
         if getattr(self.config.infer_params, "fuse_projections", False) \
-                and not self.interleaved_gate:
+                and not self.interleaved_gate \
+                and getattr(self, "allow_fusion", True):
             from .multilinear import try_fuse
 
             self._fused_qkv = try_fuse(
