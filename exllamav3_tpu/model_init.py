@@ -23,10 +23,17 @@ def add_args(p: argparse.ArgumentParser, cache: bool = True, draft: bool = True)
         p.add_argument("-cv", "--cache_v_bits", type=int, default=0,
                        help="quantized cache V bits")
     if draft:
-        p.add_argument("-dm", "--draft_model_dir", help="draft model for SD")
+        p.add_argument("-dm", "--draft_model_dir",
+                       help="draft model for SD (DFlash drafters auto-detect)")
         p.add_argument("--ngram", action="store_true", help="n-gram drafting")
+        p.add_argument("--mtp", action="store_true",
+                       help="use the checkpoint's MTP head for drafting")
         p.add_argument("--draft_tokens", type=int, default=4)
     p.add_argument("--max_batch", type=int, default=32)
+    p.add_argument("--cpu_cache_gb", type=float, default=0.0,
+                   help="host-RAM second-tier page cache size")
+    p.add_argument("--swa_ring", action="store_true",
+                   help="sliding-window layers on fixed rings (less memory)")
     return p
 
 
@@ -65,9 +72,18 @@ def init(args, load: bool = True):
         cache = Cache(model, CacheSpec(
             layout="paged", num_pages=num_pages,
             k_bits=args.cache_k_bits, v_bits=args.cache_v_bits,
+            swa_ring=getattr(args, "swa_ring", False),
+            recurrent_slots=args.max_batch + 1,
         ))
         gen_kwargs.update(k_bits=args.cache_k_bits, v_bits=args.cache_v_bits,
                           max_batch_size=args.max_batch)
+    if getattr(args, "cpu_cache_gb", 0):
+        gen_kwargs.update(cpu_cache_bytes=int(args.cpu_cache_gb * (1 << 30)))
+    if getattr(args, "mtp", False) and "mtp" in config.model_classes:
+        mtp = Model.from_config(config, component="mtp")
+        if load:
+            mtp.load()
+        gen_kwargs.update(mtp_model=mtp, num_draft_tokens=args.draft_tokens)
     if getattr(args, "draft_model_dir", None):
         dconfig = Config.from_directory(args.draft_model_dir)
         draft = Model.from_config(dconfig)
