@@ -274,6 +274,12 @@ class GatedDeltaNet(Module):
                 q, k, v, g, beta, S0, scale=1.0 / math.sqrt(dk),
                 delta_rule=True, return_history=True)
             hist[self.key] = {"conv": conv_hist, "S": S_hist}
+        elif S >= 32:
+            from ..ops.recurrence import gated_recurrence_chunked
+
+            o, S_T = gated_recurrence_chunked(
+                q, k, v, g, beta, S0, scale=1.0 / math.sqrt(dk),
+                delta_rule=True)
         else:
             o, S_T = gated_recurrence(q, k, v, g, beta, S0,
                                       scale=1.0 / math.sqrt(dk), delta_rule=True)

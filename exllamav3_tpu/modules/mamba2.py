@@ -162,6 +162,11 @@ class Mamba2(Module):
                                               delta_rule=False,
                                               return_history=True)
             hist[self.key] = {"conv": conv_hist, "S": S_hist}
+        elif S >= 32:
+            from ..ops.recurrence import gated_recurrence_chunked
+
+            o, S_T = gated_recurrence_chunked(q, k, v, g, ones, S0, scale=1.0,
+                                              delta_rule=False)
         else:
             o, S_T = gated_recurrence(q, k, v, g, ones, S0, scale=1.0,
                                       delta_rule=False)

@@ -101,6 +101,80 @@ def gated_recurrence(q, k, v, g, beta, S0, scale: float, delta_rule: bool = True
     return jnp.moveaxis(out, 0, 1), S_T
 
 
+def gated_recurrence_chunked(q, k, v, g, beta, S0, scale: float,
+                             delta_rule: bool = True, chunk: int = 64):
+    """Chunkwise-parallel gated delta rule / GLA — the TPU analogue of the
+    reference's fla chunk_gated_delta_rule (gated_delta_net_fn/
+    gated_delta_rule.py). Derivation: with u_t = beta_t (v_t - a_t S_{t-1}^T
+    k_t) the recurrence is S_t = a_t S_{t-1} + k_t u_t^T, so within a chunk
+
+        (I + M) U = B V - diag(beta*Gamma) K S_0,     M = B (D_< o K K^T)
+        S_C = Gamma_C S_0 + K^T diag(Gamma_C / Gamma) U
+        O   = scale [ diag(Gamma) Q S_0 + (D_<= o Q K^T) U ]
+
+    where Gamma is the in-chunk cumulative decay and D the decay-ratio
+    matrices. Everything is dense matmuls (MXU) plus one (C x C) triangular
+    solve per chunk; chunks scan sequentially carrying S. Exactly matches
+    the sequential scan (tested) — use for prefill; decode stays on the scan.
+    """
+    B, T, H, dk = q.shape
+    dv = v.shape[-1]
+    pad = (-T) % chunk
+    if pad:
+        zpad = lambda a: jnp.pad(a, [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2))
+        q, k, v = zpad(q), zpad(k), zpad(v)
+        g, beta = zpad(g), zpad(beta)  # g=0 (decay 1), beta=0 (no write)
+    Tp = T + pad
+    N = Tp // chunk
+
+    def resh(a, d):
+        return jnp.moveaxis(
+            a.astype(jnp.float32).reshape(B, N, chunk, H, d), 3, 2
+        ).transpose(1, 0, 2, 3, 4)  # (N, B, H, C, d)
+
+    qc, kc, vc = resh(q, dk), resh(k, dk), resh(v, dv)
+    gc = jnp.moveaxis(g.astype(jnp.float32).reshape(B, N, chunk, H), 3, 2
+                      ).transpose(1, 0, 2, 3)  # (N, B, H, C)
+    bc = jnp.moveaxis(beta.astype(jnp.float32).reshape(B, N, chunk, H), 3, 2
+                      ).transpose(1, 0, 2, 3)
+
+    tril_s = jnp.tril(jnp.ones((chunk, chunk), bool), k=-1)  # strict
+    tril_i = jnp.tril(jnp.ones((chunk, chunk), bool))  # inclusive
+    eye = jnp.eye(chunk, dtype=jnp.float32)
+
+    def step(S, inp):
+        Q, K, V, G, Bt = inp  # (B,H,C,dk) (B,H,C,dk) (B,H,C,dv) (B,H,C) x2
+        cum = jnp.cumsum(G, axis=-1)  # log Gamma_t
+        gamma = jnp.exp(cum)
+        # decay ratios Gamma_t / Gamma_j, masked to the needed triangles
+        ratio = jnp.exp(cum[..., :, None] - cum[..., None, :])
+        KK = jnp.einsum("bhtd,bhjd->bhtj", K, K)
+        rhs = Bt[..., None] * V
+        if delta_rule:
+            M = Bt[..., :, None] * jnp.where(tril_s, ratio * KK, 0.0)
+            rhs = rhs - (Bt * gamma)[..., None] * jnp.einsum(
+                "bhtd,bhdv->bhtv", K, S)
+            A = eye + M
+            U = jax.scipy.linalg.solve_triangular(A, rhs, lower=True)
+        else:
+            U = rhs
+        QK = jnp.einsum("bhtd,bhjd->bhtj", Q, K)
+        O = gamma[..., None] * jnp.einsum("bhtd,bhdv->bhtv", Q, S)
+        O = O + jnp.einsum("bhtj,bhjv->bhtv",
+                           jnp.where(tril_i, ratio * QK, 0.0), U)
+        gC = gamma[..., -1]  # (B,H)
+        S = gC[..., None, None] * S + jnp.einsum(
+            "bhtd,bhtv->bhdv", K * (gC[..., None] / gamma)[..., None], U)
+        return S, O * scale
+
+    S_T, O = jax.lax.scan(step, S0.astype(jnp.float32), (qc, kc, vc, gc, bc))
+    # (N,B,H,C,dv) -> (B,T,H,dv)
+    O = O.transpose(1, 0, 3, 2, 4).reshape(B, Tp, H, dv)
+    if pad:
+        O = O[:, :T]
+    return O, S_T
+
+
 def conv_history(x, conv_state, ksize: int):
     """Per-step conv tails for speculative rewind: after step t the carried
     state is the last ksize-1 inputs. x: (B, S, C); conv_state: (B, C, ks-1)

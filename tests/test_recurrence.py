@@ -78,6 +78,28 @@ def test_gated_recurrence_state_carry():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("delta_rule", [True, False])
+@pytest.mark.parametrize("T,C", [(37, 8), (96, 32)])
+def test_chunked_matches_scan(delta_rule, T, C):
+    from exllamav3_tpu.ops.recurrence import gated_recurrence_chunked
+
+    rng = np.random.default_rng(3)
+    B, H, dk, dv = 2, 3, 16, 8
+    q = jnp.asarray(rng.standard_normal((B, T, H, dk)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, T, H, dk)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, T, H, dv)).astype(np.float32))
+    g = jnp.asarray(-np.abs(rng.standard_normal((B, T, H))).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0.1, 1, (B, T, H)).astype(np.float32))
+    S0 = jnp.asarray(rng.standard_normal((B, H, dk, dv)).astype(np.float32) * 0.3)
+    o1, s1 = gated_recurrence(q, k, v, g, b, S0, 0.25, delta_rule=delta_rule)
+    o2, s2 = gated_recurrence_chunked(q, k, v, g, b, S0, 0.25,
+                                      delta_rule=delta_rule, chunk=C)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_causal_conv1d_matches_numpy_and_carries_state():
     rng = np.random.default_rng(2)
     B, S, C, ks = 2, 10, 6, 4
