@@ -56,6 +56,25 @@ def fp8_e4m3_to_f32(u8: np.ndarray) -> np.ndarray:
     return np.where(s == 1, -val, val).astype(np.float32)
 
 
+_FP4_E2M1 = np.array(
+    [0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+     -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0], dtype=np.float32)
+
+
+def mxfp4_to_f32(blocks: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Decode MXFP4 (gpt-oss checkpoint layout): blocks (..., G, 16) uint8
+    hold 32 e2m1 values per group (low nibble first), scales (..., G) uint8
+    are e8m0 shared exponents (bias 127). Returns (..., G*32) f32."""
+    lo = _FP4_E2M1[blocks & 0x0F]
+    hi = _FP4_E2M1[blocks >> 4]
+    vals = np.empty(blocks.shape[:-1] + (32,), dtype=np.float32)
+    vals[..., 0::2] = lo
+    vals[..., 1::2] = hi
+    scale = np.exp2(scales.astype(np.float32) - 127.0)
+    vals *= scale[..., None]
+    return vals.reshape(blocks.shape[:-2] + (-1,))
+
+
 def fp8_e5m2_to_f32(u8: np.ndarray) -> np.ndarray:
     u = u8.astype(np.uint32)
     s = (u >> 7) & 1

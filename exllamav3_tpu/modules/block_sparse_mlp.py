@@ -128,8 +128,10 @@ class BlockSparseMLP(Module):
             params[self.router.key]["e_bias"] = jnp.asarray(
                 eb.astype(np.float32) if eb.dtype != np.uint16 else
                 _bf16_f32(eb))
-        if self.key_gate_up_split and self.config.stc.has_tensor(
-                f"{self.key}.{self.key_gate_up_split}"):
+        if self.key_gate_up_split and (
+                self.config.stc.has_tensor(f"{self.key}.{self.key_gate_up_split}")
+                or self.config.stc.has_tensor(
+                    f"{self.key}.{self.key_gate_up_split}_blocks")):
             if self.shared_experts is not None:
                 self.shared_experts.load(params)
             self._load_split_experts(params)
@@ -158,13 +160,27 @@ class BlockSparseMLP(Module):
         from .gated_delta_net import _get_f32
 
         stc = self.config.stc
-        gu = _get_f32(stc, f"{self.key}.{self.key_gate_up_split}")
+
+        def read_split(name):
+            """bf16/f32 tensor, or MXFP4 <name>_blocks/<name>_scales pair
+            (official gpt-oss checkpoints). MXFP4 stores (E, OUT, IN/32, 16)
+            blocks -> dense (E, OUT, IN), transposed to our (E, IN, OUT)."""
+            key = f"{self.key}.{name}"
+            if stc.has_tensor(key + "_blocks"):
+                from ..loader.safetensors import mxfp4_to_f32
+
+                w = mxfp4_to_f32(stc.get_tensor(key + "_blocks"),
+                                 stc.get_tensor(key + "_scales"))
+                return np.ascontiguousarray(np.swapaxes(w, -1, -2))
+            return _get_f32(stc, key)
+
+        gu = read_split(self.key_gate_up_split)
         if self.gate_up_interleaved:
             wg, wu = gu[..., 0::2], gu[..., 1::2]
         else:
             i = gu.shape[-1] // 2
             wg, wu = gu[..., :i], gu[..., i:]
-        wd = _get_f32(stc, f"{self.key}.{self.key_down_split}")
+        wd = read_split(self.key_down_split)
         gk, uk, dk = self.keys_gud
         p = params.get(self.key, {})
         p["w_" + gk] = jnp.asarray(wg, dtype=jnp.bfloat16)
