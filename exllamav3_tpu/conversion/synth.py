@@ -189,6 +189,11 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
     from ..modules.block_sparse_mlp import BlockSparseMLP
     from ..modules.mla_attn import MLAttention
 
+    # nanochat detects its VE/resid/backout features from tensor PRESENCE, so
+    # those tensors must exist before the config is built
+    if cfg.get("architectures", [""])[0] == "NanoChatForCausalLM":
+        _write_nanochat_extras(directory, cfg, seed)
+
     config = Config.from_directory(directory)
     model = Model.from_config(config)
 
@@ -282,6 +287,8 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                 if fused_phi3 and m.fkey:
                     fused[m.fkey] = max(fused.get(m.fkey, 0), m.frange[1])
             elif isinstance(m, (RMSNorm, LayerNorm, GatedRMSNorm)):
+                if getattr(m, "unweighted", False):
+                    continue
                 dim = (getattr(m, "dim", None) or cfg.get("hidden_size")
                        or cfg.get("text_config", {}).get("hidden_size"))
                 is_gemma = "gemma" in str(cfg.get("architectures", [""])[0]).lower()
@@ -348,3 +355,26 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
 
     save_file(tensors, os.path.join(directory, "model.safetensors"), bf16_keys=bf16_keys)
     return directory
+
+
+def _write_nanochat_extras(directory: str, cfg: dict, seed: int) -> None:
+    """Value-embedding tables and residual scalars for a synthetic nanochat
+    checkpoint (written first: NanoChatConfig feature-detects on them)."""
+    rng = np.random.default_rng(seed + 7)
+    L = cfg["num_hidden_layers"]
+    nkv = cfg.get("num_key_value_heads", cfg["num_attention_heads"])
+    hd = cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]
+    V = cfg["vocab_size"]
+    tensors = {
+        "resid_lambdas": rng.uniform(0.9, 1.1, L).astype(np.float32),
+        "x0_lambdas": rng.uniform(-0.1, 0.1, L).astype(np.float32),
+        "backout_lambda": np.array([0.25], np.float32),
+    }
+    bf16_keys = set()
+    for i in range(L // 2):
+        k = f"value_embeds.{2 * i + 1}.weight"
+        tensors[k] = f32_to_bf16_u16(
+            rng.standard_normal((V, nkv * hd)).astype(np.float32) * 0.02)
+        bf16_keys.add(k)
+    save_file(tensors, os.path.join(directory, "model.extras.safetensors"),
+              bf16_keys=bf16_keys)

@@ -9,4 +9,5 @@ from .gated_delta_net import GatedDeltaNet
 from .mamba2 import Mamba2
 from .short_conv import ShortConv
 from .block_sparse_mlp import BlockSparseMLP
+from .value_embeddings import ValueEmbeddings
 from .transformer import TransformerBlock

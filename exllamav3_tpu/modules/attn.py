@@ -52,6 +52,10 @@ class Attention(Module):
         interleaved_gate: bool = False,
         key_g: str | None = None,
         full_gate: bool = False,
+        gate_softplus: bool = False,
+        post_rope_norm: bool = False,
+        post_rope_eps: float = 1e-6,
+        ve_gate: bool = False,
         out_dtype=None,
     ):
         super().__init__(config, key, qmap)
@@ -85,12 +89,22 @@ class Attention(Module):
         # full-width (per channel) or headwise (one scalar per head)
         self.g_proj = None
         self.full_gate = full_gate
+        # Laguna: headwise gate activated with softplus instead of sigmoid
+        # (reference attn.py gate_softplus:183, :782)
+        self.gate_softplus = gate_softplus
         if key_g:
             gate_features = num_q_heads * head_dim if full_gate else num_q_heads
             self.g_proj = Linear(config, f"{key}.{key_g}", hidden_size,
                                  gate_features)
         self.q_norm = q_norm
         self.k_norm = k_norm
+        # nanochat: unweighted RMS over q/k applied AFTER rope (reference
+        # attn.py post_rope_norm / rope.cu post-norm epilogue), and a gated
+        # value-embedding addend on V (reference attn.py:734, transformer.py
+        # _compute_ve_addend) read from ctx.extras["nc_ve.<layer>"]
+        self.post_rope_norm = post_rope_norm
+        self.post_rope_eps = post_rope_eps
+        self.ve_gate = ve_gate
         self.modules = [m for m in (self.q_proj, self.k_proj, self.v_proj,
                                     self.o_proj, self.g_proj, self.q_norm,
                                     self.k_norm) if m]
@@ -184,6 +198,9 @@ class Attention(Module):
             k = self.k_proj.forward(x, params, ctx).reshape(B, S, nkv, hd)
             v = self.v_proj.forward(x, params, ctx).reshape(B, S, nkv, hd)
 
+        if self.ve_gate:
+            v = v + ctx.extras[f"nc_ve.{self.layer_idx}"].astype(v.dtype)
+
         if self.q_norm is not None:
             q = self.q_norm.forward(q, params, ctx)
         if self.k_norm is not None:
@@ -193,6 +210,13 @@ class Attention(Module):
             sin, cos = self.rope.sin_cos(ctx.positions)
             q = self.rope.apply(q, sin, cos)
             k = self.rope.apply(k, sin, cos)
+
+        if self.post_rope_norm:
+            from .norms import rms_norm
+
+            one = jnp.ones((hd,), jnp.float32)
+            q = rms_norm(q, one, self.post_rope_eps)
+            k = rms_norm(k, one, self.post_rope_eps)
 
         sinks = params.get(self.key, {}).get("sinks") if self.has_sinks else None
 
@@ -321,7 +345,8 @@ class Attention(Module):
                 g = g.reshape(B, S, self.num_q_heads, self.head_dim)
             else:
                 g = g[..., None]  # headwise: broadcast over head_dim
-            o = o * jax.nn.sigmoid(g).astype(o.dtype)
+            act = jax.nn.softplus if self.gate_softplus else jax.nn.sigmoid
+            o = o * act(g).astype(o.dtype)
         o = o.reshape(B, S, self.num_q_heads * self.head_dim).astype(dt)
         y = self.o_proj.forward(o, params, ctx)
         if self.out_dtype is not None:

@@ -24,10 +24,11 @@ def rms_norm(x, weight, eps: float, constant_bias: float = 0.0):
 class RMSNorm(Module):
     def __init__(self, config, key: str, rms_norm_eps: float = 1e-6,
                  constant_bias: float = 0.0, out_dtype=None, dim: int | None = None,
-                 span_heads: bool = False):
+                 span_heads: bool = False, unweighted: bool = False):
         super().__init__(config, key)
         self.eps = rms_norm_eps
         self.dim = dim
+        self.unweighted = unweighted  # pure normalization, no weight tensor
         self.constant_bias = constant_bias  # +1 for Gemma-style norms
         # Olmo2/3, MiniMax-M2: q/k norms normalize over ALL heads flattened
         # (reference rmsnorm.py span_heads)
@@ -35,6 +36,8 @@ class RMSNorm(Module):
         self.out_dtype = out_dtype
 
     def load(self, params: dict) -> None:
+        if self.unweighted:
+            return
         w = self.config.stc.get_tensor(self.key + ".weight", allow_bf16=True)
         if w.dtype == np.uint16:
             from ..loader.safetensors import bf16_to_f32
@@ -42,15 +45,19 @@ class RMSNorm(Module):
             w = bf16_to_f32(w)
         params[self.key] = {"weight": jnp.asarray(w.astype(np.float32))}
 
+    def _w(self, params):
+        if self.unweighted:
+            return jnp.float32(1.0)
+        return params[self.key]["weight"]
+
     def forward(self, x, params: dict, ctx: ForwardCtx):
         if self.span_heads and x.ndim >= 2:
             shape = x.shape
             xf = x.reshape(shape[:-2] + (shape[-2] * shape[-1],))
-            y = rms_norm(xf, params[self.key]["weight"], self.eps,
+            y = rms_norm(xf, self._w(params), self.eps,
                          self.constant_bias).reshape(shape)
         else:
-            y = rms_norm(x, params[self.key]["weight"], self.eps,
-                         self.constant_bias)
+            y = rms_norm(x, self._w(params), self.eps, self.constant_bias)
         if self.out_dtype is not None:
             y = y.astype(self.out_dtype)
         return y

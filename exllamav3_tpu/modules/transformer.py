@@ -5,6 +5,7 @@ Feature reference: /root/reference/exllamav3/modules/transformer.py
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .module import Module, ForwardCtx
@@ -23,6 +24,11 @@ class TransformerBlock(Module):
         mlp: Module | None = None,
         mlp_post_norm: Module | None = None,
         residual_scale: float = 1.0,
+        ve_gate: Module | None = None,
+        resid_lambda: float | None = None,
+        x0_lambda: float | None = None,
+        backout_extract: bool = False,
+        backout_lambda: float | None = None,
     ):
         super().__init__(config, key)
         self.layer_idx = layer_idx
@@ -33,13 +39,39 @@ class TransformerBlock(Module):
         self.mlp = mlp
         self.mlp_post_norm = mlp_post_norm
         self.residual_scale = residual_scale
+        # nanochat spaghetti wiring (reference modules/transformer.py
+        # _apply_resid_lambda:147, _extract_backout:158, _apply_backout:165,
+        # _compute_ve_addend:172): per-layer residual/x0 scalars against the
+        # post-embedding hidden x0, a mid-stack extract whose scaled copy is
+        # subtracted after the last block, and a sigmoid gate over the first
+        # kv_heads channels modulating the value-embedding addend.
+        self.ve_gate = ve_gate
+        self.resid_lambda = resid_lambda
+        self.x0_lambda = x0_lambda
+        self.backout_extract = backout_extract
+        self.backout_lambda = backout_lambda
         self.modules = [
             m
-            for m in (attn_norm, attn, attn_post_norm, mlp_norm, mlp, mlp_post_norm)
+            for m in (attn_norm, attn, attn_post_norm, mlp_norm, mlp,
+                      mlp_post_norm, ve_gate)
             if m is not None
         ]
 
     def forward(self, x, params: dict, ctx: ForwardCtx):
+        if self.resid_lambda is not None:
+            if self.layer_idx == 0:
+                ctx.extras["nc_x0"] = x.astype(jnp.float32)
+            xl = (self.resid_lambda * x.astype(jnp.float32)
+                  + self.x0_lambda * ctx.extras["nc_x0"])
+            x = xl.astype(x.dtype)
+        if self.backout_extract:
+            ctx.extras["nc_backout"] = x.astype(jnp.float32)
+        if self.ve_gate is not None:
+            ve = ctx.extras[f"nc_ve_raw.{self.layer_idx}"]  # (B,S,nkv,hd)
+            y = x[..., : ve.shape[-2]]
+            g = jax.nn.sigmoid(
+                self.ve_gate.forward(y, params, ctx).astype(jnp.float32)) * 3.0
+            ctx.extras[f"nc_ve.{self.layer_idx}"] = g[..., None] * ve
         res = x.astype(jnp.float32)
         if self.attn is not None:
             h = self.attn_norm.forward(x, params, ctx) if self.attn_norm else x
@@ -54,6 +86,9 @@ class TransformerBlock(Module):
             if self.mlp_post_norm is not None:
                 h = self.mlp_post_norm.forward(h, params, ctx)
             res = res + h.astype(jnp.float32) * self.residual_scale
+            x = res.astype(x.dtype)
+        if self.backout_lambda is not None:
+            res = res - self.backout_lambda * ctx.extras["nc_backout"]
             x = res.astype(x.dtype)
         return x
 

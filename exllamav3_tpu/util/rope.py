@@ -20,6 +20,7 @@ class RopeStyle(IntEnum):
     NONE = 0
     GPTJ = 1
     NEOX = 2
+    NANOCHAT = 3  # NEOX halves rotated in the opposite direction
 
 
 @dataclass
@@ -176,8 +177,10 @@ class Rope:
         x_rot, x_pass = xf[..., :rot], xf[..., rot:]
         s = sin[..., :, None, :]
         c = cos[..., :, None, :]
-        if self.style == RopeStyle.NEOX:
+        if self.style in (RopeStyle.NEOX, RopeStyle.NANOCHAT):
             x1, x2 = x_rot[..., : rot // 2], x_rot[..., rot // 2 :]
+            if self.style == RopeStyle.NANOCHAT:
+                s = -s  # reference rope.cu ROPESTYLE_NANOCHAT: opposite spin
             o1 = x1 * c - x2 * s
             o2 = x2 * c + x1 * s
             out = jnp.concatenate([o1, o2], axis=-1)

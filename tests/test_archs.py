@@ -218,6 +218,9 @@ ARCH_CFGS = {
                              route_norm=True, route_scale=1.5,
                              sliding_window=64,
                              layer_types=["sliding_attention", "full_attention"]),
+    "NanoChatForCausalLM": dict(BASE, hidden_act="relu2",
+                                num_hidden_layers=4,
+                                final_logit_softcapping=15.0),
 }
 
 
