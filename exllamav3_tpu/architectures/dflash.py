@@ -52,8 +52,11 @@ class DFlashConfig(Config):
         self.sliding_window = self.read_cfg(int, "sliding_window", 2048)
         self.mask_token_id = self.read_cfg(
             int, "dflash_config->mask_token_id", no_default)
-        self.target_layer_ids = self.read_cfg(
-            list, "dflash_config->target_layer_ids", no_default)
+        # z-lab drafters were trained on states one layer DEEPER than the
+        # raw ids (reference dflash.py:58 shifts +1); DFlashLaguna undoes this
+        self.target_layer_ids = [
+            i + 1 for i in self.read_cfg(
+                list, "dflash_config->target_layer_ids", no_default)]
         self.block_size = self.read_cfg(
             int, ["block_size", "dflash_config->block_size"], no_default)
         self.rope_settings = self.read_rope_settings_default(RopeStyle.NEOX)
@@ -107,6 +110,7 @@ class DFlashModel(Model):
         self.modules.append(RMSNorm(config, "norm", config.rms_norm_eps,
                                     out_dtype=jnp.bfloat16))
         self.caps["dflash_draft"] = True
+        self.causal_draft = False  # DFlashLaguna drafts causally in-block
         self.target = None
 
     def attach(self, target_model):
@@ -209,13 +213,15 @@ class DFlashModel(Model):
         # context part: causal (cache holds positions < block start)
         m_ctx = (c_pos[:, None, :] <= q_pos[:, :, None]) & \
                 (c_pos[:, None, :] < start[:, :, None])
-        # block part: bidirectional; sliding layers window (left sw, right 0)
+        # block part: bidirectional (or causal for DFlashLaguna); sliding
+        # layers window (left sw, right 0)
         bk_pos = q_pos
+        d = q_pos[:, :, None] - bk_pos[:, None, :]
         m_blk = jnp.ones((B, S, S), dtype=bool)
+        if self.causal_draft:
+            m_blk = d >= 0
         if sliding:
-            d = q_pos[:, :, None] - bk_pos[:, None, :]
-            m_blk = (d >= 0) & (d < sliding)
-        if sliding:
+            m_blk &= (d >= 0) & (d < sliding)
             m_ctx &= (q_pos[:, :, None] - c_pos[:, None, :]) < sliding
 
         k_all = jnp.concatenate([kc.astype(x.dtype), k.astype(x.dtype)], axis=1)
@@ -230,6 +236,11 @@ class DFlashModel(Model):
         scores = jnp.where(mask[:, None, None], scores, NEG_INF)
         p = jax.nn.softmax(scores, axis=-1)
         o = jnp.einsum("bkgst,btkd->bskgd", p, v_all.astype(jnp.float32))
+        o = o.reshape(B, S, Hq, attn.head_dim)
+        if attn.g_proj is not None:
+            g = attn.g_proj.forward(h, params, ctx).astype(jnp.float32)
+            act = jax.nn.softplus if attn.gate_softplus else jax.nn.sigmoid
+            o = o * act(g)[..., None]
         o = o.reshape(B, S, Hq * attn.head_dim).astype(x.dtype)
         res = res + attn.o_proj.forward(o, params, ctx).astype(jnp.float32)
         x = res.astype(x.dtype)

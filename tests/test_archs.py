@@ -221,6 +221,22 @@ ARCH_CFGS = {
     "NanoChatForCausalLM": dict(BASE, hidden_act="relu2",
                                 num_hidden_layers=4,
                                 final_logit_softcapping=15.0),
+    "LagunaForCausalLM": dict(BASE, hidden_act="silu", gating="per-head",
+                              num_attention_heads_per_layer=[4, 2],
+                              layer_types=["full_attention",
+                                           "sliding_attention"],
+                              sliding_window=64,
+                              rope_parameters={
+                                  "full_attention": {"rope_theta": 10000.0,
+                                                     "rope_type": "yarn",
+                                                     "factor": 2.0,
+                                                     "original_max_position_embeddings": 2048},
+                                  "sliding_attention": {"rope_theta": 10000.0}},
+                              moe_intermediate_size=64,
+                              shared_expert_intermediate_size=64,
+                              num_experts=4, num_experts_per_tok=2,
+                              mlp_only_layers=[0],
+                              moe_routed_scaling_factor=1.5),
 }
 
 
