@@ -241,11 +241,44 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                     add(ebk, rng.standard_normal(m.num_experts) * 0.05)
                 if m.routing == "std_bias":
                     add_linear(m.router, with_bias=True)
+                if m.routing == "sqrtsp":
+                    add(f"{m.key}.{m.key_e_score_bias}",
+                        rng.standard_normal(m.num_experts) * 0.05)
+                if m.key_tid2eid:
+                    t2e = rng.integers(
+                        0, m.num_experts,
+                        size=(cfg["vocab_size"], m.top_k)).astype(np.int32)
+                    if f"{m.key}.{m.key_tid2eid}" not in tensors:
+                        tensors[f"{m.key}.{m.key_tid2eid}"] = t2e
             from ..modules import Attention as _Attn
             from ..modules import MLP as _MLP, GatedMLP as _GMLP
 
             if isinstance(m, _Attn) and m.has_sinks:
                 add(f"{m.key}.sinks", rng.standard_normal(m.num_q_heads) * 0.5)
+            from ..modules.dsv4_attn import DSV4Attention as _DSV4
+            from ..modules import HyperConnection as _HC, HyperHead as _HH
+
+            if isinstance(m, _DSV4):
+                add(f"{m.key}.attn_sink",
+                    rng.standard_normal(m.num_q_heads) * 0.5)
+                for comp in (m.compressor, m.indexer):
+                    if comp is not None:
+                        add(f"{comp.key}.ape",
+                            rng.standard_normal(
+                                (comp.compress_rate, comp.proj_width)) * 0.3)
+            if isinstance(m, _HC):
+                hcm = m.hc_mult
+                add(f"{m.key}_fn", rng.standard_normal(
+                    ((2 + hcm) * hcm, hcm * m.hidden_size)) * 0.02)
+                add(f"{m.key}_base", rng.standard_normal((2 + hcm) * hcm) * 0.1)
+                add(f"{m.key}_scale", rng.uniform(0.5, 1.5, 3))
+            if isinstance(m, _HH):
+                hcm = m.hc_mult
+                hs = cfg.get("hidden_size")
+                add(f"{m.key}_fn",
+                    rng.standard_normal((hcm, hcm * hs)) * 0.02)
+                add(f"{m.key}_base", rng.standard_normal(hcm) * 0.1)
+                add(f"{m.key}_scale", rng.uniform(0.5, 1.5, hcm))
             if isinstance(m, (_MLP, _GMLP)) and m.activation == "xielu":
                 add(m.key_alpha_p or f"{m.key}.act_fn.alpha_p",
                     rng.standard_normal(1) * 0.5)

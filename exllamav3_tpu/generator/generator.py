@@ -327,8 +327,10 @@ class Generator:
                 # (ring position arrays clear to -1 = "never written")
                 for k in self.recurrent_keys + self.ring_keys:
                     layer = self.cache.state[k]
+                    # pg_* arrays are page-indexed pools (DSV4), not per-slot
                     self.cache.state[k] = {
-                        n: a.at[slot].set(-1 if n == "pos" else 0)
+                        n: a if n.startswith("pg_")
+                        else a.at[slot].set(-1 if n == "pos" else 0)
                         for n, a in layer.items()
                     }
                 if getattr(job, "rq_handle", None):

@@ -96,6 +96,8 @@ class Model:
             )
             if mm_embeddings is not None:
                 ctx.extras["mm_embeddings"] = mm_embeddings
+            if hasattr(ids, "dtype") and jnp.issubdtype(ids.dtype, jnp.integer):
+                ctx.extras["input_ids"] = ids  # hash-MoE / value embeddings
             rec_hist = None
             if recurrent_history:
                 rec_hist = {}
@@ -168,6 +170,7 @@ class Model:
         if not jit:
             positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
             ctx = ForwardCtx(positions=positions)
+            ctx.extras["input_ids"] = jnp.asarray(ids)
             return self.forward_modules(jnp.asarray(ids), self.params, ctx)
         if "cacheless" not in self._step_cache:
 
@@ -175,6 +178,7 @@ class Model:
                 b, s = ids.shape
                 positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
                 ctx = ForwardCtx(positions=positions)
+                ctx.extras["input_ids"] = ids
                 return self.forward_modules(ids, params, ctx)
 
             self._step_cache["cacheless"] = jax.jit(fn)

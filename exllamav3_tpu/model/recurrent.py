@@ -33,8 +33,11 @@ class RecurrentStateCache:
         """Snapshot slot `slot` of every recurrent layer; returns a handle."""
         layers = {}
         for k in recurrent_keys:
+            # pg_* arrays are page-indexed pools (DSV4), not per-slot state;
+            # their pages stay allocated to the queued job
             layers[k] = {name: np.asarray(arr[slot])
-                         for name, arr in cache_state[k].items()}
+                         for name, arr in cache_state[k].items()
+                         if not name.startswith("pg_")}
         entry = {"layers": layers, "position": position}
         nb = self._nbytes(entry)
         while self.used_bytes + nb > self.max_bytes and self.store:

@@ -10,4 +10,5 @@ from .mamba2 import Mamba2
 from .short_conv import ShortConv
 from .block_sparse_mlp import BlockSparseMLP
 from .value_embeddings import ValueEmbeddings
+from .hyperconnections import ExpandStreams, HyperConnection, HyperHead
 from .transformer import TransformerBlock

@@ -57,6 +57,10 @@ class BlockSparseMLP(Module):
         activation: str = "silu",
         act_limit: float = 7.0,
         routing: str = "std",
+        # token-id hash routing table (DeepSeek-V4 bootstrap layers): key of a
+        # (vocab, top_k) int tensor relative to the MLP key
+        key_tid2eid: str | None = None,
+        act_clamp: float = 0.0,
         norm_topk_prob: bool = True,
         shared_experts: Module | None = None,
         n_group: int = 1,
@@ -84,6 +88,9 @@ class BlockSparseMLP(Module):
         self.gate_up_interleaved = gate_up_interleaved
         self.gated = gated
         self.act_limit = act_limit
+        self.act_clamp = act_clamp
+        self.key_tid2eid = key_tid2eid
+        self.tid2eid = None
         self.keys_gud = (key_gate, key_up, key_down)
         self.router = Linear(config, f"{key}.{key_routing_gate}", hidden_size,
                              num_experts)
@@ -128,6 +135,15 @@ class BlockSparseMLP(Module):
             params[self.router.key]["e_bias"] = jnp.asarray(
                 eb.astype(np.float32) if eb.dtype != np.uint16 else
                 _bf16_f32(eb))
+            if eb_key == self.router.key + ".bias":
+                # V4 stores the selection-only bias AS the gate's bias tensor;
+                # it must not shift the routing logits themselves
+                params[self.router.key].pop("bias", None)
+        if self.key_tid2eid:
+            t2e = self.config.stc.get_tensor(
+                f"{self.key}.{self.key_tid2eid}", optional=True)
+            if t2e is not None:
+                self.tid2eid = jnp.asarray(t2e.astype(np.int32))
         if self.key_gate_up_split and (
                 self.config.stc.has_tensor(f"{self.key}.{self.key_gate_up_split}")
                 or self.config.stc.has_tensor(
@@ -237,6 +253,16 @@ class BlockSparseMLP(Module):
             if self.norm_topk_prob:
                 topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
             topv = topv * self.routed_scaling_factor
+        elif self.routing == "sqrtsp":
+            # DeepSeek-V4 (reference block_sparse_mlp.py routing_sqrtsp:222):
+            # sqrt(softplus) affinity, noaux_tc bias for selection only,
+            # weights normalized over the selected set x scaling factor
+            scores = jnp.sqrt(jax.nn.softplus(logits))
+            choice = scores + (e_bias if e_bias is not None else 0.0)
+            _, topi = jax.lax.top_k(choice, self.top_k)
+            topv = jnp.take_along_axis(scores, topi, axis=-1)
+            topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+            topv = topv * self.routed_scaling_factor
         elif self.routing == "group_greedy":
             # DeepSeek-V2: softmax scores, group score = group max
             scores = jax.nn.softmax(logits, axis=-1)
@@ -296,6 +322,11 @@ class BlockSparseMLP(Module):
                 from .mlp import act_fn_silu_oai
 
                 a = act_fn_silu_oai(g, u, limit=self.act_limit)
+            elif self.act_clamp:
+                from .mlp import act_mul_clamped
+
+                a = act_mul_clamped(ACT2FN[self.activation], g, u,
+                                    self.act_clamp)
             else:
                 a = ACT2FN[self.activation](g) * u
         else:
@@ -316,7 +347,20 @@ class BlockSparseMLP(Module):
         T = xt.shape[0]
 
         logits = self.router.forward(xt, params, ctx).astype(jnp.float32)
-        weights = self.route(logits, params[self.router.key].get("e_bias"))  # (T, E)
+        if self.tid2eid is not None and "input_ids" in ctx.extras:
+            # hash-MoE bootstrap (reference routing_sqrtsp_hash:260): the
+            # frozen tid2eid table picks the experts; the learned gate still
+            # weights them (sqrtsp affinity, normalized over the selection)
+            ids = ctx.extras["input_ids"].reshape(-1)
+            topi = self.tid2eid[ids].reshape(T, self.top_k)
+            scores = jnp.sqrt(jax.nn.softplus(logits))
+            topv = jnp.take_along_axis(scores, topi, axis=-1)
+            topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+            topv = topv * self.routed_scaling_factor
+            weights = jnp.zeros((T, self.num_experts), jnp.float32)
+            weights = weights.at[jnp.arange(T)[:, None], topi].set(topv)
+        else:
+            weights = self.route(logits, params[self.router.key].get("e_bias"))  # (T, E)
 
         # grouped path when it saves real compute (prefill shapes); the
         # dense-all path below is optimal for bandwidth-bound decode
@@ -346,6 +390,11 @@ class BlockSparseMLP(Module):
                 from .mlp import act_fn_silu_oai
 
                 a = act_fn_silu_oai(g, u, limit=self.act_limit).astype(jnp.bfloat16)
+            elif self.act_clamp:
+                from .mlp import act_mul_clamped
+
+                a = act_mul_clamped(ACT2FN[self.activation], g, u,
+                                    self.act_clamp).astype(jnp.bfloat16)
             else:
                 a = (ACT2FN[self.activation](g) * u).astype(jnp.bfloat16)
         else:

@@ -20,6 +20,13 @@ ACT2FN = {
 }
 
 
+def act_mul_clamped(act, gate, up, limit: float):
+    """Reference activation_kernels.cuh act_mul with act_limit != 0: clamp the
+    up projection to [-L, L] and the activated gate to min(act(g), L)
+    (DeepSeek-V4 swiglu_limit)."""
+    return jnp.minimum(act(gate), limit) * jnp.clip(up, min=-limit, max=limit)
+
+
 def act_fn_silu_oai(gate, up, alpha: float = 1.702, limit: float = 7.0):
     """gpt-oss style clamped swiglu (reference activation.cu silu_oai)."""
     gate = jnp.clip(gate, max=limit)
@@ -53,6 +60,7 @@ class GatedMLP(Module):
         key_down: str = "down_proj",
         qmap: str | None = None,
         activation: str = "silu",
+        act_clamp: float = 0.0,
         out_dtype=None,
         interm_dtype=None,
         act_silu_oai: bool = False,
@@ -62,6 +70,7 @@ class GatedMLP(Module):
     ):
         super().__init__(config, key, qmap)
         self.activation = activation
+        self.act_clamp = act_clamp
         self.act_silu_oai = act_silu_oai or bool(act_limit)
         self.act_limit = act_limit or 7.0
         self.key_alpha_p = key_alpha_p
@@ -120,6 +129,8 @@ class GatedMLP(Module):
         elif self.activation == "xielu":
             p = params[self.key]
             h = act_fn_xielu(g, p["alpha_p"], p["alpha_n"]) * u
+        elif self.act_clamp:
+            h = act_mul_clamped(ACT2FN[self.activation], g, u, self.act_clamp)
         else:
             h = ACT2FN[self.activation](g) * u
         h = h.astype(x.dtype)

@@ -29,6 +29,8 @@ class TransformerBlock(Module):
         x0_lambda: float | None = None,
         backout_extract: bool = False,
         backout_lambda: float | None = None,
+        attn_hc=None,
+        mlp_hc=None,
     ):
         super().__init__(config, key)
         self.layer_idx = layer_idx
@@ -50,10 +52,15 @@ class TransformerBlock(Module):
         self.x0_lambda = x0_lambda
         self.backout_extract = backout_extract
         self.backout_lambda = backout_lambda
+        # DeepSeek-V4 mHC: when hyper-connections are present the residual is
+        # an (B,S,H,D) stream stack; each site mixes/collapses around its
+        # sublayer (reference modules/transformer.py attn_hc/mlp_hc)
+        self.attn_hc = attn_hc
+        self.mlp_hc = mlp_hc
         self.modules = [
             m
             for m in (attn_norm, attn, attn_post_norm, mlp_norm, mlp,
-                      mlp_post_norm, ve_gate)
+                      mlp_post_norm, ve_gate, attn_hc, mlp_hc)
             if m is not None
         ]
 
@@ -72,6 +79,22 @@ class TransformerBlock(Module):
             g = jax.nn.sigmoid(
                 self.ve_gate.forward(y, params, ctx).astype(jnp.float32)) * 3.0
             ctx.extras[f"nc_ve.{self.layer_idx}"] = g[..., None] * ve
+        if self.attn_hc is not None or self.mlp_hc is not None:
+            if self.attn is not None:
+                post, comb, y = self.attn_hc.mix(x, params)
+                h = y.astype(jnp.bfloat16)
+                if self.attn_norm is not None:
+                    h = self.attn_norm.forward(h, params, ctx)
+                h = self.attn.forward(h, params, ctx)
+                x = self.attn_hc.apply(x, h, post, comb)
+            if self.mlp is not None:
+                post, comb, y = self.mlp_hc.mix(x, params)
+                h = y.astype(jnp.bfloat16)
+                if self.mlp_norm is not None:
+                    h = self.mlp_norm.forward(h, params, ctx)
+                h = self.mlp.forward(h, params, ctx)
+                x = self.mlp_hc.apply(x, h, post, comb)
+            return x
         res = x.astype(jnp.float32)
         if self.attn is not None:
             h = self.attn_norm.forward(x, params, ctx) if self.attn_norm else x

@@ -1,0 +1,115 @@
+"""DeepSeek-V4: hybrid DSA attention (sliding/CSA/HCA pools), mHC streams and
+hash/sqrtsp MoE — cached decode parity, chunk-boundary invariance, and the
+paged continuous-batching generator with per-slot compressor state."""
+import numpy as np
+import pytest
+
+from exllamav3_tpu.conversion.synth import write_synth_dense_for_arch
+from exllamav3_tpu.model import Config, Model, Cache, CacheSpec
+from exllamav3_tpu.generator import Generator
+
+CFG = dict(
+    architectures=["DeepseekV4ForCausalLM"], bos_token_id=1, eos_token_id=2,
+    vocab_size=256, hidden_size=64, max_position_embeddings=4096,
+    num_attention_heads=4, num_key_value_heads=1, num_hidden_layers=3,
+    rms_norm_eps=1e-5, rope_theta=10000.0, torch_dtype="bfloat16",
+    head_dim=32, qk_rope_head_dim=8, q_lora_rank=32, o_groups=2,
+    o_lora_rank=16, sliding_window=8, index_n_heads=4, index_head_dim=16,
+    index_topk=4, compress_ratios=[0, 4, 128], compress_rate_csa=4,
+    compress_rate_hca=8, hc_mult=4, hc_sinkhorn_iters=5,
+    moe_intermediate_size=32, n_routed_experts=4, num_experts_per_tok=2,
+    n_shared_experts=1, num_hash_layers=1, routed_scaling_factor=1.5,
+    swiglu_limit=10.0,
+)
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dsv4"))
+    write_synth_dense_for_arch(d, CFG, seed=5)
+    m = Model.from_config(Config.from_directory(d))
+    m.load()
+    return m
+
+
+def _decode(model, ids, splits, max_len=64):
+    """Run ids through chunks split at the given boundaries; return logits."""
+    import jax.numpy as jnp
+
+    B, S = ids.shape
+    cache = Cache(model, CacheSpec(layout="linear", batch_size=B,
+                                   max_len=max_len, recurrent_slots=B))
+    step = model.jitted_step("dense", donate_cache=False)
+    outs = []
+    start = 0
+    for stop in list(splits) + [S]:
+        if stop <= start:
+            continue
+        chunk = ids[:, start:stop]
+        pos = np.broadcast_to(np.arange(start, stop, dtype=np.int32),
+                              (B, stop - start))
+        lt, cache.state = step(model.params, jnp.asarray(chunk), cache.state,
+                               jnp.asarray(pos.copy()),
+                               jnp.full(B, start, np.int32), None)
+        outs.append(np.asarray(lt))
+        start = stop
+    return np.concatenate(outs, axis=1)
+
+
+def test_dsv4_cached_matches_cacheless(model):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 250, size=(1, 14)).astype(np.int32)
+    full = np.asarray(model.forward_simple(ids))
+    assert np.isfinite(full).all()
+    inc = _decode(model, ids, splits=range(1, 14))  # token by token
+    assert (inc.argmax(-1) == full.argmax(-1)).mean() == 1.0
+
+
+def test_dsv4_chunk_boundary_invariance(model):
+    """Compressor row-buffer + Ca overlap carry: any chunking must give the
+    same logits (windows straddle chunk boundaries)."""
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 250, size=(1, 17)).astype(np.int32)
+    a = _decode(model, ids, splits=[9])       # window-straddling split
+    b = _decode(model, ids, splits=[4, 7, 13])
+    c = _decode(model, ids, splits=[])
+    np.testing.assert_allclose(a, b, rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(a, c, rtol=3e-2, atol=3e-2)
+    assert (a.argmax(-1) == c.argmax(-1)).mean() >= 0.9
+
+
+def test_dsv4_generator(model):
+    """Paged continuous batching with per-slot rings/pools: batched output
+    must match single-row linear-cache greedy decode."""
+    import jax.numpy as jnp
+
+    def greedy_ref(prompt, n):
+        cache = Cache(model, CacheSpec(layout="linear", batch_size=1,
+                                       max_len=256, recurrent_slots=1))
+        step = model.jitted_step("dense", donate_cache=False)
+        ids = np.asarray(prompt, np.int32)[None]
+        pos = np.arange(ids.shape[1], dtype=np.int32)[None]
+        lt, cache.state = step(model.params, jnp.asarray(ids), cache.state,
+                               jnp.asarray(pos), jnp.zeros(1, np.int32), None)
+        toks = [int(np.asarray(lt[0, -1]).argmax())]
+        t = ids.shape[1]
+        for _ in range(n - 1):
+            lt, cache.state = step(model.params, jnp.asarray([[toks[-1]]]),
+                                   cache.state, jnp.asarray([[t]]),
+                                   jnp.full(1, t, np.int32), None)
+            toks.append(int(np.asarray(lt[0, -1]).argmax()))
+            t += 1
+        return toks
+
+    cache = Cache(model, CacheSpec(layout="paged", num_pages=16,
+                                   recurrent_slots=9))
+    gen = Generator(model, cache, max_batch_size=8)
+    assert gen.has_recurrent
+    prompts = [[5, 9, 13, 2, 7], [3, 3, 8, 1], [100, 200, 31, 17, 4, 90]]
+    n = 10
+    refs = [greedy_ref(p, n) for p in prompts]
+    outs = gen.generate([np.asarray(p, np.int32) for p in prompts],
+                        max_new_tokens=n)
+    for got, ref in zip(outs, refs):
+        agree = np.mean([a == b for a, b in zip(got, ref)])
+        assert agree >= 0.8, (got, ref)
