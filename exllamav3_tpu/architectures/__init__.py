@@ -28,7 +28,7 @@ def get_architectures() -> dict:
     for mod_name in ("gemma", "phi", "moe", "glm", "deepseek", "qwen3_next",
                      "nemotron_h", "llama_variants", "cohere", "gpt_oss",
                      "qwen3_5", "lfm2", "olmo_hybrid", "afmoe", "misc",
-                     "vl_text", "step3_hcx", "dflash", "nanochat", "laguna", "deepseek_v4"):
+                     "vl_text", "step3_hcx", "dflash", "nanochat", "laguna", "deepseek_v4", "gemma4"):
         try:
             import importlib
 

@@ -1,0 +1,192 @@
+"""Gemma4 (conditional generation): hybrid SWA/global layers with distinct
+head dims and kv-head counts per type, V-norms, optional K-as-V global
+layers, per-block layer scalars and unit softmax scale.
+
+Feature reference: /root/reference/exllamav3/architecture/gemma4.py
+(Gemma4Config:39, Gemma4TextModel:194). Text component; the Gemma4 vision
+towers (patch embedder/pooler, gemma4.py:480) are not ported yet. The MoE
+block variant (enable_moe_block, alt residual channel + per-expert scales)
+is also deferred — tracked in doc/COMPONENTS.md.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..model.config import Config, no_default
+from ..model.model import Model
+from ..modules import (
+    Attention,
+    Embedding,
+    GatedMLP,
+    Linear,
+    RMSNorm,
+    TransformerBlock,
+)
+from ..util.rope import RopeSettings, RopeStyle
+
+
+def _rope_from_params(rp: dict | None, head_dim: int, default_theta: float,
+                      max_pos: int | None) -> RopeSettings:
+    rp = dict(rp or {})
+    theta = float(rp.pop("rope_theta", default_theta))
+    rt = rp.get("rope_type", rp.get("type", "default"))
+    scaling = None if (rt == "default" or not rp) else rp
+    return RopeSettings(head_dim=head_dim, rope_theta=theta,
+                        rope_scaling=scaling,
+                        max_position_embeddings=max_pos,
+                        rope_style=RopeStyle.NEOX)
+
+
+class Gemma4Config(Config):
+    arch_string = "Gemma4ForConditionalGeneration"
+
+    def __init__(self, directory: str, derived_model: dict | None = None, **kwargs):
+        super().__init__(directory,
+                         derived_model or {"text": Gemma4TextModel}, **kwargs)
+        pre = "text_config->"
+        self.num_hidden_layers = self.read_cfg(int, pre + "num_hidden_layers",
+                                               no_default)
+        self.tie_word_embeddings = self.read_cfg(
+            bool, pre + "tie_word_embeddings", False)
+        self.head_dim = self.read_cfg(int, pre + "head_dim", no_default)
+        self.global_head_dim = self.read_cfg(int, pre + "global_head_dim",
+                                             self.head_dim)
+        self.hidden_size = self.read_cfg(int, pre + "hidden_size", no_default)
+        self.num_q_heads = self.read_cfg(int, pre + "num_attention_heads",
+                                         no_default)
+        self.num_kv_heads = self.read_cfg(int, pre + "num_key_value_heads",
+                                          self.num_q_heads)
+        self.num_global_kv_heads = self.read_cfg(
+            int, pre + "num_global_key_value_heads", self.num_kv_heads)
+        self.attention_k_eq_v = self.read_cfg(bool, pre + "attention_k_eq_v",
+                                              False)
+        self.layer_types = self.read_cfg(list, pre + "layer_types", no_default)
+        assert len(self.layer_types) == self.num_hidden_layers
+        self.sliding_window = self.read_cfg(int, pre + "sliding_window", -1)
+        self.swa_pattern = [
+            self.sliding_window if lt == "sliding_attention" else 0
+            for lt in self.layer_types
+        ]
+        self.assert_cfg(str, pre + "hidden_activation", "gelu_pytorch_tanh",
+                        optional=True)
+        self.intermediate_size = self.read_cfg(int, pre + "intermediate_size",
+                                               no_default)
+        self.rms_norm_eps = self.read_cfg(float, pre + "rms_norm_eps",
+                                          no_default)
+        self.attn_logit_softcapping = self.read_cfg(
+            float, pre + "attn_logit_softcapping", 0.0)
+        self.final_logit_softcapping = self.read_cfg(
+            float, pre + "final_logit_softcapping", 0.0)
+        if self.read_cfg(int, pre + "hidden_size_per_layer_input", 0):
+            raise NotImplementedError("Gemma4 per-layer inputs not implemented")
+        if self.read_cfg(bool, pre + "enable_moe_block", False):
+            raise NotImplementedError(
+                "Gemma4 MoE blocks not implemented yet (doc/COMPONENTS.md)")
+
+        rp = self.read_cfg(dict, pre + "rope_parameters", None) or {}
+        self.rope_settings_local = _rope_from_params(
+            rp.get("sliding_attention"), self.head_dim, 10000.0,
+            self.max_position_embeddings)
+        self.rope_settings_global = _rope_from_params(
+            rp.get("full_attention"), self.global_head_dim, 1000000.0,
+            self.max_position_embeddings)
+
+
+class Gemma4TextModel(Model):
+    config_class = Gemma4Config
+
+    def __init__(self, config: Gemma4Config,
+                 key_prefix: str = "model.language_model", **kwargs):
+        super().__init__(config, **kwargs)
+        h = config.hidden_size
+        # reference scales embeddings by sqrt(hidden) rounded through bf16
+        emb_scale = float(np.float32(
+            jnp.bfloat16(np.float32(h ** 0.5))))
+        self.modules += [
+            Embedding(config=config, key=f"{key_prefix}.embed_tokens",
+                      vocab_size=config.vocab_size, hidden_size=h,
+                      scale=emb_scale)
+        ]
+        self.first_block_idx = len(self.modules)
+
+        for idx in range(config.num_hidden_layers):
+            lk = f"{key_prefix}.layers.{idx}"
+            is_full = config.layer_types[idx] == "full_attention"
+            hd = config.global_head_dim if is_full else config.head_dim
+            attn = Attention(
+                config=config,
+                key=f"{lk}.self_attn",
+                layer_idx=idx,
+                hidden_size=h,
+                head_dim=hd,
+                num_q_heads=config.num_q_heads,
+                num_kv_heads=(config.num_global_kv_heads if is_full
+                              else config.num_kv_heads),
+                rope_settings=(config.rope_settings_global if is_full
+                               else config.rope_settings_local),
+                logit_softcap=config.attn_logit_softcapping,
+                sliding_window=config.swa_pattern[idx],
+                use_k_as_v=is_full and config.attention_k_eq_v,
+                sm_scale=1.0,
+                qmap="block.attn",
+                q_norm=RMSNorm(config, f"{lk}.self_attn.q_norm",
+                               config.rms_norm_eps, dim=hd),
+                k_norm=RMSNorm(config, f"{lk}.self_attn.k_norm",
+                               config.rms_norm_eps, dim=hd),
+                v_norm=RMSNorm(config, f"{lk}.self_attn.v_norm",
+                               config.rms_norm_eps, dim=hd, unweighted=True),
+            )
+            self.modules += [
+                TransformerBlock(
+                    config=config,
+                    key=lk,
+                    layer_idx=idx,
+                    key_layer_scalar="layer_scalar",
+                    attn_norm=RMSNorm(config, f"{lk}.input_layernorm",
+                                      config.rms_norm_eps),
+                    attn=attn,
+                    attn_post_norm=RMSNorm(
+                        config, f"{lk}.post_attention_layernorm",
+                        config.rms_norm_eps),
+                    mlp_norm=RMSNorm(config, f"{lk}.pre_feedforward_layernorm",
+                                     config.rms_norm_eps),
+                    mlp=GatedMLP(
+                        config=config,
+                        key=f"{lk}.mlp",
+                        hidden_size=h,
+                        intermediate_size=config.intermediate_size,
+                        qmap="block.mlp",
+                        activation="gelu_pytorch_tanh",
+                    ),
+                    mlp_post_norm=RMSNorm(
+                        config, f"{lk}.post_feedforward_layernorm",
+                        config.rms_norm_eps),
+                )
+            ]
+
+        self.last_kv_module_idx = len(self.modules) - 1
+        self.modules += [
+            RMSNorm(config, f"{key_prefix}.norm", config.rms_norm_eps,
+                    out_dtype=jnp.bfloat16),
+            Linear(config=config, key="lm_head", in_features=h,
+                   out_features=config.vocab_size, qmap="block.lm_head",
+                   alt_key=(f"{key_prefix}.embed_tokens"
+                            if config.tie_word_embeddings else None),
+                   softcap=config.final_logit_softcapping,
+                   out_dtype=jnp.float32),
+        ]
+        self.logit_layer_idx = len(self.modules) - 1
+
+    def default_chat_prompt(self, prompt: str, system_prompt: str | None = None) -> str:
+        p = "<bos>"
+        if system_prompt:
+            p += f"<|turn>system\n{system_prompt}<turn|>\n"
+        return p + f"<|turn>user\n{prompt}<turn|>\n<|turn>model\n"
+
+
+class Gemma4UnifiedConfig(Gemma4Config):
+    arch_string = "Gemma4UnifiedForConditionalGeneration"
+
+
+ARCHITECTURES = [Gemma4Config, Gemma4UnifiedConfig]

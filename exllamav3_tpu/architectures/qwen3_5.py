@@ -88,11 +88,39 @@ class Qwen3_5MoeConfig(Qwen3_5Config):
                          **kwargs)
 
 
+class Qwen3_5VLConfig(Qwen3_5Config):
+    """Qwen3.5 VL (reference qwen3_5.py Qwen3_5VLConfig:131): text config
+    nested under text_config. The Qwen3-VL vision tower is not ported yet
+    (text component only, like the other vl_text wrappers)."""
+
+    arch_string = "Qwen3_5ForConditionalGeneration"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, derived_model={"text": Qwen3_5Model},
+                         text_cfg="text_config", **kwargs)
+
+
+class Qwen3_5VLMoeConfig(Qwen3_5Config):
+    arch_string = "Qwen3_5MoeForConditionalGeneration"
+    use_moe = True
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, derived_model={"text": Qwen3_5MoeModel},
+                         text_cfg="text_config", **kwargs)
+
+
 class Qwen3_5Model(Model):
     config_class = Qwen3_5Config
     use_moe = False
 
-    def __init__(self, config: Qwen3_5Config, key_prefix: str = "model", **kwargs):
+    def __init__(self, config: Qwen3_5Config, key_prefix: str | None = None,
+                 **kwargs):
+        # real Qwen3.5 checkpoints nest the text stack under
+        # model.language_model (reference qwen3_5.py:525); plain model.* is
+        # kept for flat exports
+        if key_prefix is None:
+            key_prefix = ("model.language_model" if config.stc.has_tensor(
+                "model.language_model.embed_tokens.weight") else "model")
         super().__init__(config, **kwargs)
         self.modules += [
             Embedding(config=config, key=f"{key_prefix}.embed_tokens",
@@ -279,4 +307,5 @@ class Qwen3_5MTPModel(Model):
         return fn
 
 
-ARCHITECTURES = [Qwen3_5Config, Qwen3_5MoeConfig]
+ARCHITECTURES = [Qwen3_5Config, Qwen3_5MoeConfig, Qwen3_5VLConfig,
+                 Qwen3_5VLMoeConfig]

@@ -191,6 +191,7 @@ class HyperClovaxModel(Model):
     config_class = HyperClovaxConfig
 
     def __init__(self, config: HyperClovaxConfig, key_prefix: str = "model",
+                 post_norms: bool = True, head_key: str = "lm_head",
                  **kwargs):
         super().__init__(config, **kwargs)
         self.modules += [
@@ -216,7 +217,8 @@ class HyperClovaxModel(Model):
                         qmap="block.attn",
                     ),
                     attn_post_norm=RMSNorm(config, f"{lk}.post_norm1",
-                                           config.rms_norm_eps),
+                                           config.rms_norm_eps)
+                    if post_norms else None,
                     mlp_norm=RMSNorm(config, f"{lk}.post_attention_layernorm",
                                      config.rms_norm_eps),
                     mlp=GatedMLP(config=config, key=f"{lk}.mlp",
@@ -225,7 +227,8 @@ class HyperClovaxModel(Model):
                                  qmap="block.mlp"),
                     mlp_post_norm=RMSNorm(config, f"{lk}.post_norm2",
                                           config.rms_norm_eps,
-                                          out_dtype=jnp.float32),
+                                          out_dtype=jnp.float32)
+                    if post_norms else None,
                 )
             ]
         self.last_kv_module_idx = len(self.modules) - 1
@@ -244,4 +247,54 @@ class HyperClovaxModel(Model):
         self.logit_layer_idx = len(self.modules) - 1
 
 
-ARCHITECTURES = [Step3p5Config, HyperClovaxConfig]
+class Step3p7Config(Step3p5Config):
+    """Step-3.7 (reference architecture/step3_7.py:18): the Step-3.5 stack
+    with the text config nested under text_config (resolved through the
+    read_cfg fallback), yarn applied only to yarn_only_types layer types,
+    and q/k norms always on (the HF config says use_qk_norm=false but the
+    reference modeling code applies them unconditionally). Vision tower
+    (step3_7.py:151) not ported yet — text component only."""
+
+    arch_string = "Step3p7ForConditionalGeneration"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, derived_model={"text": Step3p7Model},
+                         **kwargs)
+        self.use_qk_norm = True
+        yarn_only = self.read_cfg(list, "yarn_only_types", None)
+        scaling = self.read_cfg(dict, "rope_scaling", None)
+        if scaling:
+            for rs, lt in zip(self.rope_settings_list, self.layer_types):
+                if not yarn_only or lt in yarn_only:
+                    rs.rope_scaling = scaling
+
+
+class Step3p7Model(Step3p5Model):
+    config_class = Step3p7Config
+
+
+class HCXVisionV2Config(HyperClovaxConfig):
+    """HyperCLOVAX Vision V2 (reference architecture/hcxvisionv2.py:10): the
+    HyperCLOVAX text stack without block post-norms, nested under
+    model.language_model.model, with logits_scaling required and a
+    Qwen2.5-VL-style vision tower under model.vision_model (tower not wired
+    yet — text component only)."""
+
+    arch_string = "HCXVisionV2ForCausalLM"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory,
+                         derived_model={"text": HCXVisionV2Model}, **kwargs)
+
+
+class HCXVisionV2Model(HyperClovaxModel):
+    config_class = HCXVisionV2Config
+
+    def __init__(self, config, **kwargs):
+        super().__init__(config, key_prefix="model.language_model.model",
+                         post_norms=False,
+                         head_key="model.language_model.lm_head", **kwargs)
+
+
+ARCHITECTURES = [Step3p5Config, HyperClovaxConfig, Step3p7Config,
+                 HCXVisionV2Config]

@@ -255,6 +255,11 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
 
             if isinstance(m, _Attn) and m.has_sinks:
                 add(f"{m.key}.sinks", rng.standard_normal(m.num_q_heads) * 0.5)
+            from ..modules.transformer import TransformerBlock as _TB
+
+            if isinstance(m, _TB) and m.key_layer_scalar:
+                add(f"{m.key}.{m.key_layer_scalar}",
+                    rng.uniform(0.8, 1.2, 1))
             from ..modules.dsv4_attn import DSV4Attention as _DSV4
             from ..modules import HyperConnection as _HC, HyperHead as _HH
 
@@ -324,7 +329,8 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                     continue
                 dim = (getattr(m, "dim", None) or cfg.get("hidden_size")
                        or cfg.get("text_config", {}).get("hidden_size"))
-                is_gemma = "gemma" in str(cfg.get("architectures", [""])[0]).lower()
+                arch_l = str(cfg.get("architectures", [""])[0]).lower()
+                is_gemma = "gemma" in arch_l and "gemma4" not in arch_l
                 add(m.key + ".weight", np.zeros(dim) if is_gemma else np.ones(dim))
             elif isinstance(m, Embedding):
                 add(m.key + ".weight",

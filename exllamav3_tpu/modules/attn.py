@@ -46,6 +46,8 @@ class Attention(Module):
         qmap: str | None = None,
         q_norm: RMSNorm | None = None,
         k_norm: RMSNorm | None = None,
+        v_norm: RMSNorm | None = None,
+        use_k_as_v: bool = False,
         sliding_window: int = 0,
         logit_softcap: float = 0.0,
         has_sinks: bool = False,
@@ -98,6 +100,12 @@ class Attention(Module):
                                  gate_features)
         self.q_norm = q_norm
         self.k_norm = k_norm
+        # Gemma4: normalize V, and/or reuse the K projection as V
+        # (reference attn.py use_k_as_v:178, v_norm:169)
+        self.v_norm = v_norm
+        self.use_k_as_v = use_k_as_v
+        if use_k_as_v:
+            self.v_proj = None
         # nanochat: unweighted RMS over q/k applied AFTER rope (reference
         # attn.py post_rope_norm / rope.cu post-norm epilogue), and a gated
         # value-embedding addend on V (reference attn.py:734, transformer.py
@@ -107,7 +115,7 @@ class Attention(Module):
         self.ve_gate = ve_gate
         self.modules = [m for m in (self.q_proj, self.k_proj, self.v_proj,
                                     self.o_proj, self.g_proj, self.q_norm,
-                                    self.k_norm) if m]
+                                    self.k_norm, self.v_norm) if m]
 
     def new_cache_layer(self, spec) -> dict:
         """Per-head K/V layer state (fp16-analogue bf16, or int32-packed
@@ -143,6 +151,7 @@ class Attention(Module):
         self._fused_qkv = False
         if getattr(self.config.infer_params, "fuse_projections", False) \
                 and not self.interleaved_gate \
+                and self.v_proj is not None \
                 and getattr(self, "allow_fusion", True):
             from .multilinear import try_fuse
 
@@ -196,7 +205,11 @@ class Attention(Module):
         else:
             q = self.q_proj.forward(x, params, ctx).reshape(B, S, nq, hd)
             k = self.k_proj.forward(x, params, ctx).reshape(B, S, nkv, hd)
-            v = self.v_proj.forward(x, params, ctx).reshape(B, S, nkv, hd)
+            v = k if self.use_k_as_v else \
+                self.v_proj.forward(x, params, ctx).reshape(B, S, nkv, hd)
+
+        if self.v_norm is not None:
+            v = self.v_norm.forward(v, params, ctx)
 
         if self.ve_gate:
             v = v + ctx.extras[f"nc_ve.{self.layer_idx}"].astype(v.dtype)

@@ -31,6 +31,7 @@ class TransformerBlock(Module):
         backout_lambda: float | None = None,
         attn_hc=None,
         mlp_hc=None,
+        key_layer_scalar: str | None = None,
     ):
         super().__init__(config, key)
         self.layer_idx = layer_idx
@@ -57,12 +58,28 @@ class TransformerBlock(Module):
         # sublayer (reference modules/transformer.py attn_hc/mlp_hc)
         self.attn_hc = attn_hc
         self.mlp_hc = mlp_hc
+        # Gemma4: learned scalar on the whole block output (reference
+        # transformer.py key_layer_scalar:30)
+        self.key_layer_scalar = key_layer_scalar
+        self.layer_scalar = None
         self.modules = [
             m
             for m in (attn_norm, attn, attn_post_norm, mlp_norm, mlp,
                       mlp_post_norm, ve_gate, attn_hc, mlp_hc)
             if m is not None
         ]
+
+    def load(self, params: dict) -> None:
+        super().load(params)
+        if self.key_layer_scalar:
+            t = self.config.stc.get_tensor(f"{self.key}.{self.key_layer_scalar}")
+            import numpy as _np
+
+            from ..loader.safetensors import bf16_to_f32 as _b2f
+
+            if t.dtype == _np.uint16:
+                t = _b2f(t)
+            self.layer_scalar = float(t.reshape(-1)[0])
 
     def forward(self, x, params: dict, ctx: ForwardCtx):
         if self.resid_lambda is not None:
@@ -113,6 +130,8 @@ class TransformerBlock(Module):
         if self.backout_lambda is not None:
             res = res - self.backout_lambda * ctx.extras["nc_backout"]
             x = res.astype(x.dtype)
+        if self.layer_scalar is not None:
+            x = (x.astype(jnp.float32) * self.layer_scalar).astype(x.dtype)
         return x
 
 
