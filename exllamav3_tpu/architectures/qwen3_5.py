@@ -90,14 +90,20 @@ class Qwen3_5MoeConfig(Qwen3_5Config):
 
 class Qwen3_5VLConfig(Qwen3_5Config):
     """Qwen3.5 VL (reference qwen3_5.py Qwen3_5VLConfig:131): text config
-    nested under text_config. The Qwen3-VL vision tower is not ported yet
-    (text component only, like the other vl_text wrappers)."""
+    nested under text_config; shares the Qwen3-VL vision tower and its
+    deepstack early-layer injection."""
 
     arch_string = "Qwen3_5ForConditionalGeneration"
 
     def __init__(self, directory: str, **kwargs):
         super().__init__(directory, derived_model={"text": Qwen3_5Model},
                          text_cfg="text_config", **kwargs)
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc:
+            from .vl_text import Qwen3VLVisionModel
+
+            self.vision_config = vc
+            self.model_classes["vision"] = Qwen3VLVisionModel
 
 
 class Qwen3_5VLMoeConfig(Qwen3_5Config):
@@ -107,6 +113,12 @@ class Qwen3_5VLMoeConfig(Qwen3_5Config):
     def __init__(self, directory: str, **kwargs):
         super().__init__(directory, derived_model={"text": Qwen3_5MoeModel},
                          text_cfg="text_config", **kwargs)
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc:
+            from .vl_text import Qwen3VLVisionModel
+
+            self.vision_config = vc
+            self.model_classes["vision"] = Qwen3VLVisionModel
 
 
 class Qwen3_5Model(Model):
@@ -121,6 +133,7 @@ class Qwen3_5Model(Model):
         if key_prefix is None:
             key_prefix = ("model.language_model" if config.stc.has_tensor(
                 "model.language_model.embed_tokens.weight") else "model")
+        self._want_deepstack = getattr(config, "vision_config", None)
         super().__init__(config, **kwargs)
         self.modules += [
             Embedding(config=config, key=f"{key_prefix}.embed_tokens",
@@ -205,6 +218,14 @@ class Qwen3_5Model(Model):
                    alt_key=head_alt_key, out_dtype=jnp.float32),
         ]
         self.logit_layer_idx = len(self.modules) - 1
+        if self._want_deepstack:
+            from .vl_text import _insert_deepstack
+
+            _insert_deepstack(
+                self,
+                len(self._want_deepstack.get("deepstack_visual_indexes",
+                                             [8, 16, 24])),
+                config.vocab_size)
 
 
 class Qwen3_5MoeModel(Qwen3_5Model):

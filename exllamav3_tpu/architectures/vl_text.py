@@ -89,12 +89,35 @@ class Qwen25VLVisionModel:
         return _VisionModel(config, **kwargs)
 
 
+def _insert_deepstack(model, n_ds: int, vocab_size: int):
+    """Insert DeepstackEmbed modules after the first n_ds transformer blocks
+    (reference qwen3_vl.py text side / qwen3_5.py:442)."""
+    from ..modules.deepstack import DeepstackEmbed
+    from ..modules.transformer import TransformerBlock
+
+    out = []
+    for m in model.modules:
+        out.append(m)
+        if isinstance(m, TransformerBlock) and m.layer_idx < n_ds:
+            out.append(DeepstackEmbed(
+                model.config, f"{m.key}.deepstack_embed",
+                deepstack_index=m.layer_idx, vocab_size=vocab_size))
+    inserted = len(out) - len(model.modules)
+    model.modules = out
+    model.last_kv_module_idx += inserted
+    model.logit_layer_idx += inserted
+
+
 class Qwen3VLConfig(LlamaConfig):
     arch_string = "Qwen3VLForConditionalGeneration"
 
     def __init__(self, directory: str, **kwargs):
         super().__init__(directory, derived_model={"text": Qwen3VLModel},
                          **kwargs)
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc:
+            self.vision_config = vc
+            self.model_classes["vision"] = Qwen3VLVisionModel
 
 
 class Qwen3VLModel(Qwen3Model):
@@ -102,6 +125,67 @@ class Qwen3VLModel(Qwen3Model):
 
     def __init__(self, config, **kwargs):
         super().__init__(config, key_prefix="model.language_model", **kwargs)
+        vc = getattr(config, "vision_config", None)
+        if vc:
+            _insert_deepstack(
+                self, len(vc.get("deepstack_visual_indexes", [8, 16, 24])),
+                config.vocab_size)
+
+
+class Qwen3VLVisionModel:
+    """Vision component wrapper for the Qwen3-VL tower (deepstack taps)."""
+
+    def __new__(cls, config, **kwargs):
+        from ..model.model import Model
+        from ..modules.vision_qwen import Qwen3VisionTower
+
+        vc = config.vision_config
+
+        class _VisionModel(Model):
+            def __init__(self, config, **kw):
+                super().__init__(config, **kw)
+                self.tower = Qwen3VisionTower(
+                    config, key="model.visual",
+                    depth=int(vc.get("depth", 27)),
+                    hidden=int(vc.get("hidden_size", 1152)),
+                    heads=int(vc.get("num_heads", 16)),
+                    intermediate=int(vc.get("intermediate_size", 4304)),
+                    patch_size=int(vc.get("patch_size", 16)),
+                    temporal_patch_size=int(vc.get("temporal_patch_size", 2)),
+                    spatial_merge_size=int(vc.get("spatial_merge_size", 2)),
+                    out_hidden=int(vc.get("out_hidden_size",
+                                          config.hidden_size)),
+                    num_position_embeddings=int(
+                        vc.get("num_position_embeddings", 2304)),
+                    deepstack_visual_indexes=tuple(
+                        vc.get("deepstack_visual_indexes", (8, 16, 24))),
+                )
+                self.modules = [self.tower]
+
+            def get_image_embeddings(self, pixels, text_alias=None):
+                import numpy as np
+                import jax
+                import jax.numpy as jnp
+                from ..modules.module import ForwardCtx
+                from ..tokenizer.mm_embedding import MMEmbedding
+
+                single = pixels.ndim == 3
+                if single:
+                    pixels = pixels[None]
+                if "vision_fwd" not in self._step_cache:
+                    self._step_cache["vision_fwd"] = jax.jit(
+                        lambda params, px: self.tower.forward(
+                            px, params, ForwardCtx()))
+                main, ds = self._step_cache["vision_fwd"](
+                    self.params, jnp.asarray(pixels, dtype=jnp.float32))
+                main = np.asarray(jax.device_get(main))
+                ds = [np.asarray(jax.device_get(d)) for d in ds]
+                out = [MMEmbedding(main[i], text_alias=text_alias,
+                                   deepstack=[d[i] for d in ds])
+                       for i in range(main.shape[0])]
+                return out[0] if single else out
+
+        return _VisionModel(config, **kwargs)
 
 
 class Qwen3VLMoeConfig(Qwen3MoeConfig):
@@ -110,6 +194,10 @@ class Qwen3VLMoeConfig(Qwen3MoeConfig):
     def __init__(self, directory: str, **kwargs):
         super().__init__(directory, **kwargs)
         self.model_classes = {"text": Qwen3VLMoeModel}
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc:
+            self.vision_config = vc
+            self.model_classes["vision"] = Qwen3VLVisionModel
 
 
 class Qwen3VLMoeModel(Qwen3MoeModel):
@@ -117,6 +205,11 @@ class Qwen3VLMoeModel(Qwen3MoeModel):
 
     def __init__(self, config, **kwargs):
         super().__init__(config, key_prefix="model.language_model", **kwargs)
+        vc = getattr(config, "vision_config", None)
+        if vc:
+            _insert_deepstack(
+                self, len(vc.get("deepstack_visual_indexes", [8, 16, 24])),
+                config.vocab_size)
 
 
 class Glm4vConfig(Glm4Config):

@@ -381,12 +381,18 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                     add(f"{m.key}.embeddings.position_embedding.weight",
                         rng.standard_normal((m.num_patches, D)) * 0.02)
                 from ..modules.vision_qwen import Qwen25VisionTower as _QVT
+                from ..modules.vision_qwen import Qwen3VisionTower as _Q3VT
 
-                if isinstance(m, _QVT):
+                if isinstance(m, (_QVT, _Q3VT)):
                     P, Tp, D = m.patch_size, m.temporal_patch_size, m.hidden
                     add(f"{m.key}.patch_embed.proj.weight",
                         rng.standard_normal((D, 3, Tp, P, P))
                         / math.sqrt(Tp * P * P * 3))
+                if isinstance(m, _Q3VT):
+                    add(f"{m.key}.patch_embed.proj.bias",
+                        rng.standard_normal(m.hidden) * 0.02)
+                    add(f"{m.key}.pos_embed.weight",
+                        rng.standard_normal((m.num_pos, m.hidden)) * 0.02)
                 if isinstance(m, Gemma3MultimodalProjector):
                     add(f"{m.key}.mm_input_projection_weight",
                         rng.standard_normal((m.vision_hidden, m.text_hidden))

@@ -32,6 +32,8 @@ class Embedding(Module):
     def forward(self, ids, params: dict, ctx: ForwardCtx):
         w = params[self.key]["weight"]
         mm = ctx.extras.get("mm_embeddings")
+        if mm is not None and mm.ndim == 3:
+            mm = mm[0]  # stacked deepstack layout: row 0 = token embeddings
         if mm is not None:
             # multimodal ids arrive remapped to [vocab, vocab + n_mm) —
             # the host remaps the >= 1e9 dynamic ids (int64) into int32

@@ -170,3 +170,190 @@ class Qwen25VisionTower(Module):
                                                   m * m * D)
         h = jax.nn.gelu(self.merge_fc1.forward(x, params, ctx))
         return self.merge_fc2.forward(h.astype(jnp.bfloat16), params, ctx)
+
+
+class Qwen3VLPatchMerger(Module):
+    """norm -> (T/m², m²·D) -> fc1 -> gelu(tanh) -> fc2 (reference
+    arch_specific/qwen3_vl.py Qwen3VLVisionPatchMerger:197). With
+    use_postshuffle_norm the LayerNorm runs over the merged m²·D rows
+    (deepstack taps)."""
+
+    def __init__(self, config, key: str, hidden: int, merge: int,
+                 out_hidden: int, use_postshuffle_norm: bool = False):
+        super().__init__(config, key)
+        from .norms import LayerNorm
+
+        self.hidden = hidden
+        self.merge = merge
+        self.in_size = hidden * merge * merge
+        self.use_postshuffle_norm = use_postshuffle_norm
+        self.norm = LayerNorm(
+            config, f"{key}.norm", eps=1e-6,
+            dim=self.in_size if use_postshuffle_norm else hidden)
+        self.fc1 = Linear(config, f"{key}.linear_fc1", self.in_size,
+                          self.in_size)
+        self.fc2 = Linear(config, f"{key}.linear_fc2", self.in_size,
+                          out_hidden)
+        self.modules = [self.norm, self.fc1, self.fc2]
+
+    def forward_merge(self, x, params, ctx, gh: int, gw: int):
+        B, T, D = x.shape
+        m = self.merge
+        if not self.use_postshuffle_norm:
+            x = self.norm.forward(x, params, ctx)
+        y = x.reshape(B, gh // m, m, gw // m, m, D)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, (gh // m) * (gw // m), self.in_size)
+        if self.use_postshuffle_norm:
+            y = self.norm.forward(y, params, ctx)
+        h = jax.nn.gelu(self.fc1.forward(y, params, ctx), approximate=True)
+        return self.fc2.forward(h.astype(jnp.bfloat16), params, ctx)
+
+
+class Qwen3VisionTower(Module):
+    """Qwen3-VL ViT (reference architecture/qwen3_vl.py Qwen3VLVisionModel:152):
+    conv patch embed + bilinear-interpolated learned position embeddings,
+    full-attention LayerNorm blocks with non-gated gelu MLPs and fused qkv,
+    a final 2x2 patch merger, and deepstack mergers tapping intermediate
+    blocks whose outputs are added into the first text layers."""
+
+    def __init__(self, config, key: str = "model.visual", depth: int = 27,
+                 hidden: int = 1152, heads: int = 16, intermediate: int = 4304,
+                 patch_size: int = 16, temporal_patch_size: int = 2,
+                 spatial_merge_size: int = 2, out_hidden: int = 2048,
+                 num_position_embeddings: int = 2304,
+                 deepstack_visual_indexes: tuple = (8, 16, 24),
+                 rope_theta: float = 10000.0, eps: float = 1e-6):
+        super().__init__(config, key)
+        from .norms import LayerNorm
+        from .mlp import MLP
+
+        self.hidden = hidden
+        self.heads = heads
+        self.head_dim = hidden // heads
+        self.patch_size = patch_size
+        self.temporal_patch_size = temporal_patch_size
+        self.merge = spatial_merge_size
+        self.out_hidden = out_hidden
+        self.num_pos = num_position_embeddings
+        self.grid_side = int(round(num_position_embeddings ** 0.5))
+        self.deepstack_indexes = tuple(deepstack_visual_indexes)
+        self.rope_theta = rope_theta
+        self.blocks = []
+        for i in range(depth):
+            bk = f"{key}.blocks.{i}"
+            blk = Module(config, bk)
+            blk.norm1 = LayerNorm(config, f"{bk}.norm1", eps=eps, dim=hidden)
+            blk.norm2 = LayerNorm(config, f"{bk}.norm2", eps=eps, dim=hidden)
+            blk.qkv = Linear(config, f"{bk}.attn.qkv", hidden, 3 * hidden)
+            blk.proj = Linear(config, f"{bk}.attn.proj", hidden, hidden)
+            blk.mlp = MLP(config, f"{bk}.mlp", hidden, intermediate,
+                          key_up="linear_fc1", key_down="linear_fc2",
+                          activation="gelu_pytorch_tanh")
+            blk.modules = [blk.norm1, blk.norm2, blk.qkv, blk.proj, blk.mlp]
+            self.blocks.append(blk)
+        self.merger = Qwen3VLPatchMerger(config, f"{key}.merger", hidden,
+                                         spatial_merge_size, out_hidden)
+        self.ds_mergers = [
+            Qwen3VLPatchMerger(config, f"{key}.deepstack_merger_list.{j}",
+                               hidden, spatial_merge_size, out_hidden,
+                               use_postshuffle_norm=True)
+            for j in range(len(self.deepstack_indexes))
+        ]
+        self.modules = self.blocks + [self.merger] + self.ds_mergers
+
+    def load(self, params: dict) -> None:
+        super().load(params)
+        from .gated_delta_net import _get_f32
+
+        pw = _get_f32(self.config.stc, f"{self.key}.patch_embed.proj.weight")
+        D = pw.shape[0]
+        pw = pw.transpose(2, 3, 4, 1, 0).reshape(-1, D)
+        pb = self.config.stc.get_tensor(
+            f"{self.key}.patch_embed.proj.bias", optional=True)
+        pos = _get_f32(self.config.stc, f"{self.key}.pos_embed.weight")
+        params[self.key] = {
+            "patch_w": jnp.asarray(pw, jnp.bfloat16),
+            "pos": jnp.asarray(pos, jnp.float32),
+        }
+        if pb is not None:
+            params[self.key]["patch_b"] = jnp.asarray(
+                pb.astype(np.float32))
+
+    def _pos_embed(self, pos_table, gh: int, gw: int):
+        """Bilinear interpolation of the (side², D) learned grid onto
+        (gh, gw) (reference fast_pos_embed_interpolate:38), row-major."""
+        side = self.grid_side
+        hi = np.linspace(0, side - 1, gh)
+        wi = np.linspace(0, side - 1, gw)
+        h0, w0 = hi.astype(int), wi.astype(int)
+        h1 = np.clip(h0 + 1, None, side - 1)
+        w1 = np.clip(w0 + 1, None, side - 1)
+        dh, dw = hi - h0, wi - w0
+        idx = [
+            (h0[:, None] * side + w0[None, :]).reshape(-1),
+            (h0[:, None] * side + w1[None, :]).reshape(-1),
+            (h1[:, None] * side + w0[None, :]).reshape(-1),
+            (h1[:, None] * side + w1[None, :]).reshape(-1),
+        ]
+        wts = [
+            ((1 - dh)[:, None] * (1 - dw)[None, :]).reshape(-1),
+            ((1 - dh)[:, None] * dw[None, :]).reshape(-1),
+            (dh[:, None] * (1 - dw)[None, :]).reshape(-1),
+            (dh[:, None] * dw[None, :]).reshape(-1),
+        ]
+        out = sum(pos_table[jnp.asarray(ix)] * jnp.asarray(w, jnp.float32)[:, None]
+                  for ix, w in zip(idx, wts))
+        return out  # (gh*gw, D)
+
+    def _sin_cos(self, gh: int, gw: int):
+        d4 = self.head_dim // 4
+        inv = 1.0 / (self.rope_theta ** (np.arange(d4) / d4))
+        hs = np.arange(gh)[:, None] * inv[None]
+        ws = np.arange(gw)[:, None] * inv[None]
+        fh = np.broadcast_to(hs[:, None, :], (gh, gw, d4))
+        fw = np.broadcast_to(ws[None, :, :], (gh, gw, d4))
+        freqs = np.concatenate([fh, fw], axis=-1).reshape(gh * gw, 2 * d4)
+        emb = np.concatenate([freqs, freqs], axis=-1)
+        return jnp.asarray(np.sin(emb), jnp.float32), jnp.asarray(
+            np.cos(emb), jnp.float32)
+
+    def forward(self, pixels, params: dict, ctx: ForwardCtx):
+        """pixels (B, H, W, 3) normalized -> (main (B, T_mm, out_hidden),
+        deepstack [(B, T_mm, out_hidden)] per tap)."""
+        p = params[self.key]
+        B, H, W, C = pixels.shape
+        P, Tp = self.patch_size, self.temporal_patch_size
+        gh, gw = H // P, W // P
+        x = pixels.reshape(B, gh, P, gw, P, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, gh * gw, 1, P * P * C)
+        x = jnp.tile(x, (1, 1, Tp, 1)).reshape(B, gh * gw, Tp * P * P * C)
+        x = jnp.dot(x.astype(jnp.bfloat16), p["patch_w"],
+                    preferred_element_type=jnp.float32)
+        if "patch_b" in p:
+            x = x + p["patch_b"]
+        x = (x + self._pos_embed(p["pos"], gh, gw)).astype(jnp.bfloat16)
+
+        sin, cos = self._sin_cos(gh, gw)
+        deepstack = []
+        for i, blk in enumerate(self.blocks):
+            T, D, Hh, hd = gh * gw, self.hidden, self.heads, self.head_dim
+            h = blk.norm1.forward(x, params, ctx)
+            qkv = blk.qkv.forward(h, params, ctx).reshape(B, T, 3, Hh, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            q = _rope2d(q, sin, cos)
+            k = _rope2d(k, sin, cos)
+            scores = jnp.einsum("bshd,bthd->bhst", q.astype(jnp.float32),
+                                k.astype(jnp.float32)) / math.sqrt(hd)
+            pr = jax.nn.softmax(scores, axis=-1)
+            o = jnp.einsum("bhst,bthd->bshd", pr, v.astype(jnp.float32))
+            x = x + blk.proj.forward(o.reshape(B, T, D).astype(x.dtype),
+                                     params, ctx).astype(x.dtype)
+            x = x + blk.mlp.forward(blk.norm2.forward(x, params, ctx),
+                                    params, ctx).astype(x.dtype)
+            if i in self.deepstack_indexes:
+                j = self.deepstack_indexes.index(i)
+                deepstack.append(self.ds_mergers[j].forward_merge(
+                    x, params, ctx, gh, gw))
+        main = self.merger.forward_merge(x, params, ctx, gh, gw)
+        return main, deepstack

@@ -30,11 +30,16 @@ class MMEmbedding:
     token ids that reference them."""
 
     def __init__(self, embeddings: np.ndarray, text_alias: str | None = None,
-                 metadata: dict | None = None):
+                 metadata: dict | None = None, deepstack: list | None = None):
         self.embeddings = np.asarray(embeddings)
         self.mm_length = int(self.embeddings.shape[0])
         self.text_alias = text_alias
         self.metadata = metadata or {}
+        # Qwen3-VL deepstack: per-tap feature rows ADDED to the hidden state
+        # at this payload's token positions in the first len(deepstack) text
+        # layers (reference arch_specific/qwen3_vl.py DeepstackEmbed:136)
+        self.deepstack = ([np.asarray(d) for d in deepstack]
+                          if deepstack else None)
         self.first_index = global_allocator.allocate(self.mm_length)
         self.last_index = self.first_index + self.mm_length
 
@@ -53,6 +58,15 @@ def build_mm_table(embeddings: list, hidden_size: int,
     base = min(e.first_index for e in embeddings)
     end = max(e.last_index for e in embeddings)
     n = end - base
+    n_ds = max((len(e.deepstack) if e.deepstack else 0) for e in embeddings)
+    if n_ds:
+        # stacked layout: row 0 = token embeddings, rows 1.. = deepstack taps
+        table = np.zeros((1 + n_ds, pad_to or n, hidden_size), np.float32)
+        for e in embeddings:
+            table[0, e.first_index - base : e.last_index - base] = e.embeddings
+            for j, d in enumerate(e.deepstack or ()):
+                table[1 + j, e.first_index - base : e.last_index - base] = d
+        return table, base
     table = np.zeros((pad_to or n, hidden_size), dtype=np.float32)
     for e in embeddings:
         table[e.first_index - base : e.last_index - base] = e.embeddings
