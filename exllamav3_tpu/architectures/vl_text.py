@@ -212,12 +212,66 @@ class Qwen3VLMoeModel(Qwen3MoeModel):
                 config.vocab_size)
 
 
+class Glm4vVisionModel:
+    """Vision component wrapper for the GLM-4V tower."""
+
+    def __new__(cls, config, **kwargs):
+        from ..model.model import Model
+        from ..modules.vision_glm import Glm4vVisionTower
+
+        vc = config.vision_config
+
+        class _VisionModel(Model):
+            def __init__(self, config, **kw):
+                super().__init__(config, **kw)
+                self.tower = Glm4vVisionTower(
+                    config, key="model.visual",
+                    depth=int(vc.get("depth", 24)),
+                    hidden=int(vc.get("hidden_size", 1536)),
+                    heads=int(vc.get("num_heads", 12)),
+                    intermediate=int(vc.get("intermediate_size", 10944)),
+                    patch_size=int(vc.get("patch_size", 14)),
+                    temporal_patch_size=int(vc.get("temporal_patch_size", 2)),
+                    spatial_merge_size=int(vc.get("spatial_merge_size", 2)),
+                    out_hidden=int(vc.get("out_hidden_size",
+                                          config.hidden_size)),
+                    image_size=int(vc.get("image_size", 336)),
+                    rms_norm_eps=float(vc.get("rms_norm_eps", 1e-5)),
+                )
+                self.modules = [self.tower]
+
+            def get_image_embeddings(self, pixels, text_alias=None):
+                import numpy as np
+                import jax
+                import jax.numpy as jnp
+                from ..modules.module import ForwardCtx
+                from ..tokenizer.mm_embedding import MMEmbedding
+
+                single = pixels.ndim == 3
+                if single:
+                    pixels = pixels[None]
+                if "vision_fwd" not in self._step_cache:
+                    self._step_cache["vision_fwd"] = jax.jit(
+                        lambda params, px: self.tower.forward(
+                            px, params, ForwardCtx()))
+                emb = np.asarray(jax.device_get(self._step_cache["vision_fwd"](
+                    self.params, jnp.asarray(pixels, dtype=jnp.float32))))
+                out = [MMEmbedding(e, text_alias=text_alias) for e in emb]
+                return out[0] if single else out
+
+        return _VisionModel(config, **kwargs)
+
+
 class Glm4vConfig(Glm4Config):
     arch_string = "Glm4vForConditionalGeneration"
 
     def __init__(self, directory: str, **kwargs):
         super().__init__(directory, derived_model={"text": Glm4vModel},
                          **kwargs)
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc:
+            self.vision_config = vc
+            self.model_classes["vision"] = Glm4vVisionModel
 
 
 class Glm4vModel(Glm4Model):
@@ -233,6 +287,10 @@ class Glm4vMoeConfig(Glm4MoeConfig):
     def __init__(self, directory: str, **kwargs):
         super().__init__(directory, derived_model={"text": Glm4vMoeModel},
                          **kwargs)
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc:
+            self.vision_config = vc
+            self.model_classes["vision"] = Glm4vVisionModel
 
 
 class Glm4vMoeModel(Glm4MoeModel):

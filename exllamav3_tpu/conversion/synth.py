@@ -393,6 +393,23 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                         rng.standard_normal(m.hidden) * 0.02)
                     add(f"{m.key}.pos_embed.weight",
                         rng.standard_normal((m.num_pos, m.hidden)) * 0.02)
+                from ..modules.vision_glm import Glm4vVisionTower as _GVT
+
+                if isinstance(m, _GVT):
+                    P, Tp, D = m.patch_size, m.temporal_patch_size, m.hidden
+                    add(f"{m.key}.patch_embed.proj.weight",
+                        rng.standard_normal((D, 3, Tp, P, P))
+                        / math.sqrt(Tp * P * P * 3))
+                    add(f"{m.key}.patch_embed.proj.bias",
+                        rng.standard_normal(D) * 0.02)
+                    add(f"{m.key}.embeddings.position_embedding.weight",
+                        rng.standard_normal((m.grid_side ** 2, D)) * 0.02)
+                    mm_ = m.merge
+                    add(f"{m.key}.downsample.weight",
+                        rng.standard_normal((m.out_hidden, D, mm_, mm_))
+                        / math.sqrt(D * mm_ * mm_))
+                    add(f"{m.key}.downsample.bias",
+                        rng.standard_normal(m.out_hidden) * 0.02)
                 if isinstance(m, Gemma3MultimodalProjector):
                     add(f"{m.key}.mm_input_projection_weight",
                         rng.standard_normal((m.vision_hidden, m.text_hidden))
