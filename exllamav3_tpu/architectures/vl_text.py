@@ -300,20 +300,83 @@ class Glm4vMoeModel(Glm4MoeModel):
         super().__init__(config, key_prefix="model.language_model", **kwargs)
 
 
+class Mistral3VisionModel:
+    """Vision component wrapper for the Pixtral tower."""
+
+    def __new__(cls, config, **kwargs):
+        from ..model.model import Model
+        from ..modules.vision_pixtral import PixtralVisionTower
+
+        vc = config.vision_config
+        new_style = getattr(config, "_mistral3_new_keys", False)
+
+        class _VisionModel(Model):
+            def __init__(self, config, **kw):
+                super().__init__(config, **kw)
+                self.tower = PixtralVisionTower(
+                    config,
+                    key="model.vision_tower" if new_style else "vision_tower",
+                    mm_key=("model.multi_modal_projector" if new_style
+                            else "multi_modal_projector"),
+                    depth=int(vc.get("num_hidden_layers", 24)),
+                    hidden=int(vc.get("hidden_size", 1024)),
+                    heads=int(vc.get("num_attention_heads", 16)),
+                    intermediate=int(vc.get("intermediate_size", 4096)),
+                    patch_size=int(vc.get("patch_size", 14)),
+                    spatial_merge_size=int(vc.get("spatial_merge_size", 2)),
+                    out_hidden=config.hidden_size,
+                    rope_theta=float(vc.get("rope_theta", 10000.0)),
+                )
+                self.modules = [self.tower]
+
+            def get_image_embeddings(self, pixels, text_alias=None):
+                import numpy as np
+                import jax
+                import jax.numpy as jnp
+                from ..modules.module import ForwardCtx
+                from ..tokenizer.mm_embedding import MMEmbedding
+
+                single = pixels.ndim == 3
+                if single:
+                    pixels = pixels[None]
+                if "vision_fwd" not in self._step_cache:
+                    self._step_cache["vision_fwd"] = jax.jit(
+                        lambda params, px: self.tower.forward(
+                            px, params, ForwardCtx()))
+                emb = np.asarray(jax.device_get(self._step_cache["vision_fwd"](
+                    self.params, jnp.asarray(pixels, dtype=jnp.float32))))
+                out = [MMEmbedding(e, text_alias=text_alias) for e in emb]
+                return out[0] if single else out
+
+        return _VisionModel(config, **kwargs)
+
+
 class Mistral3Config(LlamaConfig):
     arch_string = "Mistral3ForConditionalGeneration"
 
     def __init__(self, directory: str, **kwargs):
         super().__init__(directory, derived_model={"text": Mistral3Model},
                          **kwargs)
+        # original keys: language_model.model / vision_tower; new exports
+        # nest everything under model. (reference mistral3.py new_key_style)
+        self._mistral3_new_keys = self.stc.has_tensor(
+            "model.language_model.embed_tokens.weight")
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc:
+            self.vision_config = vc
+            self.model_classes["vision"] = Mistral3VisionModel
 
 
 class Mistral3Model(LlamaModel):
     config_class = Mistral3Config
 
     def __init__(self, config, **kwargs):
-        super().__init__(config, key_prefix="language_model.model",
-                         head_key="language_model.lm_head", **kwargs)
+        if getattr(config, "_mistral3_new_keys", False):
+            super().__init__(config, key_prefix="model.language_model",
+                             head_key="lm_head", **kwargs)
+        else:
+            super().__init__(config, key_prefix="language_model.model",
+                             head_key="language_model.lm_head", **kwargs)
 
 
 ARCHITECTURES = [Qwen25VLConfig, Qwen3VLConfig, Qwen3VLMoeConfig,

@@ -393,6 +393,12 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                         rng.standard_normal(m.hidden) * 0.02)
                     add(f"{m.key}.pos_embed.weight",
                         rng.standard_normal((m.num_pos, m.hidden)) * 0.02)
+                from ..modules.vision_pixtral import PixtralVisionTower as _PVT
+
+                if isinstance(m, _PVT):
+                    P, D = m.patch_size, m.hidden
+                    add(f"{m.key}.patch_conv.weight",
+                        rng.standard_normal((D, 3, P, P)) / math.sqrt(P * P * 3))
                 from ..modules.vision_glm import Glm4vVisionTower as _GVT
 
                 if isinstance(m, _GVT):

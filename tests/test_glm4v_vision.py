@@ -83,3 +83,49 @@ def test_glm4v_generate_with_image(setup):
     out1 = run(px1)
     assert out1 == run(px1)
     assert out1 != run(px2)
+
+
+PIXTRAL_CFG = dict(
+    architectures=["Mistral3ForConditionalGeneration"], bos_token_id=1,
+    eos_token_id=2,
+    text_config=dict(vocab_size=512, hidden_size=128, intermediate_size=256,
+                     num_attention_heads=4, num_key_value_heads=2,
+                     num_hidden_layers=2, rms_norm_eps=1e-5,
+                     rope_theta=10000.0, head_dim=32, hidden_act="silu"),
+    vision_config=dict(num_hidden_layers=2, hidden_size=32,
+                       num_attention_heads=2, intermediate_size=64,
+                       patch_size=4, spatial_merge_size=2,
+                       rope_theta=10000.0),
+    torch_dtype="bfloat16",
+)
+
+
+def test_pixtral_generate_with_image(tmp_path):
+    d = str(tmp_path / "pix")
+    write_synth_dense_for_arch(d, PIXTRAL_CFG, seed=9)
+    config = Config.from_directory(d)
+    text = Model.from_config(config)
+    text.load()
+    vision = Model.from_config(config, component="vision")
+    vision.load()
+    rng = np.random.default_rng(2)
+    px1 = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+    px2 = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+
+    def run(px):
+        e = vision.get_image_embeddings(px)
+        assert e.embeddings.shape == (4, 128)
+        prompt = np.concatenate([
+            np.array([5, 9], np.int64), e.token_ids,
+            np.array([13, 7], np.int64)])
+        gen = Generator(text, Cache(text, CacheSpec(layout="paged",
+                                                    num_pages=8)))
+        job = Job(prompt, max_new_tokens=8, embeddings=[e])
+        gen.enqueue(job)
+        while gen.num_remaining_jobs():
+            gen.iterate()
+        return job.new_tokens
+
+    out1 = run(px1)
+    assert out1 == run(px1)
+    assert out1 != run(px2)
