@@ -83,7 +83,11 @@ class Qwen25VLVisionModel:
                             px, params, ForwardCtx()))
                 emb = np.asarray(jax.device_get(self._step_cache["vision_fwd"](
                     self.params, jnp.asarray(pixels, dtype=jnp.float32))))
-                out = [MMEmbedding(e, text_alias=text_alias) for e in emb]
+                P = self.tower.patch_size
+                grid = (1, pixels.shape[1] // P, pixels.shape[2] // P)
+                out = [MMEmbedding(e, text_alias=text_alias, grid_thw=grid,
+                                   mrope_merge_size=self.tower.merge)
+                       for e in emb]
                 return out[0] if single else out
 
         return _VisionModel(config, **kwargs)
@@ -180,8 +184,12 @@ class Qwen3VLVisionModel:
                     self.params, jnp.asarray(pixels, dtype=jnp.float32))
                 main = np.asarray(jax.device_get(main))
                 ds = [np.asarray(jax.device_get(d)) for d in ds]
+                P = self.tower.patch_size
+                grid = (1, pixels.shape[1] // P, pixels.shape[2] // P)
                 out = [MMEmbedding(main[i], text_alias=text_alias,
-                                   deepstack=[d[i] for d in ds])
+                                   deepstack=[d[i] for d in ds],
+                                   grid_thw=grid,
+                                   mrope_merge_size=self.tower.merge)
                        for i in range(main.shape[0])]
                 return out[0] if single else out
 
@@ -256,7 +264,11 @@ class Glm4vVisionModel:
                             px, params, ForwardCtx()))
                 emb = np.asarray(jax.device_get(self._step_cache["vision_fwd"](
                     self.params, jnp.asarray(pixels, dtype=jnp.float32))))
-                out = [MMEmbedding(e, text_alias=text_alias) for e in emb]
+                P = self.tower.patch_size
+                grid = (1, pixels.shape[1] // P, pixels.shape[2] // P)
+                out = [MMEmbedding(e, text_alias=text_alias, grid_thw=grid,
+                                   mrope_merge_size=self.tower.merge)
+                       for e in emb]
                 return out[0] if single else out
 
         return _VisionModel(config, **kwargs)

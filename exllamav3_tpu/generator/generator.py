@@ -102,6 +102,11 @@ class Generator:
         # so prefix-page reuse and speculative rewind are off for these models
         self.has_recurrent = any(
             getattr(m, "is_recurrent", False) for m in model.root.walk())
+        # MRoPE models need 3-stream rope positions once a job carries an
+        # image grid (text-only degenerates to standard rope and is exact)
+        self.uses_mrope = any(
+            getattr(getattr(m, "rope", None), "mrope_sections", None)
+            for m in model.root.walk())
         # SWA ring caches also key state by stable per-job slots (but are
         # position-keyed, so they need no speculative rewind history)
         self.ring_keys: list = []
@@ -386,6 +391,17 @@ class Generator:
             pos[0, :chunk] = np.arange(start, start + chunk, dtype=np.int32)
             # padded positions park in the scratch column (page 0)
             pos[0, chunk:] = mp_bucket * PAGE_SIZE
+            mrope3 = None
+            if self.uses_mrope and job.embeddings and any(
+                    e.grid_thw for e in job.embeddings):
+                if getattr(job, "_mrope_streams", None) is None:
+                    from ..tokenizer.mm_embedding import mrope_position_streams
+
+                    job._mrope_streams, job.mrope_delta = \
+                        mrope_position_streams(ids, job.embeddings)
+                m3 = np.broadcast_to(pos[0][:, None], (s_bucket, 3)).copy()
+                m3[:chunk] = job._mrope_streams[start : start + chunk]
+                mrope3 = jnp.asarray(m3[None])
             bt = np.zeros((1, mp_bucket + 1), np.int32)
             bt[0, : len(job.pages)] = job.pages
             slots1 = (jnp.asarray([self.job_slots[job]], dtype=jnp.int32)
@@ -426,7 +442,7 @@ class Generator:
                 _, self.cache.state = step(
                     self.model.params, jnp.asarray(ids_pad), self.cache.state,
                     jnp.asarray(pos), jnp.asarray(np.array([start], np.int32)),
-                    jnp.asarray(bt), slots1, mm_table,
+                    jnp.asarray(bt), slots1, mm_table, mrope3,
                 )
             job.prefill_done = start + chunk
         neg_done = True
@@ -666,9 +682,10 @@ class Generator:
 
             def fn(params, ids, cache_state, positions, seqlens, block_tables,
                    sp, counts_full, slot_ids, rng, filter_mask=None,
-                   cfg_pair=None, cfg_mix=None):
+                   cfg_pair=None, cfg_mix=None, mrope=None):
                 logits, state = model_step(params, ids, cache_state, positions,
-                                           seqlens, block_tables, slot_ids)
+                                           seqlens, block_tables, slot_ids,
+                                           None, mrope)
                 last = logits[:, -1].astype(jnp.float32)
                 if cfg_pair is not None:
                     # classifier-free guidance: l = l_neg + s * (l_pos - l_neg)
@@ -752,12 +769,22 @@ class Generator:
         filter_mask = self._build_filter_mask(row_jobs, B)
 
         want_lp = any(j.return_top_logprobs for j in jobs)
+        mrope = None
+        if self.uses_mrope and any(
+                getattr(j, "mrope_delta", 0) for j, _ in rows):
+            deltas = np.zeros((B, 1, 1), np.int32)
+            for i, (job, is_neg) in enumerate(rows):
+                if not is_neg:
+                    deltas[i, 0, 0] = getattr(job, "mrope_delta", 0)
+            mrope = jnp.asarray(
+                pos[:, :, None].astype(np.int32) + deltas)
+            mrope = jnp.broadcast_to(mrope, (B, 1, 3))
         step = self._get_decode_fn(logprobs=want_lp)
         out = step(
             self.model.params, jnp.asarray(ids), self.cache.state,
             jnp.asarray(pos), jnp.asarray(seqlens), jnp.asarray(bt),
             sp, self.token_counts, jnp.asarray(slots), sub, filter_mask,
-            jnp.asarray(pair), jnp.asarray(mix),
+            jnp.asarray(pair), jnp.asarray(mix), mrope,
         )
         if want_lp:
             toks, self.cache.state, self.token_counts, lp_vals, lp_ids = out

@@ -83,7 +83,7 @@ class Model:
         speculative rewind."""
 
         def fn(params, ids, cache_state, positions, cache_seqlens, block_tables,
-               state_slots=None, mm_embeddings=None):
+               state_slots=None, mm_embeddings=None, mrope_positions=None):
             ctx = ForwardCtx(
                 positions=positions,
                 attn_mode=attn_mode,
@@ -96,6 +96,10 @@ class Model:
             )
             if mm_embeddings is not None:
                 ctx.extras["mm_embeddings"] = mm_embeddings
+            if mrope_positions is not None:
+                # (B, S, 3) t/h/w rope streams for image-token spans; the
+                # plain positions still index the KV cache and masks
+                ctx.extras["mrope_positions"] = mrope_positions
             if hasattr(ids, "dtype") and jnp.issubdtype(ids.dtype, jnp.integer):
                 ctx.extras["input_ids"] = ids  # hash-MoE / value embeddings
             rec_hist = None

@@ -220,7 +220,11 @@ class Attention(Module):
             k = self.k_norm.forward(k, params, ctx)
 
         if self.rope is not None and self.rope.style != RopeStyle.NONE:
-            sin, cos = self.rope.sin_cos(ctx.positions)
+            m3 = ctx.extras.get("mrope_positions")
+            if m3 is not None and self.rope.mrope_sections:
+                sin, cos = self.rope.sin_cos_mrope(m3)
+            else:
+                sin, cos = self.rope.sin_cos(ctx.positions)
             q = self.rope.apply(q, sin, cos)
             k = self.rope.apply(k, sin, cos)
 

@@ -30,7 +30,8 @@ class MMEmbedding:
     token ids that reference them."""
 
     def __init__(self, embeddings: np.ndarray, text_alias: str | None = None,
-                 metadata: dict | None = None, deepstack: list | None = None):
+                 metadata: dict | None = None, deepstack: list | None = None,
+                 grid_thw: tuple | None = None, mrope_merge_size: int = 2):
         self.embeddings = np.asarray(embeddings)
         self.mm_length = int(self.embeddings.shape[0])
         self.text_alias = text_alias
@@ -40,12 +41,56 @@ class MMEmbedding:
         # layers (reference arch_specific/qwen3_vl.py DeepstackEmbed:136)
         self.deepstack = ([np.asarray(d) for d in deepstack]
                           if deepstack else None)
+        # MRoPE: the image's (t, h, w) patch grid and spatial merge size,
+        # used to build the 3 position streams for this payload's tokens
+        self.grid_thw = tuple(grid_thw) if grid_thw else None
+        self.mrope_merge_size = mrope_merge_size
         self.first_index = global_allocator.allocate(self.mm_length)
         self.last_index = self.first_index + self.mm_length
 
     @property
     def token_ids(self) -> np.ndarray:
         return np.arange(self.first_index, self.last_index, dtype=np.int64)
+
+
+def mrope_position_streams(ids: np.ndarray, embeddings: list,
+                           start_value: int = 0) -> tuple:
+    """(t, h, w) rope position streams for one prompt (HF
+    get_rope_index semantics, reference generator mrope handling): text
+    tokens advance all three streams together; an image span with llm grid
+    (t, h, w) sets stream values st+t_idx / st+h_idx / st+w_idx and the
+    running value continues at st + max(grid) afterwards. Returns
+    ((S, 3) int32 streams, delta) where delta = next_value - len(ids) is
+    the constant decode-time offset."""
+    by_id = {}
+    for e in embeddings or ():
+        if e.grid_thw:
+            by_id[e.first_index] = e
+    S = len(ids)
+    out = np.zeros((S, 3), np.int64)
+    run = start_value
+    i = 0
+    while i < S:
+        tok = int(ids[i])
+        e = by_id.get(tok)
+        if e is not None:
+            m = e.mrope_merge_size
+            t, h, w = e.grid_thw
+            lh, lw = h // m, w // m
+            n = t * lh * lw
+            ti = np.repeat(np.arange(t), lh * lw)
+            hi = np.tile(np.repeat(np.arange(lh), lw), t)
+            wi = np.tile(np.arange(lw), t * lh)
+            out[i : i + n, 0] = run + ti
+            out[i : i + n, 1] = run + hi
+            out[i : i + n, 2] = run + wi
+            run = run + max(t, lh, lw)
+            i += n
+        else:
+            out[i] = run
+            run += 1
+            i += 1
+    return out.astype(np.int32), int(run - S)
 
 
 def build_mm_table(embeddings: list, hidden_size: int,

@@ -157,6 +157,11 @@ class Rope:
         self.inv_freq = inv_freq  # (rot/2,)
         self.attn_factor = attn_factor
         self.rot = settings.rotary_width()
+        # MRoPE (Qwen-VL family): frequency channels are partitioned into
+        # (t, h, w) sections; each channel's angle uses its section's
+        # position stream (HF rope_scaling.mrope_section)
+        sc = settings.rope_scaling or {}
+        self.mrope_sections = sc.get("mrope_section")
 
     def sin_cos(self, positions: jnp.ndarray):
         """positions: (...,) int32 -> sin/cos (..., rot/2) f32, with the
@@ -167,6 +172,20 @@ class Rope:
             jnp.sin(ang) * self.attn_factor,
             jnp.cos(ang) * self.attn_factor,
         )
+
+    def sin_cos_mrope(self, positions3: jnp.ndarray):
+        """positions3 (..., 3) int32 (t, h, w streams) -> sin/cos
+        (..., rot/2) with per-channel stream selection. Text-only inputs
+        (all three streams equal) reduce exactly to sin_cos."""
+        import numpy as _np
+
+        sec = self.mrope_sections
+        sel = _np.repeat(_np.arange(len(sec)), sec)[: self.rot // 2]
+        inv = jnp.asarray(self.inv_freq, dtype=jnp.float32)
+        pos_c = positions3[..., jnp.asarray(sel)]  # (..., rot/2)
+        ang = pos_c.astype(jnp.float32) * inv
+        return (jnp.sin(ang) * self.attn_factor,
+                jnp.cos(ang) * self.attn_factor)
 
     def apply(self, x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
         """x: (..., seq, heads, head_dim); sin/cos: (..., seq, rot/2)."""
