@@ -92,6 +92,13 @@ class Gemma4Config(Config):
             rp.get("full_attention"), self.global_head_dim, 1000000.0,
             self.max_position_embeddings)
 
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc and "hidden_size" in vc:
+            # classic (non-unified) tower only; the unified embedder
+            # (mm_embed_dim keys) is round-2 work
+            self.vision_config = vc
+            self.model_classes["vision"] = Gemma4VisionModel
+
 
 class Gemma4TextModel(Model):
     config_class = Gemma4Config
@@ -183,6 +190,61 @@ class Gemma4TextModel(Model):
         if system_prompt:
             p += f"<|turn>system\n{system_prompt}<turn|>\n"
         return p + f"<|turn>user\n{prompt}<turn|>\n<|turn>model\n"
+
+
+class Gemma4VisionModel:
+    """Vision component wrapper for the Gemma4 (non-unified) tower."""
+
+    def __new__(cls, config, **kwargs):
+        from ..model.model import Model
+        from ..modules.vision_gemma4 import Gemma4VisionTower
+
+        vc = config.vision_config
+
+        class _VisionModel(Model):
+            def __init__(self, config, **kw):
+                super().__init__(config, **kw)
+                self.tower = Gemma4VisionTower(
+                    config,
+                    depth=int(vc.get("num_hidden_layers", 27)),
+                    hidden=int(vc.get("hidden_size", 1152)),
+                    heads=int(vc.get("num_attention_heads", 16)),
+                    kv_heads=int(vc.get("num_key_value_heads",
+                                        vc.get("num_attention_heads", 16))),
+                    head_dim=vc.get("head_dim"),
+                    intermediate=int(vc.get("intermediate_size", 4304)),
+                    patch_size=int(vc.get("patch_size", 16)),
+                    pooling_kernel_size=int(vc.get("pooling_kernel_size", 2)),
+                    position_embedding_size=int(
+                        vc.get("position_embedding_size", 64)),
+                    out_hidden=config.hidden_size,
+                    eps=float(vc.get("rms_norm_eps", 1e-6)),
+                    text_rms_eps=config.rms_norm_eps,
+                    rope_theta=float(vc.get("rope_theta", 100.0)),
+                    standardize=bool(vc.get("standardize", False)),
+                )
+                self.modules = [self.tower]
+
+            def get_image_embeddings(self, pixels, text_alias=None):
+                import numpy as np
+                import jax
+                import jax.numpy as jnp
+                from ..modules.module import ForwardCtx
+                from ..tokenizer.mm_embedding import MMEmbedding
+
+                single = pixels.ndim == 3
+                if single:
+                    pixels = pixels[None]
+                if "vision_fwd" not in self._step_cache:
+                    self._step_cache["vision_fwd"] = jax.jit(
+                        lambda params, px: self.tower.forward(
+                            px, params, ForwardCtx()))
+                emb = np.asarray(jax.device_get(self._step_cache["vision_fwd"](
+                    self.params, jnp.asarray(pixels, dtype=jnp.float32))))
+                out = [MMEmbedding(e, text_alias=text_alias) for e in emb]
+                return out[0] if single else out
+
+        return _VisionModel(config, **kwargs)
 
 
 class Gemma4UnifiedConfig(Gemma4Config):

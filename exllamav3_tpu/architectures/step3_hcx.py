@@ -261,6 +261,10 @@ class Step3p7Config(Step3p5Config):
         super().__init__(directory, derived_model={"text": Step3p7Model},
                          **kwargs)
         self.use_qk_norm = True
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc:
+            self.vision_config = vc
+            self.model_classes["vision"] = Step3p7VisionModel
         yarn_only = self.read_cfg(list, "yarn_only_types", None)
         scaling = self.read_cfg(dict, "rope_scaling", None)
         if scaling:
@@ -271,6 +275,62 @@ class Step3p7Config(Step3p5Config):
 
 class Step3p7Model(Step3p5Model):
     config_class = Step3p7Config
+
+
+class Step3p7VisionModel:
+    """Vision component wrapper for the Step-3.7 CLIP tower."""
+
+    def __new__(cls, config, **kwargs):
+        from ..model.model import Model
+        from ..modules.vision_step3 import Step3VisionTower
+
+        vc = config.vision_config
+
+        class _VisionModel(Model):
+            def __init__(self, config, **kw):
+                super().__init__(config, **kw)
+                key = ("model.vision_model" if config.stc.has_tensor(
+                    "model.vision_model.conv1.weight") else "vision_model")
+                pk = ("model.vit_large_projector" if config.stc.has_tensor(
+                    "model.vit_large_projector.weight")
+                    else "vit_large_projector")
+                self.tower = Step3VisionTower(
+                    config, key=key, projector_key=pk,
+                    depth=int(vc.get("layers", 63)),
+                    width=int(vc.get("width", 1792)),
+                    heads=int(vc.get("heads", 16)),
+                    mlp_ratio=float(vc.get("mlp_ratio", 8960 / 1536)),
+                    patch_size=int(vc.get("patch_size", 14)),
+                    image_size=int(vc.get("image_size", 728)),
+                    out_hidden=config.hidden_size,
+                    eps=float(vc.get("layer_norm_eps", 1e-5)),
+                    use_rope2d=bool(vc.get("use_rope2d", True)),
+                    rope_theta=float(vc.get("rope_theta", 10000.0)),
+                    rope_theta_rescale=float(
+                        vc.get("rope_theta_rescale_factor", 1.0)),
+                )
+                self.modules = [self.tower]
+
+            def get_image_embeddings(self, pixels, text_alias=None):
+                import numpy as np
+                import jax
+                import jax.numpy as jnp
+                from ..modules.module import ForwardCtx
+                from ..tokenizer.mm_embedding import MMEmbedding
+
+                single = pixels.ndim == 3
+                if single:
+                    pixels = pixels[None]
+                if "vision_fwd" not in self._step_cache:
+                    self._step_cache["vision_fwd"] = jax.jit(
+                        lambda params, px: self.tower.forward(
+                            px, params, ForwardCtx()))
+                emb = np.asarray(jax.device_get(self._step_cache["vision_fwd"](
+                    self.params, jnp.asarray(pixels, dtype=jnp.float32))))
+                out = [MMEmbedding(e, text_alias=text_alias) for e in emb]
+                return out[0] if single else out
+
+        return _VisionModel(config, **kwargs)
 
 
 class HCXVisionV2Config(HyperClovaxConfig):

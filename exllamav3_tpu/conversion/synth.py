@@ -399,6 +399,39 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                     P, D = m.patch_size, m.hidden
                     add(f"{m.key}.patch_conv.weight",
                         rng.standard_normal((D, 3, P, P)) / math.sqrt(P * P * 3))
+                from ..modules.vision_step3 import Step3VisionTower as _S3VT
+
+                if isinstance(m, _S3VT):
+                    P, D = m.patch_size, m.width
+                    add(f"{m.key}.conv1.weight",
+                        rng.standard_normal((D, 3, P, P)) / math.sqrt(P * P * 3))
+                    add(f"{m.key}.positional_embedding",
+                        rng.standard_normal((m.base_grid ** 2, D)) * 0.02)
+                    add(f"{m.key}.vit_downsampler1.weight",
+                        rng.standard_normal((2 * D, D, 3, 3))
+                        / math.sqrt(9 * D))
+                    add(f"{m.key}.vit_downsampler1.bias",
+                        rng.standard_normal(2 * D) * 0.02)
+                    add(f"{m.key}.vit_downsampler2.weight",
+                        rng.standard_normal((4 * D, 2 * D, 3, 3))
+                        / math.sqrt(18 * D))
+                    add(f"{m.key}.vit_downsampler2.bias",
+                        rng.standard_normal(4 * D) * 0.02)
+                    for blk in m.blocks:
+                        add(f"{blk.key}.ls_1.gamma",
+                            rng.uniform(0.05, 0.15, D))
+                        add(f"{blk.key}.ls_2.gamma",
+                            rng.uniform(0.05, 0.15, D))
+                from ..modules.vision_gemma4 import Gemma4VisionTower as _G4VT
+
+                if isinstance(m, _G4VT):
+                    add(f"{m.key}.patch_embedder.position_embedding_table",
+                        rng.standard_normal((2, m.pos_size, m.hidden)) * 0.02)
+                    if m.standardize:
+                        add(f"{m.key}.std_bias",
+                            rng.standard_normal(m.hidden) * 0.02)
+                        add(f"{m.key}.std_scale",
+                            rng.uniform(0.8, 1.2, m.hidden))
                 from ..modules.vision_glm import Glm4vVisionTower as _GVT
 
                 if isinstance(m, _GVT):

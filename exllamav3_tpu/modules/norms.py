@@ -51,13 +51,15 @@ class RMSNorm(Module):
         return params[self.key]["weight"]
 
     def forward(self, x, params: dict, ctx: ForwardCtx):
+        # unweighted = pure normalization; constant_bias shifts the WEIGHT
+        # and is ignored without one (reference rmsnorm.py forward_torch:76)
+        cb = 0.0 if self.unweighted else self.constant_bias
         if self.span_heads and x.ndim >= 2:
             shape = x.shape
             xf = x.reshape(shape[:-2] + (shape[-2] * shape[-1],))
-            y = rms_norm(xf, self._w(params), self.eps,
-                         self.constant_bias).reshape(shape)
+            y = rms_norm(xf, self._w(params), self.eps, cb).reshape(shape)
         else:
-            y = rms_norm(x, self._w(params), self.eps, self.constant_bias)
+            y = rms_norm(x, self._w(params), self.eps, cb)
         if self.out_dtype is not None:
             y = y.astype(self.out_dtype)
         return y

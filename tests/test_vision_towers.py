@@ -1,0 +1,88 @@
+"""Gemma4 and Step-3.7 vision towers: embeddings flow into generation."""
+import numpy as np
+import pytest
+
+from exllamav3_tpu.conversion.synth import write_synth_dense_for_arch
+from exllamav3_tpu.model import Config, Model, Cache, CacheSpec
+from exllamav3_tpu.generator import Generator, Job
+
+G4_CFG = dict(
+    architectures=["Gemma4ForConditionalGeneration"], bos_token_id=1,
+    eos_token_id=2, vocab_size=512, torch_dtype="bfloat16",
+    text_config=dict(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_attention_heads=4, num_key_value_heads=2,
+        num_hidden_layers=2, rms_norm_eps=1e-5, head_dim=32,
+        hidden_activation="gelu_pytorch_tanh", sliding_window=64,
+        layer_types=["sliding_attention", "full_attention"],
+        rope_parameters={"sliding_attention": {"rope_theta": 10000.0},
+                         "full_attention": {"rope_theta": 1000000.0}},
+        tie_word_embeddings=True),
+    vision_config=dict(num_hidden_layers=2, hidden_size=32,
+                       num_attention_heads=2, head_dim=16,
+                       intermediate_size=64, patch_size=4,
+                       pooling_kernel_size=2, position_embedding_size=8,
+                       rms_norm_eps=1e-6, rope_theta=100.0,
+                       standardize=True),
+)
+
+S37_CFG = dict(
+    architectures=["Step3p7ForConditionalGeneration"], bos_token_id=1,
+    eos_token_id=2, vocab_size=512, max_position_embeddings=4096,
+    torch_dtype="bfloat16",
+    text_config=dict(
+        hidden_size=128, intermediate_size=256, num_attention_heads=4,
+        num_attention_groups=2, num_hidden_layers=2, rms_norm_eps=1e-5,
+        head_dim=32, hidden_act="silu", sliding_window=64,
+        attention_other_setting=dict(head_dim=32, num_attention_heads=2,
+                                     num_attention_groups=1),
+        layer_types=["sliding_attention", "full_attention"],
+        rope_theta=[10000.0, 500000.0], partial_rotary_factors=[1.0, 0.5],
+        moe_intermediate_size=64, moe_num_experts=4, moe_top_k=2,
+        share_expert_dim=64, moe_router_scaling_factor=2.0,
+        moe_layers_enum="1", swiglu_limits=[7.0, 7.0],
+        swiglu_limits_shared=[7.0, 7.0]),
+    vision_config=dict(layers=2, width=32, heads=2, mlp_ratio=2.0,
+                       patch_size=4, image_size=32, layer_norm_eps=1e-5,
+                       use_rope2d=True, rope_theta=10000.0),
+)
+
+
+def _roundtrip(cfg, seed, px_shape, px_range, tmp_path, name):
+    d = str(tmp_path / name)
+    write_synth_dense_for_arch(d, cfg, seed=seed)
+    config = Config.from_directory(d)
+    text = Model.from_config(config)
+    text.load()
+    vision = Model.from_config(config, component="vision")
+    vision.load()
+    rng = np.random.default_rng(seed)
+    lo, hi = px_range
+    px1 = rng.uniform(lo, hi, px_shape).astype(np.float32)
+    px2 = rng.uniform(lo, hi, px_shape).astype(np.float32)
+
+    def run(px):
+        e = vision.get_image_embeddings(px)
+        assert np.isfinite(e.embeddings).all()
+        prompt = np.concatenate([
+            np.array([5, 9], np.int64), e.token_ids,
+            np.array([13, 7], np.int64)])
+        gen = Generator(text, Cache(text, CacheSpec(layout="paged",
+                                                    num_pages=8)))
+        job = Job(prompt, max_new_tokens=6, embeddings=[e])
+        gen.enqueue(job)
+        while gen.num_remaining_jobs():
+            gen.iterate()
+        return job.new_tokens
+
+    out1 = run(px1)
+    assert out1 == run(px1)
+    assert out1 != run(px2)
+
+
+def test_gemma4_vision_roundtrip(tmp_path):
+    _roundtrip(G4_CFG, 31, (16, 16, 3), (0.0, 1.0), tmp_path, "g4")
+
+
+def test_step37_vision_roundtrip(tmp_path):
+    _roundtrip(S37_CFG, 37, (32, 32, 3), (-1.0, 1.0), tmp_path, "s37")
