@@ -47,6 +47,7 @@ class Tokenizer:
 
         self._vocab = None
         self._id_to_piece = None
+        self._special_map = None
 
     @staticmethod
     def from_config(config) -> "Tokenizer":
@@ -67,10 +68,49 @@ class Tokenizer:
     def vocab_size(self) -> int:
         return self.hf.get_vocab_size()
 
+    def _specials(self) -> dict:
+        """Special/added token string -> id (reference tokenizer.py
+        encode_special_tokens: literal special-token strings in the prompt
+        encode to their single ids)."""
+        if self._special_map is None:
+            m = {}
+            try:
+                for tid, tok in sorted(
+                        self.hf.get_added_tokens_decoder().items()):
+                    m[tok.content] = tid
+            except AttributeError:
+                pass
+            for name in ("bos_token", "eos_token", "pad_token", "unk_token"):
+                tok = self.tokenizer_config.get(name)
+                if isinstance(tok, dict):
+                    tok = tok.get("content")
+                if tok:
+                    tid = self.hf.token_to_id(tok)
+                    if tid is not None:
+                        m[tok] = tid
+            self._special_map = m
+        return self._special_map
+
     def encode(self, text: str, add_bos: bool = False, add_eos: bool = False,
                encode_special_tokens: bool = True) -> np.ndarray:
-        enc = self.hf.encode(text, add_special_tokens=False)
-        ids = list(enc.ids)
+        if encode_special_tokens and self._specials():
+            import re
+
+            sp = self._specials()
+            pat = "(" + "|".join(
+                re.escape(t) for t in
+                sorted(sp, key=len, reverse=True)) + ")"
+            ids = []
+            for part in re.split(pat, text):
+                if not part:
+                    continue
+                if part in sp:
+                    ids.append(sp[part])
+                else:
+                    ids.extend(self.hf.encode(
+                        part, add_special_tokens=False).ids)
+        else:
+            ids = list(self.hf.encode(text, add_special_tokens=False).ids)
         if add_bos and self.bos_token_id is not None:
             ids = [self.bos_token_id] + ids
         if add_eos and self.eos_token_id is not None:

@@ -146,3 +146,25 @@ def test_defrag_preserves_content(model):
     _run(gen, [j2])
     assert j2.new_tokens == base[0].new_tokens
     assert j2.cached_tokens > 0 or not changed
+
+
+def test_encode_special_tokens(model_dir, tok):
+    """Literal special-token strings in the prompt encode to their single
+    ids when encode_special_tokens=True (reference tokenizer.py)."""
+    from tokenizers import Tokenizer as HFT, models, pre_tokenizers, decoders
+    from tokenizers import AddedToken
+    import json as _json
+
+    d = model_dir
+    hft = HFT.from_file(f"{d}/tokenizer.json")
+    n = hft.get_vocab_size()
+    hft.add_special_tokens([AddedToken("<|sys|>", special=True)])
+    hft.save(f"{d}/tokenizer.json")
+    with open(f"{d}/tokenizer_config.json", "w") as f:
+        _json.dump({"bos_token": "<|sys|>"}, f)
+    t2 = Tokenizer(d)
+    ids = t2.encode("ab<|sys|>cd", encode_special_tokens=True)[0].tolist()
+    assert ids.count(n) == 1  # the special id appears exactly once
+    assert ids[0] != n and ids[-1] != n  # surrounding text encoded
+    with_bos = t2.encode("x", add_bos=True)[0].tolist()
+    assert with_bos[0] == n
