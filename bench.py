@@ -159,13 +159,18 @@ def main():
                                  cache_p.state, jnp.asarray(pos_p),
                                  jnp.zeros(1, jnp.int32), None)
         np.asarray(lp[:, -1, :8])
-        cache_p.reset()
-        t0 = time.time()
-        lp, cache_p.state = step(model.params, jnp.asarray(ids_p),
-                                 cache_p.state, jnp.asarray(pos_p),
-                                 jnp.zeros(1, jnp.int32), None)
-        np.asarray(lp[:, -1, :8])
-        prefill_tok_s = Sp / (time.time() - t0)
+        # best of 3: a single dispatch through the axon tunnel carries tens
+        # of ms of RTT jitter that would swamp the 2048-token compute
+        best = float("inf")
+        for _ in range(3):
+            cache_p.reset()
+            t0 = time.time()
+            lp, cache_p.state = step(model.params, jnp.asarray(ids_p),
+                                     cache_p.state, jnp.asarray(pos_p),
+                                     jnp.zeros(1, jnp.int32), None)
+            np.asarray(lp[:, -1, :8])
+            best = min(best, time.time() - t0)
+        prefill_tok_s = Sp / best
 
     print(json.dumps({
         "metric": "decode_tok_s",
