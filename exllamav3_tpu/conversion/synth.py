@@ -217,7 +217,11 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
             add(lin.key + ".bias", rng.standard_normal(lin.out_features) * 0.02)
 
     fused: dict[str, int] = {}
-    for module in model.modules:
+    walk_modules = list(model.modules)
+    if "mtp" in getattr(config, "model_classes", {}):
+        # MTP/DSpark component modules go through the same emission
+        walk_modules += Model.from_config(config, component="mtp").modules
+    for module in walk_modules:
         for m in module.walk():
             if isinstance(m, BlockSparseMLP):
                 if m.key_gate_up_split:
@@ -347,17 +351,6 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                         add(m.fkey + ".weight",
                             rng.standard_normal((n_out, m.in_features)) * scale)
 
-    # MTP draft-head component
-    if "mtp" in getattr(config, "model_classes", {}):
-        mm = Model.from_config(config, component="mtp")
-        for module in mm.modules:
-            for m in module.walk():
-                if isinstance(m, Linear):
-                    add_linear(m)
-                elif isinstance(m, (RMSNorm, LayerNorm, GatedRMSNorm)):
-                    dim = (getattr(m, "dim", None) or cfg.get("hidden_size")
-                           or cfg.get("text_config", {}).get("hidden_size"))
-                    add(m.key + ".weight", np.ones(dim))
 
     # vision component (multimodal architectures)
     if "vision" in getattr(config, "model_classes", {}):

@@ -581,7 +581,12 @@ class Generator:
             out = self._dflash_fns["draft"](
                 self.model.params, self.dflash_model.params, jnp.asarray(ids),
                 self.dflash_cache.state, jnp.asarray(pos), jnp.asarray(bt))
-            drafts.append([int(t) for t in np.asarray(out[0, :k])])
+            kk = k
+            if isinstance(out, tuple):
+                # DSpark: confidence head caps the usable draft length
+                out, keep = out
+                kk = min(k, int(np.asarray(keep)[0]))
+            drafts.append([int(t) for t in np.asarray(out[0, :kk])])
         self.num_drafted += sum(len(d) for d in drafts)
 
         B = _bucket(len(jobs), self.batch_buckets)
@@ -592,6 +597,7 @@ class Generator:
         pos = np.full((B, S), mp_bucket * PAGE_SIZE, np.int32)
         bt = np.zeros((B, mp_bucket + 1), np.int32)
         seqlens = np.zeros(B, np.int32)
+        slots = np.full(B, self.max_batch_size, np.int32)
         for i, job in enumerate(jobs):
             last = job.new_tokens[-1] if job.new_tokens else job.input_ids[-1]
             row = [int(last)] + list(drafts[i]) + [0] * (k - len(drafts[i]))
@@ -599,11 +605,14 @@ class Generator:
             pos[i] = np.arange(job.seq_len - 1, job.seq_len - 1 + S)
             bt[i, : len(job.pages)] = job.pages
             seqlens[i] = job.seq_len - 1
+            if self.has_recurrent:
+                slots[i] = self.job_slots[job]
 
         step = self._get_capture_fn()
         logits, caps, self.cache.state = step(
             self.model.params, jnp.asarray(ids), self.cache.state,
             jnp.asarray(pos), jnp.asarray(seqlens), jnp.asarray(bt),
+            jnp.asarray(slots) if self.has_recurrent else None,
         )
         out = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)
 

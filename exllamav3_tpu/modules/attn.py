@@ -127,7 +127,11 @@ class Attention(Module):
         if spec.swa_ring and self.sliding_window:
             n = spec.recurrent_slots or (
                 spec.batch_size if spec.layout == "linear" else 33)
-            W = self.sliding_window + 1  # the window plus the query's own slot
+            # the window + the query's own slot + headroom so speculative
+            # (draft) writes never evict a still-live window entry: slots
+            # alias every R positions, and up to ~16 future positions may be
+            # written then rejected (SD verify chunks)
+            W = self.sliding_window + 1 + 16
             dt = cache_dtype(spec)
             return {
                 "k": jnp.zeros((n, W, self.num_kv_heads, self.head_dim), dt),

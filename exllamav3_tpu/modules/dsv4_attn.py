@@ -77,7 +77,11 @@ class DSV4Compressor:
     """Window compressor shared by HCA (width=head_dim, non-overlapping) and
     CSA / indexer (width=2*head_dim, overlapping Ca/Cb). Owns projection
     Linears, norm and the `ape` in-window bias; emit() is pure math over one
-    chunk plus the carried (row-buffer, overlap) state."""
+    chunk plus the carried row buffer. The buffer is POSITION-keyed (slot =
+    pos %% buf_slots) so it self-heals under speculative rewind; the Ca
+    overlap half is re-derived from it instead of being carried as a
+    last-emitted-window snapshot (which a rewind would invalidate —
+    the reference instead rewinds its ring state by cursor arithmetic)."""
 
     def __init__(self, attn, key: str, head_dim: int, compress_rate: int,
                  overlapping: bool, qmap: str | None):
@@ -87,6 +91,11 @@ class DSV4Compressor:
         self.rope_dim = min(attn.rope_head_dim, head_dim)
         self.compress_rate = compress_rate
         self.overlapping = overlapping
+        # row-buffer slots: the previous window + the m in-flight rows +
+        # speculative headroom, so rejected draft rows never clobber a
+        # confirmed row still needed by a future window emission or its Ca
+        # overlap half (slot = pos % buf_slots)
+        self.buf_slots = 2 * compress_rate + 32
         self.proj_width = 2 * head_dim if overlapping else head_dim
         self.wkv = Linear(cfg, f"{key}.wkv", attn.hidden_size, self.proj_width,
                           qmap=qmap)
@@ -104,15 +113,17 @@ class DSV4Compressor:
         ape = self.config.stc.get_tensor(f"{self.key}.ape")
         params[self.key] = {"ape": jnp.asarray(ape.astype(np.float32))}
 
-    def emit(self, params, x, ctx, p0, end, cbuf_kv, cbuf_gate,
-             ovl_kv=None, ovl_gate=None):
+    def emit(self, params, x, ctx, p0, end, cbuf_kv, cbuf_gate):
         """One chunk of projections -> complete compressed windows.
 
         x (B,S,h); p0/end (B,) absolute [start, end) of the valid tokens.
         Returns (comp (B,E,hd) normed+roped, entry_ids (B,E), emit (B,E) bool,
-        new_cbuf_kv, new_cbuf_gate, new_ovl_kv, new_ovl_gate); E = S//m + 1.
+        new_cbuf_kv, new_cbuf_gate); E = S//m + 1. Rows for windows e0-1 ..
+        e0+E-1 are gathered from [chunk | position-keyed buffer]; the Ca
+        overlap (window e-1's first half) falls out of the same gather.
         """
         m = self.compress_rate
+        Rb = self.buf_slots
         hd = self.head_dim
         B, S, _ = x.shape
         E = S // m + 1
@@ -122,31 +133,35 @@ class DSV4Compressor:
         rows_gate = self.wgate.forward(x, params, ctx).astype(jnp.float32)
 
         e0 = p0 // m
-        jj = jnp.arange(E, dtype=jnp.int32)
-        e = e0[:, None] + jj[None, :]                      # (B, E) entry ids
+        jj = jnp.arange(-1, E, dtype=jnp.int32)
+        e_all = e0[:, None] + jj[None, :]                  # (B, E+1) windows
+        e = e_all[:, 1:]                                   # (B, E) entry ids
         emit = (e + 1) * m <= end[:, None]
 
         ii = jnp.arange(m, dtype=jnp.int32)
-        q = e[:, :, None] * m + ii[None, None, :]          # (B, E, m) abs pos
+        q = e_all[:, :, None] * m + ii[None, None, :]      # (B, E+1, m)
         t = q - p0[:, None, None]
         from_chunk = t >= 0
         tc = jnp.clip(t, 0, S - 1).reshape(B, -1)
         kv_c = jnp.take_along_axis(rows_kv, tc[..., None], axis=1) \
-            .reshape(B, E, m, self.proj_width)
+            .reshape(B, E + 1, m, self.proj_width)
         g_c = jnp.take_along_axis(rows_gate, tc[..., None], axis=1) \
-            .reshape(B, E, m, self.proj_width)
-        # buffered rows live at slot pos % m == i (windows are m-aligned)
-        kvw = jnp.where(from_chunk[..., None], kv_c, cbuf_kv[:, None])
-        gw = jnp.where(from_chunk[..., None], g_c, cbuf_gate[:, None]) + ape
+            .reshape(B, E + 1, m, self.proj_width)
+        # buffered rows live at slot pos % buf_slots
+        bs_ = (jnp.maximum(q, 0) % Rb).reshape(B, -1)
+        kv_b = jnp.take_along_axis(cbuf_kv, bs_[..., None], axis=1) \
+            .reshape(B, E + 1, m, self.proj_width)
+        g_b = jnp.take_along_axis(cbuf_gate, bs_[..., None], axis=1) \
+            .reshape(B, E + 1, m, self.proj_width)
+        kvw_all = jnp.where(from_chunk[..., None], kv_c, kv_b)
+        gw_all = jnp.where(from_chunk[..., None], g_c, g_b) + ape
+        kvw, gw = kvw_all[:, 1:], gw_all[:, 1:]
 
         if self.overlapping:
-            # window e: [prev window's first half | this window's second half]
-            first_kv = jnp.where((e0 > 0)[:, None, None, None],
-                                 ovl_kv[:, None], 0.0)
-            first_g = jnp.where((e0 > 0)[:, None, None, None],
-                                ovl_gate[:, None], NEG_INF)
-            prev_kv = jnp.concatenate([first_kv, kvw[:, :-1, :, :hd]], axis=1)
-            prev_g = jnp.concatenate([first_g, gw[:, :-1, :, :hd]], axis=1)
+            # window e: [window e-1's first half | this window's second half]
+            ok_prev = (e_all[:, :-1] >= 0)[..., None, None]
+            prev_kv = jnp.where(ok_prev, kvw_all[:, :-1, :, :hd], 0.0)
+            prev_g = jnp.where(ok_prev, gw_all[:, :-1, :, :hd], NEG_INF)
             kv2 = jnp.concatenate([prev_kv, kvw[..., hd:]], axis=2)
             g2 = jnp.concatenate([prev_g, gw[..., hd:]], axis=2)
         else:
@@ -158,9 +173,11 @@ class DSV4Compressor:
         comp = gptj_rope_trailing(
             comp[:, :, None, :], self.inv_freq, e * m)[:, :, 0, :]
 
-        # carry: buffer slot i <- projections of the last valid pos ≡ i (mod m)
+        # carry: buffer slot i <- projections of the last valid pos ≡ i
+        # (mod buf_slots)
         last = end - 1
-        q_i = last[:, None] - ((last[:, None] - ii[None, :]) % m)   # (B, m)
+        jj_b = jnp.arange(Rb, dtype=jnp.int32)
+        q_i = last[:, None] - ((last[:, None] - jj_b[None, :]) % Rb)  # (B, Rb)
         use = q_i >= p0[:, None]
         tb = jnp.clip(q_i - p0[:, None], 0, S - 1)
         nb_kv = jnp.where(use[..., None],
@@ -170,18 +187,7 @@ class DSV4Compressor:
                             jnp.take_along_axis(rows_gate, tb[..., None], axis=1),
                             cbuf_gate)
 
-        n_ovl_kv, n_ovl_gate = ovl_kv, ovl_gate
-        if self.overlapping:
-            emitted_any = (end // m > e0)
-            j_last = jnp.clip(end // m - 1 - e0, 0, E - 1)  # (B,)
-            idx = j_last[:, None, None, None]
-            lkv = jnp.take_along_axis(kvw[..., :hd], idx, axis=1)[:, 0]
-            lg = jnp.take_along_axis(gw[..., :hd], idx, axis=1)[:, 0]
-            # the saved gate slice already carries ape (HF semantics)
-            n_ovl_kv = jnp.where(emitted_any[:, None, None], lkv, ovl_kv)
-            n_ovl_gate = jnp.where(emitted_any[:, None, None], lg, ovl_gate)
-
-        return comp, e, emit, nb_kv, nb_gate, n_ovl_kv, n_ovl_gate
+        return comp, e, emit, nb_kv, nb_gate
 
 
 class DSV4Attention(Module):
@@ -297,15 +303,18 @@ class DSV4Attention(Module):
         generator's recurrent stash/clear skips pg_*)."""
         n = spec.recurrent_slots or (
             spec.batch_size if spec.layout == "linear" else 33)
-        W = self.sliding_window
+        # window slots + speculative headroom: slot = pos %% R, so draft rows
+        # written then rejected must not alias a still-live window position
+        R = self.sliding_window + 16
         D = self.head_dim
         layer = {
-            "kv": jnp.zeros((n, W, D), jnp.bfloat16),
-            "pos": jnp.full((n, W), -1, jnp.int32),
+            "kv": jnp.zeros((n, R, D), jnp.bfloat16),
+            "pos": jnp.full((n, R), -1, jnp.int32),
         }
         if self.compressor is None:
             return layer
         m = self.compress_rate
+        Rb = self.compressor.buf_slots
         pw = self.compressor.proj_width
         if spec.layout == "linear":
             cap = max(spec.max_len // m, 1)
@@ -314,12 +323,10 @@ class DSV4Attention(Module):
             epp = PAGE_SIZE // m
             layer["pg_pool"] = jnp.zeros((spec.num_pages, epp, D),
                                          jnp.bfloat16)
-        layer["cb_kv"] = jnp.zeros((n, m, pw), jnp.float32)
-        layer["cb_gate"] = jnp.zeros((n, m, pw), jnp.float32)
+        layer["cb_kv"] = jnp.zeros((n, Rb, pw), jnp.float32)
+        layer["cb_gate"] = jnp.zeros((n, Rb, pw), jnp.float32)
         if self.layer_type == "csa":
             hd_i = self.index_head_dim
-            layer["ovl_kv"] = jnp.zeros((n, m, D), jnp.float32)
-            layer["ovl_gate"] = jnp.full((n, m, D), NEG_INF, jnp.float32)
             if spec.layout == "linear":
                 cap = max(spec.max_len // m, 1)
                 layer["pg_ipool"] = jnp.zeros((n, cap, hd_i), jnp.bfloat16)
@@ -327,10 +334,9 @@ class DSV4Attention(Module):
                 epp = PAGE_SIZE // m
                 layer["pg_ipool"] = jnp.zeros((spec.num_pages, epp, hd_i),
                                               jnp.bfloat16)
-            layer["icb_kv"] = jnp.zeros((n, m, 2 * hd_i), jnp.float32)
-            layer["icb_gate"] = jnp.zeros((n, m, 2 * hd_i), jnp.float32)
-            layer["iovl_kv"] = jnp.zeros((n, m, hd_i), jnp.float32)
-            layer["iovl_gate"] = jnp.full((n, m, hd_i), NEG_INF, jnp.float32)
+            ib = self.indexer.buf_slots
+            layer["icb_kv"] = jnp.zeros((n, ib, 2 * hd_i), jnp.float32)
+            layer["icb_gate"] = jnp.zeros((n, ib, 2 * hd_i), jnp.float32)
         return layer
 
     # -- forward ---------------------------------------------------------------
@@ -394,34 +400,26 @@ class DSV4Attention(Module):
         kv = gptj_rope_trailing(kv[:, :, None, :], table, positions)[:, :, 0]
 
         layer = dict(ctx.cache[self.key]) if ctx.cache is not None else None
+        R = layer["kv"].shape[1] if layer is not None else W
         slots = self._slots(ctx, B)
 
         # -- compressor pools (before attention: late queries in the chunk can
         # see entries emitted earlier in the same chunk) ------------------------
         pool_entries = ipool_entries = None
         if self.compressor is not None:
-            is_csa = self.layer_type == "csa"
             if layer is not None:
                 cb_kv, cb_g = layer["cb_kv"][slots], layer["cb_gate"][slots]
-                o_kv = layer["ovl_kv"][slots] if is_csa else None
-                o_g = layer["ovl_gate"][slots] if is_csa else None
             else:
                 pw = self.compressor.proj_width
-                cb_kv = cb_g = jnp.zeros((B, m, pw), jnp.float32)
-                o_kv = jnp.zeros((B, m, D), jnp.float32) if is_csa else None
-                o_g = jnp.full((B, m, D), NEG_INF, jnp.float32) if is_csa \
-                    else None
-            comp, e, emit, nb_kv, nb_g, novl_kv, novl_g = \
-                self.compressor.emit(params, x, ctx, p0, end, cb_kv, cb_g,
-                                     o_kv, o_g)
+                cb_kv = cb_g = jnp.zeros((B, self.compressor.buf_slots, pw),
+                                         jnp.float32)
+            comp, e, emit, nb_kv, nb_g = \
+                self.compressor.emit(params, x, ctx, p0, end, cb_kv, cb_g)
             if layer is not None:
                 layer["pg_pool"] = self._pool_scatter(
                     layer["pg_pool"], comp, e, emit, ctx)
                 layer["cb_kv"] = layer["cb_kv"].at[slots].set(nb_kv)
                 layer["cb_gate"] = layer["cb_gate"].at[slots].set(nb_g)
-                if is_csa:
-                    layer["ovl_kv"] = layer["ovl_kv"].at[slots].set(novl_kv)
-                    layer["ovl_gate"] = layer["ovl_gate"].at[slots].set(novl_g)
                 pool_entries = self._pool_gather(layer["pg_pool"], ctx, B)
             else:
                 # mimic the cached path's bf16 pool storage so the stateless
@@ -431,33 +429,28 @@ class DSV4Attention(Module):
 
         if self.indexer is not None:
             if layer is not None:
-                icomp, ie, iemit, inb_kv, inb_g, inovl_kv, inovl_g = \
-                    self.indexer.emit(
-                        params, x, ctx, p0, end,
-                        layer["icb_kv"][slots], layer["icb_gate"][slots],
-                        layer["iovl_kv"][slots], layer["iovl_gate"][slots])
+                icomp, ie, iemit, inb_kv, inb_g = self.indexer.emit(
+                    params, x, ctx, p0, end,
+                    layer["icb_kv"][slots], layer["icb_gate"][slots])
                 layer["pg_ipool"] = self._pool_scatter(
                     layer["pg_ipool"], icomp, ie, iemit, ctx)
                 layer["icb_kv"] = layer["icb_kv"].at[slots].set(inb_kv)
                 layer["icb_gate"] = layer["icb_gate"].at[slots].set(inb_g)
-                layer["iovl_kv"] = layer["iovl_kv"].at[slots].set(inovl_kv)
-                layer["iovl_gate"] = layer["iovl_gate"].at[slots].set(inovl_g)
                 ipool_entries = self._pool_gather(layer["pg_ipool"], ctx, B)
             else:
                 hd_i = self.index_head_dim
-                z = jnp.zeros((B, m, 2 * hd_i), jnp.float32)
-                zo = jnp.zeros((B, m, hd_i), jnp.float32)
-                zg = jnp.full((B, m, hd_i), NEG_INF, jnp.float32)
+                z = jnp.zeros((B, self.indexer.buf_slots, 2 * hd_i),
+                              jnp.float32)
                 icomp, ie, iemit, *_ = self.indexer.emit(
-                    params, x, ctx, p0, end, z, z, zo, zg)
+                    params, x, ctx, p0, end, z, z)
                 ipool_entries = jnp.where(iemit[..., None], icomp, 0.0) \
                     .astype(jnp.bfloat16)
 
         # -- window phase keys: [prior ring | chunk] ----------------------------
         qp = positions  # (B, S)
         if layer is not None:
-            ring_kv = layer["kv"][slots].astype(jnp.float32)   # (B, W, D)
-            ring_pos = layer["pos"][slots]                     # (B, W)
+            ring_kv = layer["kv"][slots].astype(jnp.float32)   # (B, R, D)
+            ring_pos = layer["pos"][slots]                     # (B, R)
             # only rows written BEFORE this chunk count (stale speculative
             # slots may alias chunk positions)
             ring_ok = (ring_pos >= 0) & (ring_pos < p0[:, None])
@@ -534,11 +527,11 @@ class DSV4Attention(Module):
 
         # -- ring write (keep-last-W; stale overwrite by position aliasing) -----
         if layer is not None:
-            # keep the last W VALID tokens (the chunk may be padded past the
+            # keep the last R VALID tokens (the chunk may be padded past the
             # valid range by prefill buckets)
-            keep = positions >= (end - W)[:, None]
-            wslot = positions % W
-            wslot = jnp.where(keep & valid, wslot, W)          # OOB -> drop
+            keep = positions >= (end - R)[:, None]
+            wslot = positions % R
+            wslot = jnp.where(keep & valid, wslot, R)          # OOB -> drop
             bidx = slots[:, None]
             layer["kv"] = layer["kv"].at[bidx, wslot].set(
                 kv.astype(layer["kv"].dtype), mode="drop")
@@ -553,6 +546,102 @@ class DSV4Attention(Module):
         mids = [self.wo_a[g].forward(og[:, :, g], params, ctx)
                 for g in range(G)]
         mid = jnp.concatenate(mids, axis=-1)
+        y = self.wo_b.forward(mid, params, ctx)
+        if self.out_dtype is not None:
+            y = y.astype(self.out_dtype)
+        return y
+
+
+class DSparkAttention(DSV4Attention):
+    """Compressor-less DSV4 attention with DSpark draft semantics
+    (reference modules/arch_specific/dspark.py DSparkAttention:51): a paged
+    main-kv layer instead of the recurrent ring, rows written from the
+    trunk's projected tap states, and a block-parallel NON-causal forward —
+    every draft-block query sees [the last <=window main-kv rows ++ the
+    whole block] in one softmax with sinks, eq. 26 de-rotation and the
+    grouped o_proj."""
+
+    is_recurrent = False
+
+    def new_cache_layer(self, spec) -> dict:
+        from ..constants import PAGE_SIZE
+
+        D = self.head_dim
+        if spec.layout == "linear":
+            return {"mkv": jnp.zeros((spec.batch_size, spec.max_len, D),
+                                     jnp.bfloat16)}
+        return {"mkv": jnp.zeros((spec.num_pages, PAGE_SIZE, D),
+                                 jnp.bfloat16)}
+
+    def update_kv_rows(self, main_x, params, ctx):
+        """Project + norm + rope main-kv rows at ctx.positions and write
+        them into the paged layer through the block table."""
+        from ..constants import PAGE_SIZE
+
+        B, S, _ = main_x.shape
+        D = self.head_dim
+        kv = self.wkv.forward(main_x, params, ctx).reshape(B, S, D)
+        kv = rms_norm(kv, params[self.kv_norm.key]["weight"],
+                      self.rms_norm_eps)
+        kv = gptj_rope_trailing(kv[:, :, None, :], self.inv_freq_main,
+                                ctx.positions)[:, :, 0]
+        layer = ctx.cache[self.key]
+        page_slot = ctx.positions // PAGE_SIZE
+        rows = jnp.take_along_axis(ctx.block_tables, page_slot, axis=1)
+        cols = ctx.positions % PAGE_SIZE
+        mkv = layer["mkv"].at[rows, cols].set(kv.astype(layer["mkv"].dtype),
+                                              mode="drop")
+        ctx.cache[self.key] = {"mkv": mkv}
+
+    def forward(self, x, params: dict, ctx: ForwardCtx):
+        """Draft-block forward: x (B, block, h); positions = p0 + j."""
+        B, S, _ = x.shape
+        dt = x.dtype
+        H, D, rd = self.num_q_heads, self.head_dim, self.rope_head_dim
+        W = self.sliding_window
+        positions = ctx.positions
+        p0 = positions[:, 0]
+
+        q_res = self.q_norm.forward(self.q_a.forward(x, params, ctx),
+                                    params, ctx)
+        q = self.q_b.forward(q_res, params, ctx).reshape(B, S, H, D)
+        q = rms_norm(q, jnp.ones((D,), jnp.float32), self.rms_norm_eps)
+        kv = self.wkv.forward(x, params, ctx).reshape(B, S, D)
+        kv = rms_norm(kv, params[self.kv_norm.key]["weight"],
+                      self.rms_norm_eps)
+        q = gptj_rope_trailing(q, self.inv_freq_main, positions)
+        kv = gptj_rope_trailing(kv[:, :, None, :], self.inv_freq_main,
+                                positions)[:, :, 0]
+
+        layer = ctx.cache[self.key]
+        mkv = layer["mkv"][ctx.block_tables]          # (B, MP, PAGE, D)
+        T = mkv.shape[1] * mkv.shape[2]
+        mkv = mkv.reshape(B, T, D).astype(jnp.float32)
+        mpos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+        # history: the last min(W, p0) rows; block part fully visible
+        ok_hist = (mpos < p0[:, None]) & (mpos >= p0[:, None] - W)
+
+        qf = q.astype(jnp.float32)
+        s_hist = jnp.einsum("bshd,btd->bhst", qf, mkv) * self.sm_scale
+        s_hist = jnp.where(ok_hist[:, None, None], s_hist, NEG_INF)
+        s_blk = jnp.einsum("bshd,btd->bhst", qf,
+                           kv.astype(jnp.float32)) * self.sm_scale
+        sinks = params[self.key]["sinks"]
+        scores = jnp.concatenate([
+            s_hist, s_blk,
+            jnp.broadcast_to(sinks[None, :, None, None], (B, H, S, 1)),
+        ], axis=-1)
+        p = jax.nn.softmax(scores, axis=-1)[..., :-1]
+        v_all = jnp.concatenate([mkv, kv.astype(jnp.float32)], axis=1)
+        o = jnp.einsum("bhst,btd->bshd", p, v_all)
+        o = gptj_rope_trailing(o, self.inv_freq_main, positions, neg=True)
+
+        G = self.o_groups
+        hpg = H // G
+        og = o.reshape(B, S, G, hpg * D).astype(dt)
+        mid = jnp.concatenate(
+            [self.wo_a[g].forward(og[:, :, g], params, ctx)
+             for g in range(G)], axis=-1)
         y = self.wo_b.forward(mid, params, ctx)
         if self.out_dtype is not None:
             y = y.astype(self.out_dtype)

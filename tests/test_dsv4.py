@@ -113,3 +113,41 @@ def test_dsv4_generator(model):
     for got, ref in zip(outs, refs):
         agree = np.mean([a == b for a, b in zip(got, ref)])
         assert agree >= 0.8, (got, ref)
+
+
+DSPARK_CFG = dict(
+    CFG, compress_ratios=[0, 4, 128, 0], dspark_block_size=4,
+    dspark_noise_token_id=3, dspark_markov_rank=16,
+    dspark_target_layer_ids=[0, 2],
+)
+
+
+def test_dspark_drafter_matches_plain(tmp_path):
+    """DSpark block drafter (V4 MTP component): greedy output must equal
+    plain greedy decode; the drafter actually proposes tokens. Exercises the
+    speculative-rewind self-healing of the compressor state."""
+    from exllamav3_tpu.conversion.synth import write_synth_dense_for_arch
+
+    d = str(tmp_path / "v4sp")
+    write_synth_dense_for_arch(d, DSPARK_CFG, seed=7)
+    config = Config.from_directory(d)
+    assert "mtp" in config.model_classes
+    target = Model.from_config(config)
+    target.load()
+    draft = Model.from_config(config, component="mtp")
+    draft.load()
+    assert draft.caps.get("dflash_draft")
+    assert draft.block_size == 5
+
+    prompt = np.array([5, 9, 13, 2, 7, 44, 91, 30], np.int64)
+    plain = Generator(target, Cache(target, CacheSpec(
+        layout="paged", num_pages=16, recurrent_slots=5)), max_batch_size=4)
+    ref = plain.generate(prompt.copy(), max_new_tokens=12)
+
+    gen = Generator(target, Cache(target, CacheSpec(
+        layout="paged", num_pages=16, recurrent_slots=5)), max_batch_size=4,
+        draft_model=draft, num_draft_tokens=3)
+    assert gen.dflash_model is not None
+    out = gen.generate(prompt.copy(), max_new_tokens=12)
+    assert out == ref
+    assert gen.num_drafted > 0
