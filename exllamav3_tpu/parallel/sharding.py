@@ -31,7 +31,7 @@ def make_mesh(devices=None, dp: int = 1, tp: int | None = None) -> Mesh:
 # Column-parallel linears: shard out_features. Row-parallel: shard in_features.
 _COL_PAT = re.compile(
     r"\.(q_proj|k_proj|v_proj|up_proj|gate_proj|qkv_proj|gate_up_proj|q_b_proj"
-    r"|in_proj_qkvz|in_proj_qkv|in_proj_z|in_proj)$")
+    r"|in_proj_qkvz|in_proj_qkv|in_proj_z|in_proj|wq_b)$")
 _ROW_PAT = re.compile(r"\.(o_proj|down_proj|out_proj)$")
 _HEAD_PAT = re.compile(r"(^|\.)lm_head$")
 _EMBED_PAT = re.compile(r"embed_tokens$")
