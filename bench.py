@@ -76,7 +76,8 @@ def main():
     roofline_tok_s = hbm_gbps * 1e9 / max(wbytes, 1)
 
     B, S = 1, 128
-    cache = Cache(model, CacheSpec(layout="linear", batch_size=B, max_len=S + 256))
+    cache = Cache(model, CacheSpec(layout="linear", batch_size=B,
+                                   max_len=S + 8 + 3 * decode_steps))
     step = model.jitted_step("dense", donate_cache=True)
 
     rng = np.random.default_rng(0)
@@ -113,11 +114,16 @@ def main():
     tok, cache.state, toks = scan_decode_j(model.params, tok, cache.state,
                                            jnp.int32(S))
     np.asarray(toks)  # device_get forces a full flush (block_until_ready
-    t0 = time.time()  # alone does not always wait under the axon relay)
-    tok, cache.state, toks = scan_decode_j(model.params, tok, cache.state,
-                                           jnp.int32(S + decode_steps))
-    np.asarray(toks)
-    dt = time.time() - t0
+    # best of 3 (axon tunnel RTT jitter)      # alone does not always wait)
+    dt = float("inf")
+    base = S
+    for r in range(3):
+        t0 = time.time()
+        tok, cache.state, toks = scan_decode_j(
+            model.params, tok, cache.state,
+            jnp.int32(base + (r + 1) * decode_steps))
+        np.asarray(toks)
+        dt = min(dt, time.time() - t0)
     tok_s = decode_steps / dt
 
     # serving-shaped extras: batched decode aggregate and prefill throughput
@@ -125,7 +131,7 @@ def main():
     if on_tpu:
         BB = 8
         cache_b = Cache(model, CacheSpec(layout="linear", batch_size=BB,
-                                         max_len=S + 256))
+                                         max_len=S + 8 + 3 * decode_steps))
         B = BB  # scan_decode closes over B
 
         def scan_decode_b(params, tok, state, t0_):
@@ -141,12 +147,15 @@ def main():
         tok_b, cache_b.state, toks_b = scan_b(model.params, tok_b,
                                               cache_b.state, jnp.int32(S))
         np.asarray(toks_b)
-        t0 = time.time()
-        tok_b, cache_b.state, toks_b = scan_b(model.params, tok_b,
-                                              cache_b.state,
-                                              jnp.int32(S + decode_steps))
-        np.asarray(toks_b)
-        batch_tok_s = BB * decode_steps / (time.time() - t0)
+        dtb = float("inf")
+        for r in range(3):
+            t0 = time.time()
+            tok_b, cache_b.state, toks_b = scan_b(
+                model.params, tok_b, cache_b.state,
+                jnp.int32(S + (r + 1) * decode_steps))
+            np.asarray(toks_b)
+            dtb = min(dtb, time.time() - t0)
+        batch_tok_s = BB * decode_steps / dtb
         B = 1
 
         # prefill throughput: 2048 tokens, steady state (pre-compiled shape)
