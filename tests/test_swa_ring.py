@@ -61,3 +61,17 @@ def test_ring_slot_reuse(model):
     a = gen.generate(p.copy(), max_new_tokens=8)
     b = gen.generate(p.copy(), max_new_tokens=8)
     assert a == b
+
+
+def test_ring_ngram_sd_matches_plain(model):
+    """Speculative decoding on a ring-cache model: the ring carries slot
+    headroom so rejected draft writes never evict a live window entry."""
+    prompt = np.array([7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8], np.int64)
+    ref = _gen(model, ring=True).generate(prompt.copy(), max_new_tokens=14)
+    cache = Cache(model, CacheSpec(layout="paged", num_pages=8,
+                                   swa_ring=True, recurrent_slots=5))
+    gen = Generator(model, cache, max_batch_size=4, use_ngram_draft=True,
+                    num_draft_tokens=3)
+    out = gen.generate(prompt.copy(), max_new_tokens=14)
+    assert out == ref
+    assert gen.num_drafted > 0
