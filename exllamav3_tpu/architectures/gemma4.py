@@ -247,8 +247,61 @@ class Gemma4VisionModel:
         return _VisionModel(config, **kwargs)
 
 
+class Gemma4UnifiedVisionModel:
+    """Vision component wrapper for the Gemma4-Unified embedder."""
+
+    def __new__(cls, config, **kwargs):
+        from ..model.model import Model
+        from ..modules.vision_gemma4 import Gemma4UnifiedVisionEmbedder
+
+        vc = config.vision_config
+
+        class _VisionModel(Model):
+            def __init__(self, config, **kw):
+                super().__init__(config, **kw)
+                self.tower = Gemma4UnifiedVisionEmbedder(
+                    config,
+                    patch_size=int(vc.get("model_patch_size",
+                                          vc.get("patch_size", 16))),
+                    mm_embed_dim=int(vc.get("mm_embed_dim", 1152)),
+                    output_proj_dims=vc.get("output_proj_dims"),
+                    pooling_kernel_size=int(vc.get("pooling_kernel_size", 2)),
+                    out_hidden=config.hidden_size,
+                    norm_eps=float(vc.get("rms_norm_eps", 1e-6)),
+                )
+                self.modules = [self.tower]
+
+            def get_image_embeddings(self, pixels, text_alias=None):
+                import numpy as np
+                import jax
+                import jax.numpy as jnp
+                from ..modules.module import ForwardCtx
+                from ..tokenizer.mm_embedding import MMEmbedding
+
+                single = pixels.ndim == 3
+                if single:
+                    pixels = pixels[None]
+                if "vision_fwd" not in self._step_cache:
+                    self._step_cache["vision_fwd"] = jax.jit(
+                        lambda params, px: self.tower.forward(
+                            px, params, ForwardCtx()))
+                emb = np.asarray(jax.device_get(self._step_cache["vision_fwd"](
+                    self.params, jnp.asarray(pixels, dtype=jnp.float32))))
+                out = [MMEmbedding(e, text_alias=text_alias) for e in emb]
+                return out[0] if single else out
+
+        return _VisionModel(config, **kwargs)
+
+
 class Gemma4UnifiedConfig(Gemma4Config):
     arch_string = "Gemma4UnifiedForConditionalGeneration"
+
+    def __init__(self, directory: str, **kwargs):
+        super().__init__(directory, **kwargs)
+        vc = self.read_cfg(dict, "vision_config", None)
+        if vc and "mm_embed_dim" in vc:
+            self.vision_config = vc
+            self.model_classes["vision"] = Gemma4UnifiedVisionModel
 
 
 ARCHITECTURES = [Gemma4Config, Gemma4UnifiedConfig]

@@ -416,7 +416,12 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                         add(f"{blk.key}.ls_2.gamma",
                             rng.uniform(0.05, 0.15, D))
                 from ..modules.vision_gemma4 import Gemma4VisionTower as _G4VT
+                from ..modules.vision_gemma4 import (
+                    Gemma4UnifiedVisionEmbedder as _G4U)
 
+                if isinstance(m, _G4U):
+                    add(f"{m.key}.pos_embedding",
+                        rng.standard_normal((64, 2, m.mm_embed_dim)) * 0.02)
                 if isinstance(m, _G4VT):
                     add(f"{m.key}.patch_embedder.position_embedding_table",
                         rng.standard_normal((2, m.pos_size, m.hidden)) * 0.02)

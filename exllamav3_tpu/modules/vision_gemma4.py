@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .module import Module, ForwardCtx
 from .linear import Linear
-from .norms import RMSNorm, rms_norm
+from .norms import LayerNorm, RMSNorm, rms_norm
 
 
 def _neox_half(x, sin, cos):
@@ -187,4 +187,73 @@ class Gemma4VisionTower(Module):
         y = y * jax.lax.rsqrt(
             jnp.mean(jnp.square(y), axis=-1, keepdims=True)
             + self.text_rms_eps)
+        return self.proj.forward(y.astype(jnp.bfloat16), params, ctx)
+
+
+class Gemma4UnifiedVisionEmbedder(Module):
+    """Gemma4-Unified vision embedder (reference arch_specific/gemma4.py
+    Gemma4UnifiedVisionEmbedder:188 + architecture/gemma4.py
+    Gemma4UnifiedVisionModel:735): no ViT — patches go through
+    LN -> dense -> LN, get separable (x, y) learned position embeddings
+    (pos_embedding (max, 2, D): table[x, 0] + table[y, 1]), a position norm,
+    then merge into pooling_kernel² groups, an unweighted pre-projection RMS
+    and the embed_vision projection into the text width."""
+
+    def __init__(self, config, key: str = "model.vision_embedder",
+                 proj_key: str = "model.embed_vision",
+                 patch_size: int = 16, mm_embed_dim: int = 1152,
+                 output_proj_dims: int | None = None,
+                 pooling_kernel_size: int = 2, out_hidden: int = 2048,
+                 norm_eps: float = 1e-6):
+        super().__init__(config, key)
+        self.patch_size = patch_size
+        self.patch_dim = 3 * patch_size ** 2
+        self.mm_embed_dim = mm_embed_dim
+        self.pool_k = pooling_kernel_size
+        self.output_proj_dims = output_proj_dims or (
+            mm_embed_dim * pooling_kernel_size ** 2)
+        self.norm_eps = norm_eps
+        self.patch_ln1 = LayerNorm(config, f"{key}.patch_ln1", eps=norm_eps,
+                                   dim=self.patch_dim)
+        self.patch_dense = Linear(config, f"{key}.patch_dense",
+                                  self.patch_dim, mm_embed_dim)
+        self.patch_ln2 = LayerNorm(config, f"{key}.patch_ln2", eps=norm_eps,
+                                   dim=mm_embed_dim)
+        self.pos_norm = LayerNorm(config, f"{key}.pos_norm", eps=norm_eps,
+                                  dim=mm_embed_dim)
+        self.proj = Linear(config, f"{proj_key}.embedding_projection",
+                           self.output_proj_dims, out_hidden)
+        self.modules = [self.patch_ln1, self.patch_dense, self.patch_ln2,
+                        self.pos_norm, self.proj]
+
+    def load(self, params: dict) -> None:
+        super().load(params)
+        from .gated_delta_net import _get_f32
+
+        pos = _get_f32(self.config.stc, f"{self.key}.pos_embedding")
+        params[self.key] = {"pos": jnp.asarray(pos, jnp.float32)}  # (M, 2, D)
+
+    def forward(self, pixels, params: dict, ctx: ForwardCtx):
+        """pixels (B, H, W, 3) normalized -> (B, T/k², text_hidden)."""
+        p = params[self.key]
+        B, H, W, C = pixels.shape
+        P, k = self.patch_size, self.pool_k
+        rows, cols = H // P, W // P
+        x = pixels.reshape(B, rows, P, cols, P, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, rows * cols, P * P * C).astype(jnp.float32)
+        x = self.patch_ln1.forward(x.astype(jnp.bfloat16), params, ctx)
+        x = self.patch_dense.forward(x, params, ctx)
+        x = self.patch_ln2.forward(x, params, ctx).astype(jnp.float32)
+        pos_x = np.tile(np.arange(cols), rows)
+        pos_y = np.repeat(np.arange(rows), cols)
+        x = x + p["pos"][jnp.asarray(pos_x), 0] + p["pos"][jnp.asarray(pos_y), 1]
+        x = self.pos_norm.forward(x.astype(jnp.bfloat16), params, ctx)
+        # merge k×k patch blocks into one soft token, block-row-major
+        D = self.mm_embed_dim
+        y = x.reshape(B, rows // k, k, cols // k, k, D)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, (rows // k) * (cols // k), k * k * D)
+        y = y[..., : self.output_proj_dims].astype(jnp.float32)
+        y = y * jax.lax.rsqrt(
+            jnp.mean(jnp.square(y), axis=-1, keepdims=True) + self.norm_eps)
         return self.proj.forward(y.astype(jnp.bfloat16), params, ctx)

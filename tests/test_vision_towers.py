@@ -86,3 +86,12 @@ def test_gemma4_vision_roundtrip(tmp_path):
 
 def test_step37_vision_roundtrip(tmp_path):
     _roundtrip(S37_CFG, 37, (32, 32, 3), (-1.0, 1.0), tmp_path, "s37")
+
+
+def test_gemma4_unified_vision_roundtrip(tmp_path):
+    cfg = dict(G4_CFG, architectures=["Gemma4UnifiedForConditionalGeneration"],
+               vision_config=dict(mm_embed_dim=32, output_proj_dims=128,
+                                  model_patch_size=4, patch_size=4,
+                                  pooling_kernel_size=2, mm_posemb_size=8,
+                                  rms_norm_eps=1e-6))
+    _roundtrip(cfg, 33, (16, 16, 3), (0.0, 1.0), tmp_path, "g4u")
