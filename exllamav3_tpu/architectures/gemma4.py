@@ -3,10 +3,11 @@ head dims and kv-head counts per type, V-norms, optional K-as-V global
 layers, per-block layer scalars and unit softmax scale.
 
 Feature reference: /root/reference/exllamav3/architecture/gemma4.py
-(Gemma4Config:39, Gemma4TextModel:194). Text component; the Gemma4 vision
-towers (patch embedder/pooler, gemma4.py:480) are not ported yet. The MoE
-block variant (enable_moe_block, alt residual channel + per-expert scales)
-is also deferred — tracked in doc/COMPONENTS.md.
+(Gemma4Config:39, Gemma4TextModel:194, Gemma4VisionModel:480,
+Gemma4UnifiedVisionModel:735). Includes the MoE block variant
+(enable_moe_block: alt residual channel, router/pre/post norms,
+per-expert weight scales) and both vision components; per-layer inputs
+(hidden_size_per_layer_input) remain unimplemented.
 """
 from __future__ import annotations
 
@@ -80,9 +81,12 @@ class Gemma4Config(Config):
             float, pre + "final_logit_softcapping", 0.0)
         if self.read_cfg(int, pre + "hidden_size_per_layer_input", 0):
             raise NotImplementedError("Gemma4 per-layer inputs not implemented")
-        if self.read_cfg(bool, pre + "enable_moe_block", False):
-            raise NotImplementedError(
-                "Gemma4 MoE blocks not implemented yet (doc/COMPONENTS.md)")
+        self.enable_moe_block = self.read_cfg(bool, pre + "enable_moe_block",
+                                              False)
+        self.num_experts = self.read_cfg(int, pre + "num_experts", 0)
+        self.num_experts_per_tok = self.read_cfg(int, pre + "top_k_experts", 0)
+        self.moe_intermediate_size = self.read_cfg(
+            int, pre + "moe_intermediate_size", 0)
 
         rp = self.read_cfg(dict, pre + "rope_parameters", None) or {}
         self.rope_settings_local = _rope_from_params(
@@ -117,6 +121,7 @@ class Gemma4TextModel(Model):
         ]
         self.first_block_idx = len(self.modules)
 
+        use_moe = config.enable_moe_block
         for idx in range(config.num_hidden_layers):
             lk = f"{key_prefix}.layers.{idx}"
             is_full = config.layer_types[idx] == "full_attention"
@@ -158,14 +163,7 @@ class Gemma4TextModel(Model):
                         config.rms_norm_eps),
                     mlp_norm=RMSNorm(config, f"{lk}.pre_feedforward_layernorm",
                                      config.rms_norm_eps),
-                    mlp=GatedMLP(
-                        config=config,
-                        key=f"{lk}.mlp",
-                        hidden_size=h,
-                        intermediate_size=config.intermediate_size,
-                        qmap="block.mlp",
-                        activation="gelu_pytorch_tanh",
-                    ),
+                    mlp=self._build_mlp(config, lk, use_moe),
                     mlp_post_norm=RMSNorm(
                         config, f"{lk}.post_feedforward_layernorm",
                         config.rms_norm_eps),
@@ -184,6 +182,57 @@ class Gemma4TextModel(Model):
                    out_dtype=jnp.float32),
         ]
         self.logit_layer_idx = len(self.modules) - 1
+
+    @staticmethod
+    def _build_mlp(config, lk: str, use_moe: bool):
+        from ..modules import BlockSparseMLP
+
+        h = config.hidden_size
+        dense = GatedMLP(
+            config=config,
+            key=f"{lk}.mlp",
+            hidden_size=h,
+            intermediate_size=config.intermediate_size,
+            qmap="block.mlp",
+            activation="gelu_pytorch_tanh",
+        )
+        if not use_moe:
+            return dense
+        # Gemma4 MoE block (reference gemma4.py:320-362): the dense MLP is
+        # the shared side (own post norm); the routed side reads the
+        # RESIDUAL stream through a constant-scaled router norm with a
+        # per-expert weight scale, plus its own pre/post norms
+        return BlockSparseMLP(
+            config=config,
+            key=lk,
+            hidden_size=h,
+            intermediate_size=config.moe_intermediate_size,
+            num_experts=config.num_experts,
+            num_experts_per_tok=config.num_experts_per_tok,
+            key_expert="experts.{expert_idx}",
+            key_gate_up_split="experts.gate_up_proj",
+            key_down_split="experts.down_proj",
+            key_routing_gate="router.proj",
+            key_per_expert_scale="router.per_expert_scale",
+            routing="std",
+            norm_topk_prob=False,
+            activation="gelu_pytorch_tanh",
+            qmap="block.moe",
+            alt_residual_channel=True,
+            shared_experts=dense,
+            shared_experts_post_norm=RMSNorm(
+                config, f"{lk}.post_feedforward_layernorm_1",
+                config.rms_norm_eps),
+            router_pre_norm=RMSNorm(
+                config, f"{lk}.router.scale", config.rms_norm_eps,
+                tensor_suffix=False, constant_scale=h ** -0.5),
+            routed_pre_norm=RMSNorm(
+                config, f"{lk}.pre_feedforward_layernorm_2",
+                config.rms_norm_eps),
+            routed_post_norm=RMSNorm(
+                config, f"{lk}.post_feedforward_layernorm_2",
+                config.rms_norm_eps),
+        )
 
     def default_chat_prompt(self, prompt: str, system_prompt: str | None = None) -> str:
         p = "<bos>"

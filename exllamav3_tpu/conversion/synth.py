@@ -248,6 +248,9 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                 if m.routing == "sqrtsp":
                     add(f"{m.key}.{m.key_e_score_bias}",
                         rng.standard_normal(m.num_experts) * 0.05)
+                if m.key_per_expert_scale:
+                    add(f"{m.key}.{m.key_per_expert_scale}",
+                        rng.uniform(0.8, 1.2, m.num_experts))
                 if m.key_tid2eid:
                     t2e = rng.integers(
                         0, m.num_experts,
@@ -335,7 +338,9 @@ def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                        or cfg.get("text_config", {}).get("hidden_size"))
                 arch_l = str(cfg.get("architectures", [""])[0]).lower()
                 is_gemma = "gemma" in arch_l and "gemma4" not in arch_l
-                add(m.key + ".weight", np.zeros(dim) if is_gemma else np.ones(dim))
+                nkey = (m.key + ".weight"
+                        if getattr(m, "tensor_suffix", True) else m.key)
+                add(nkey, np.zeros(dim) if is_gemma else np.ones(dim))
             elif isinstance(m, Embedding):
                 add(m.key + ".weight",
                     rng.standard_normal((m.vocab_size, m.hidden_size)) * 0.02)

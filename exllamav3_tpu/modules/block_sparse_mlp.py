@@ -63,6 +63,16 @@ class BlockSparseMLP(Module):
         act_clamp: float = 0.0,
         norm_topk_prob: bool = True,
         shared_experts: Module | None = None,
+        # Gemma4 MoE block (reference block_sparse_mlp.py:343-358,:1106):
+        # the routed side reads the RESIDUAL stream (pre-mlp-norm), with its
+        # own router/pre/post norms and a learned per-expert weight scale;
+        # the shared (dense) side keeps the normed input + its own post norm
+        shared_experts_post_norm: Module | None = None,
+        router_pre_norm: Module | None = None,
+        routed_pre_norm: Module | None = None,
+        routed_post_norm: Module | None = None,
+        key_per_expert_scale: str | None = None,
+        alt_residual_channel: bool = False,
         n_group: int = 1,
         topk_group: int = 1,
         routed_scaling_factor: float = 1.0,
@@ -91,6 +101,12 @@ class BlockSparseMLP(Module):
         self.act_clamp = act_clamp
         self.key_tid2eid = key_tid2eid
         self.tid2eid = None
+        self.shared_experts_post_norm = shared_experts_post_norm
+        self.router_pre_norm = router_pre_norm
+        self.routed_pre_norm = routed_pre_norm
+        self.routed_post_norm = routed_post_norm
+        self.key_per_expert_scale = key_per_expert_scale
+        self.alt_residual_channel = alt_residual_channel
         self.keys_gud = (key_gate, key_up, key_down)
         self.router = Linear(config, f"{key}.{key_routing_gate}", hidden_size,
                              num_experts)
@@ -103,7 +119,9 @@ class BlockSparseMLP(Module):
                                       hidden_size, 1)
         self.modules = [self.router] + (
             [shared_experts] if shared_experts else []) + (
-            [self.shared_gate] if self.shared_gate else [])
+            [self.shared_gate] if self.shared_gate else []) + [
+            m for m in (shared_experts_post_norm, router_pre_norm,
+                        routed_pre_norm, routed_post_norm) if m]
         # expert Linears exist as loaders only; forward uses stacked params
         self._expert_linears = []
         for e in range(num_experts):
@@ -126,6 +144,10 @@ class BlockSparseMLP(Module):
         self.router.load(params)
         if self.shared_gate is not None:
             self.shared_gate.load(params)
+        for nm in (self.shared_experts_post_norm, self.router_pre_norm,
+                   self.routed_pre_norm, self.routed_post_norm):
+            if nm is not None:
+                nm.load(params)
         # DeepSeek-V3 noaux_tc expert-choice correction bias (not a Linear
         # bias: it shifts selection scores only, never the routing weights)
         eb_key = (f"{self.key}.{self.key_e_score_bias}" if self.key_e_score_bias
@@ -144,6 +166,13 @@ class BlockSparseMLP(Module):
                 f"{self.key}.{self.key_tid2eid}", optional=True)
             if t2e is not None:
                 self.tid2eid = jnp.asarray(t2e.astype(np.int32))
+        if self.key_per_expert_scale:
+            pes = self.config.stc.get_tensor(
+                f"{self.key}.{self.key_per_expert_scale}", allow_bf16=True)
+            if pes.dtype == np.uint16:
+                pes = _bf16_f32(pes)
+            params[self.router.key]["per_expert_scale"] = jnp.asarray(
+                pes.astype(np.float32))
         if self.key_gate_up_split and (
                 self.config.stc.has_tensor(f"{self.key}.{self.key_gate_up_split}")
                 or self.config.stc.has_tensor(
@@ -346,7 +375,19 @@ class BlockSparseMLP(Module):
         xt = x.reshape(-1, h)
         T = xt.shape[0]
 
-        logits = self.router.forward(xt, params, ctx).astype(jnp.float32)
+        # Gemma4: route and feed the experts from the RESIDUAL stream
+        if self.alt_residual_channel and "moe_residual" in ctx.extras:
+            y_in = ctx.extras["moe_residual"].reshape(-1, h)
+        else:
+            y_in = xt
+        route_in = y_in
+        if self.router_pre_norm is not None:
+            route_in = self.router_pre_norm.forward(y_in, params, ctx)
+        xt_exp = y_in if self.alt_residual_channel else xt
+        if self.routed_pre_norm is not None:
+            xt_exp = self.routed_pre_norm.forward(y_in, params, ctx)
+
+        logits = self.router.forward(route_in, params, ctx).astype(jnp.float32)
         if self.tid2eid is not None and "input_ids" in ctx.extras:
             # hash-MoE bootstrap (reference routing_sqrtsp_hash:260): the
             # frozen tid2eid table picks the experts; the learned gate still
@@ -361,13 +402,22 @@ class BlockSparseMLP(Module):
             weights = weights.at[jnp.arange(T)[:, None], topi].set(topv)
         else:
             weights = self.route(logits, params[self.router.key].get("e_bias"))  # (T, E)
+        pes = params[self.router.key].get("per_expert_scale")
+        if pes is not None:
+            weights = weights * pes[None, :]
 
         # grouped path when it saves real compute (prefill shapes); the
         # dense-all path below is optimal for bandwidth-bound decode
         if T * self.top_k * 2 < T * self.num_experts and T >= 16:
-            out = self._grouped_experts(xt, weights, p)
+            out = self._grouped_experts(xt_exp, weights, p)
+            if self.routed_post_norm is not None:
+                out = self.routed_post_norm.forward(out, params, ctx) \
+                    .astype(jnp.float32)
             if self.shared_experts is not None:
                 so = self.shared_experts.forward(xt, params, ctx).astype(jnp.float32)
+                if self.shared_experts_post_norm is not None:
+                    so = self.shared_experts_post_norm.forward(
+                        so, params, ctx).astype(jnp.float32)
                 if self.shared_gate is not None:
                     sg = self.shared_gate.forward(xt, params, ctx).astype(jnp.float32)
                     so = so * jax.nn.sigmoid(sg)
@@ -378,7 +428,7 @@ class BlockSparseMLP(Module):
 
         gk, uk, dk = self.keys_gud
         wu, wd = p["w_" + uk], p["w_" + dk]
-        xb = xt.astype(jnp.bfloat16)
+        xb = xt_exp.astype(jnp.bfloat16)
         u = einsum_f32("th,ehi->eti", xb, wu)
         if "b_" + uk in p:
             u = u + p["b_" + uk][:, None, :]
@@ -403,9 +453,15 @@ class BlockSparseMLP(Module):
         if "b_" + dk in p:
             y = y + p["b_" + dk][:, None, :]
         out = jnp.einsum("eth,te->th", y, weights)
+        if self.routed_post_norm is not None:
+            out = self.routed_post_norm.forward(out, params, ctx) \
+                .astype(jnp.float32)
 
         if self.shared_experts is not None:
             so = self.shared_experts.forward(xt, params, ctx).astype(jnp.float32)
+            if self.shared_experts_post_norm is not None:
+                so = self.shared_experts_post_norm.forward(
+                    so, params, ctx).astype(jnp.float32)
             if self.shared_gate is not None:
                 sg = self.shared_gate.forward(xt, params, ctx).astype(jnp.float32)
                 so = so * jax.nn.sigmoid(sg)

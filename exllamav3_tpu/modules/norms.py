@@ -24,11 +24,16 @@ def rms_norm(x, weight, eps: float, constant_bias: float = 0.0):
 class RMSNorm(Module):
     def __init__(self, config, key: str, rms_norm_eps: float = 1e-6,
                  constant_bias: float = 0.0, out_dtype=None, dim: int | None = None,
-                 span_heads: bool = False, unweighted: bool = False):
+                 span_heads: bool = False, unweighted: bool = False,
+                 tensor_suffix: bool = True, constant_scale: float = 1.0):
         super().__init__(config, key)
         self.eps = rms_norm_eps
         self.dim = dim
         self.unweighted = unweighted  # pure normalization, no weight tensor
+        # Gemma4 MoE router norm: weight stored WITHOUT the .weight suffix,
+        # and the normalized value scales by a constant (hidden**-0.5)
+        self.tensor_suffix = tensor_suffix
+        self.constant_scale = constant_scale
         self.constant_bias = constant_bias  # +1 for Gemma-style norms
         # Olmo2/3, MiniMax-M2: q/k norms normalize over ALL heads flattened
         # (reference rmsnorm.py span_heads)
@@ -38,7 +43,8 @@ class RMSNorm(Module):
     def load(self, params: dict) -> None:
         if self.unweighted:
             return
-        w = self.config.stc.get_tensor(self.key + ".weight", allow_bf16=True)
+        wkey = self.key + ".weight" if self.tensor_suffix else self.key
+        w = self.config.stc.get_tensor(wkey, allow_bf16=True)
         if w.dtype == np.uint16:
             from ..loader.safetensors import bf16_to_f32
 
@@ -60,6 +66,8 @@ class RMSNorm(Module):
             y = rms_norm(xf, self._w(params), self.eps, cb).reshape(shape)
         else:
             y = rms_norm(x, self._w(params), self.eps, cb)
+        if self.constant_scale != 1.0:
+            y = (y.astype(jnp.float32) * self.constant_scale).astype(y.dtype)
         if self.out_dtype is not None:
             y = y.astype(self.out_dtype)
         return y

@@ -121,6 +121,9 @@ class TransformerBlock(Module):
             res = res + h.astype(jnp.float32) * self.residual_scale
             x = res.astype(x.dtype)
         if self.mlp is not None:
+            if getattr(self.mlp, "alt_residual_channel", False):
+                # Gemma4 MoE: the routed side reads the pre-norm residual
+                ctx.extras["moe_residual"] = x
             h = self.mlp_norm.forward(x, params, ctx) if self.mlp_norm else x
             h = self.mlp.forward(h, params, ctx)
             if self.mlp_post_norm is not None:
