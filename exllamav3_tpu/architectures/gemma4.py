@@ -320,6 +320,31 @@ class Gemma4UnifiedVisionModel:
                 )
                 self.modules = [self.tower]
 
+            def preprocess(self, image):
+                """PIL image -> [0, 1] pixels (the patch embedder scales
+                to [-1, 1] internally); aspect-preserving resize to a
+                multiple of patch*pool."""
+                from ..tokenizer.image_processing import preprocess_image
+
+                f = self.tower.patch_size * self.tower.pool_k
+                return preprocess_image(image, factor=f, mean=None, std=None)
+
+            def get_image_embeddings_pil(self, image, text_alias=None):
+                return self.get_image_embeddings(self.preprocess(image),
+                                                 text_alias=text_alias)
+
+            def preprocess(self, image):
+                from ..tokenizer.image_processing import (
+                    preprocess_image, HALF_MEAN, HALF_STD)
+
+                f = self.tower.patch_size * self.tower.pool_k
+                return preprocess_image(image, factor=f, mean=HALF_MEAN,
+                                        std=HALF_STD)
+
+            def get_image_embeddings_pil(self, image, text_alias=None):
+                return self.get_image_embeddings(self.preprocess(image),
+                                                 text_alias=text_alias)
+
             def get_image_embeddings(self, pixels, text_alias=None):
                 import numpy as np
                 import jax

@@ -311,6 +311,18 @@ class Step3p7VisionModel:
                 )
                 self.modules = [self.tower]
 
+            def preprocess(self, image):
+                """PIL image -> CLIP-normalized square image_size crop."""
+                from ..tokenizer.image_processing import preprocess_image
+
+                side = self.tower.base_grid * self.tower.patch_size
+                return preprocess_image(image, factor=self.tower.patch_size,
+                                        fixed_size=side)
+
+            def get_image_embeddings_pil(self, image, text_alias=None):
+                return self.get_image_embeddings(self.preprocess(image),
+                                                 text_alias=text_alias)
+
             def get_image_embeddings(self, pixels, text_alias=None):
                 import numpy as np
                 import jax

@@ -67,6 +67,19 @@ class Qwen25VLVisionModel:
                 )
                 self.modules = [self.tower]
 
+
+            def preprocess(self, image):
+                """PIL image (or raw array) -> normalized pixels for
+                get_image_embeddings (CLIP statistics, smart resize)."""
+                from ..tokenizer.image_processing import preprocess_image
+
+                f = self.tower.patch_size * self.tower.merge
+                return preprocess_image(image, factor=f)
+
+            def get_image_embeddings_pil(self, image, text_alias=None):
+                return self.get_image_embeddings(self.preprocess(image),
+                                                 text_alias=text_alias)
+
             def get_image_embeddings(self, pixels, text_alias=None):
                 import numpy as np
                 import jax
@@ -166,6 +179,19 @@ class Qwen3VLVisionModel:
                 )
                 self.modules = [self.tower]
 
+
+            def preprocess(self, image):
+                """PIL image (or raw array) -> normalized pixels for
+                get_image_embeddings (CLIP statistics, smart resize)."""
+                from ..tokenizer.image_processing import preprocess_image
+
+                f = self.tower.patch_size * self.tower.merge
+                return preprocess_image(image, factor=f)
+
+            def get_image_embeddings_pil(self, image, text_alias=None):
+                return self.get_image_embeddings(self.preprocess(image),
+                                                 text_alias=text_alias)
+
             def get_image_embeddings(self, pixels, text_alias=None):
                 import numpy as np
                 import jax
@@ -247,6 +273,19 @@ class Glm4vVisionModel:
                     rms_norm_eps=float(vc.get("rms_norm_eps", 1e-5)),
                 )
                 self.modules = [self.tower]
+
+
+            def preprocess(self, image):
+                """PIL image (or raw array) -> normalized pixels for
+                get_image_embeddings (CLIP statistics, smart resize)."""
+                from ..tokenizer.image_processing import preprocess_image
+
+                f = self.tower.patch_size * self.tower.merge
+                return preprocess_image(image, factor=f)
+
+            def get_image_embeddings_pil(self, image, text_alias=None):
+                return self.get_image_embeddings(self.preprocess(image),
+                                                 text_alias=text_alias)
 
             def get_image_embeddings(self, pixels, text_alias=None):
                 import numpy as np
@@ -340,6 +379,19 @@ class Mistral3VisionModel:
                     rope_theta=float(vc.get("rope_theta", 10000.0)),
                 )
                 self.modules = [self.tower]
+
+
+            def preprocess(self, image):
+                """PIL image (or raw array) -> normalized pixels for
+                get_image_embeddings (CLIP statistics, smart resize)."""
+                from ..tokenizer.image_processing import preprocess_image
+
+                f = self.tower.patch_size * self.tower.merge
+                return preprocess_image(image, factor=f)
+
+            def get_image_embeddings_pil(self, image, text_alias=None):
+                return self.get_image_embeddings(self.preprocess(image),
+                                                 text_alias=text_alias)
 
             def get_image_embeddings(self, pixels, text_alias=None):
                 import numpy as np

@@ -82,3 +82,26 @@ def test_mrope_changes_image_generation(setup):
     e3.grid_thw = None
     out3 = run(e3)
     assert out1 != out3
+
+
+def test_pil_preprocess_roundtrip(setup):
+    """PIL image -> smart resize -> normalize -> tower -> embeddings."""
+    from PIL import Image
+    from exllamav3_tpu.tokenizer.image_processing import smart_resize
+
+    config, text, vision = setup
+    rng = np.random.default_rng(5)
+    img = Image.fromarray(
+        rng.integers(0, 255, (19, 21, 3)).astype(np.uint8))
+    px = vision.preprocess(img)
+    # factor = patch 4 x merge 2 = 8
+    assert px.shape[0] % 8 == 0 and px.shape[1] % 8 == 0
+    e = vision.get_image_embeddings_pil(img)
+    assert np.isfinite(e.embeddings).all()
+    assert e.embeddings.shape[1] == 128
+
+    # HF smart_resize semantics
+    assert smart_resize(224, 224, 28) == (224, 224)
+    h, w = smart_resize(1000, 4000, 28, max_pixels=1280 * 28 * 28)
+    assert h % 28 == 0 and w % 28 == 0
+    assert h * w <= 1280 * 28 * 28
