@@ -100,3 +100,78 @@ class ChoiceFilter(Filter):
 
     def is_complete(self) -> bool:
         return self.text in self.choices
+
+
+class LLGuidanceFilter(Filter):
+    """llguidance-backed grammar constraint (reference
+    generator/filter/llguidance.py LLGuidanceFilter:33): exactly one of
+    json_schema / regex / lark_grammar / gbnf_grammar / llg_grammar. The
+    engine computes a packed int32 bitmask per step; it converts to the
+    additive mask the fused batch sampler consumes. Requires the optional
+    `llguidance` package (raises ImportError otherwise); `_engine` is
+    injectable for testing."""
+
+    def __init__(self, tokenizer=None, json_schema=None, regex=None,
+                 lark_grammar=None, gbnf_grammar=None, llg_grammar=None,
+                 _engine=None):
+        sources = [("json_schema", json_schema), ("regex", regex),
+                   ("lark", lark_grammar), ("gbnf", gbnf_grammar),
+                   ("llguidance", llg_grammar)]
+        given = [(f, g) for f, g in sources if g is not None]
+        assert len(given) == 1, \
+            "specify exactly one grammar source"
+        self._spec = given[0]
+        self._tokenizer = tokenizer
+        self._matcher = _engine
+        self._consumed = 0
+        if _engine is None:
+            self._matcher = self._make_matcher()
+
+    def _make_matcher(self):
+        try:
+            from llguidance import LLTokenizer, LLMatcher, grammar_from
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "LLGuidanceFilter requires the optional `llguidance` "
+                "package") from e
+        import json as _json
+
+        fmt, text = self._spec
+        if isinstance(text, dict):
+            text = _json.dumps(text)
+        eos = self._tokenizer.eos_token_id if self._tokenizer else None
+        llt = LLTokenizer(self._tokenizer.hf.to_str(), eos_token=eos)
+        grammar = grammar_from(fmt, text)
+        err = LLMatcher.validate_grammar(grammar, llt)
+        if err:
+            raise ValueError(f"invalid grammar: {err}")
+        self._llt = llt
+        return LLMatcher(llt, grammar)
+
+    def begin(self, tokenizer) -> None:
+        pass
+
+    def allowed_mask(self, vocab_size: int) -> np.ndarray:
+        nwords = (vocab_size + 31) // 32
+        bm = np.empty((nwords,), dtype=np.int32)
+        self._matcher.unsafe_compute_mask_ptr(bm.ctypes.data, bm.nbytes)
+        bits = ((bm[:, None].astype(np.uint32)
+                 >> np.arange(32, dtype=np.uint32)[None, :]) & 1) \
+            .reshape(-1)[:vocab_size]
+        mask = np.where(bits.astype(bool), 0.0, NEG_INF).astype(np.float32)
+        return mask
+
+    def feed(self, token: int) -> None:
+        if self._matcher.is_stopped():
+            return
+        if self._matcher.consume_token(int(token)):
+            self._consumed += 1
+
+    def rollback(self, n: int) -> None:
+        n = min(n, self._consumed)
+        if n:
+            self._matcher.rollback(n)
+            self._consumed -= n
+
+    def is_complete(self) -> bool:
+        return bool(self._matcher.is_stopped())

@@ -63,3 +63,54 @@ def test_choice_filter_logic():
     f.rollback(1)
     assert not f.is_complete()
     assert f.text == "ab"
+
+
+def test_llguidance_adapter_with_stub_engine():
+    """The llguidance adapter's mask/feed/rollback plumbing, driven by a
+    stub matcher (the real engine is an optional dependency)."""
+    from exllamav3_tpu.generator.filter import LLGuidanceFilter, NEG_INF
+    import numpy as np
+
+    class StubMatcher:
+        def __init__(self):
+            self.tokens = []
+            self.allowed = {3, 5, 40}
+
+        def unsafe_compute_mask_ptr(self, ptr, nbytes):
+            import ctypes
+
+            n = nbytes // 4
+            arr = (ctypes.c_int32 * n).from_address(ptr)
+            words = [0] * n
+            for t in self.allowed:
+                words[t // 32] |= 1 << (t % 32)
+            for i, w in enumerate(words):
+                arr[i] = w - (1 << 32) if w >= (1 << 31) else w
+
+        def is_stopped(self):
+            return len(self.tokens) >= 3
+
+        def consume_token(self, t):
+            self.tokens.append(t)
+            return True
+
+        def rollback(self, n):
+            del self.tokens[len(self.tokens) - n:]
+
+    f = LLGuidanceFilter(regex="a+", _engine=StubMatcher())
+    m = f.allowed_mask(64)
+    assert m.shape == (64,)
+    assert (m[[3, 5, 40]] == 0).all()
+    assert (m[[0, 1, 63]] == NEG_INF).all()
+    f.feed(3)
+    f.feed(5)
+    assert not f.is_complete()
+    f.feed(5)
+    assert f.is_complete()
+    f.rollback(2)
+    assert not f.is_complete()
+    # exactly-one-source enforcement
+    import pytest
+
+    with pytest.raises(AssertionError):
+        LLGuidanceFilter(regex="a", json_schema={}, _engine=StubMatcher())
