@@ -61,8 +61,11 @@ class Generator:
         self.tokenizer = tokenizer
         self.max_batch_size = max_batch_size
         self.max_chunk_size = max_chunk_size
-        self.k_bits = k_bits
-        self.v_bits = v_bits
+        # cache quantization defaults come from the cache's own spec; the
+        # explicit args remain as an override
+        spec = getattr(cache, "spec", None)
+        self.k_bits = k_bits or (spec.k_bits if spec else 0)
+        self.v_bits = v_bits or (spec.v_bits if spec else 0)
         # speculative decoding (draft model and/or suffix-automaton n-gram;
         # reference generator.py:475-743). Greedy verification: used when
         # every running job samples greedily, exact-output-preserving.

@@ -23,6 +23,21 @@ from .norms import RMSNorm
 from ..util.rope import Rope, RopeSettings, RopeStyle
 from ..model.cache import linear_cache_update, paged_cache_update
 from ..ops.attention import attend_dense, attend_paged
+from ..util.env import attn_backend
+
+
+def _total_lens(ctx, B: int, S: int):
+    """Per-row cache length AFTER this chunk's update: cache_seqlens plus the
+    count of contiguous valid rows (padded rows park at positions !=
+    seqlen+arange and drop out). Used for page-bound clamping and k-validity
+    — fixes the reference-noted hazard of inferring length from
+    q_positions.max() when padded rows park beyond the true end."""
+    if ctx.cache_seqlens is None:
+        return ctx.positions.max(axis=-1).astype(jnp.int32) + 1
+    expect = ctx.cache_seqlens[:, None] + jnp.arange(S, dtype=jnp.int32)
+    valid = ctx.positions == expect
+    return (ctx.cache_seqlens
+            + jnp.sum(valid.astype(jnp.int32), axis=1)).astype(jnp.int32)
 
 
 class Attention(Module):
@@ -312,25 +327,25 @@ class Attention(Module):
             )
             ctx.cache[self.key] = layer_state
             quant = bool(ctx.k_bits)
-            use_flash = (
-                S == 1 and not quant and jax.default_backend() not in ("cpu",)
-            )
-            if use_flash:
-                from ..ops.flash_attention import paged_decode_attention
+            total_lens = _total_lens(ctx, B, S)
+            backend = attn_backend(ctx.k_bits, ctx.v_bits)
+            if backend != "dense":
+                from ..ops.flash_attention import flash_attention
 
-                o = paged_decode_attention(
-                    q[:, 0].astype(dt), layer_state["k"], layer_state["v"],
-                    ctx.block_tables, ctx.positions[:, 0],
-                    sinks=sinks, scale=self.sm_scale,
-                    sliding_window=self.sliding_window,
+                o = flash_attention(
+                    q, layer_state, ctx.positions, total_lens,
+                    block_tables=ctx.block_tables, sinks=sinks,
+                    scale=self.sm_scale, sliding_window=self.sliding_window,
                     logit_softcap=self.logit_softcap,
-                )[:, None]
+                    k_bits=ctx.k_bits, v_bits=ctx.v_bits,
+                    interpret=(backend == "interpret"),
+                ).astype(dt)
             else:
                 o = attend_paged(
                     q.astype(dt),
                     None if quant else layer_state["k"],
                     None if quant else layer_state["v"],
-                    ctx.block_tables, ctx.positions, ctx.cache_seqlens,
+                    ctx.block_tables, ctx.positions, total_lens,
                     scale=self.sm_scale, sliding_window=self.sliding_window,
                     logit_softcap=self.logit_softcap, sinks=sinks,
                     quant_state=layer_state if quant else None,
@@ -342,21 +357,38 @@ class Attention(Module):
                 layer_state, k, v, ctx.positions, ctx.k_bits, ctx.v_bits
             )
             ctx.cache[self.key] = layer_state
-            if ctx.k_bits:
-                from ..ops.kv_quant import quant_cache_fetch
+            T = (layer_state.get("k") if not ctx.k_bits
+                 else layer_state["k_s"]).shape[1]
+            total_lens = _total_lens(ctx, B, S)
+            backend = attn_backend(ctx.k_bits, ctx.v_bits)
+            if backend != "dense" and T % 8 == 0:
+                from ..ops.flash_attention import flash_attention
 
-                k_all, v_all = quant_cache_fetch(layer_state, ctx.k_bits, ctx.v_bits)
+                o = flash_attention(
+                    q, layer_state, ctx.positions, total_lens,
+                    block_tables=None, sinks=sinks,
+                    scale=self.sm_scale, sliding_window=self.sliding_window,
+                    logit_softcap=self.logit_softcap,
+                    k_bits=ctx.k_bits, v_bits=ctx.v_bits,
+                    interpret=(backend == "interpret"),
+                ).astype(dt)
             else:
-                k_all, v_all = layer_state["k"], layer_state["v"]
-            T = k_all.shape[1]
-            k_pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-            o = attend_dense(
-                q.astype(dt), k_all.astype(dt), v_all.astype(dt),
-                q_positions=ctx.positions, k_positions=k_pos,
-                k_valid=None, scale=self.sm_scale,
-                sliding_window=self.sliding_window,
-                logit_softcap=self.logit_softcap, sinks=sinks,
-            )
+                if ctx.k_bits:
+                    from ..ops.kv_quant import quant_cache_fetch
+
+                    k_all, v_all = quant_cache_fetch(
+                        layer_state, ctx.k_bits, ctx.v_bits)
+                else:
+                    k_all, v_all = layer_state["k"], layer_state["v"]
+                k_pos = jnp.broadcast_to(
+                    jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+                o = attend_dense(
+                    q.astype(dt), k_all.astype(dt), v_all.astype(dt),
+                    q_positions=ctx.positions, k_positions=k_pos,
+                    k_valid=None, scale=self.sm_scale,
+                    sliding_window=self.sliding_window,
+                    logit_softcap=self.logit_softcap, sinks=sinks,
+                )
 
         if gate is not None:
             o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(o.dtype)

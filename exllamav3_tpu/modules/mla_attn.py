@@ -37,6 +37,7 @@ from ..constants import PAGE_SIZE
 from ..util.rope import Rope, RopeSettings, RopeStyle
 from ..loader.safetensors import bf16_to_f32
 from ..ops.attention import attend_dense
+from ..util.env import attn_backend
 
 
 class MLAttention(Module):
@@ -210,12 +211,31 @@ class MLAttention(Module):
             layer = ctx.cache[self.key]
             layer = self._cache_update(layer, kv_tok, ctx)
             ctx.cache[self.key] = layer
-            k_eff, k_pos, k_valid = self._cache_fetch(layer, ctx)
-            o_lat = attend_dense(
-                q_eff, k_eff, k_eff[..., :c],
-                q_positions=ctx.positions, k_positions=k_pos,
-                k_valid=k_valid, scale=self.sm_scale,
-            )
+            backend = attn_backend(ctx.k_bits, ctx.v_bits)
+            lin_ok = (ctx.attn_mode == "paged"
+                      or layer[next(iter(layer))].shape[1] % 8 == 0)
+            if backend != "dense" and S <= 32 and lin_ok:
+                # absorbed decode / SD-verify via the Pallas kernel: Hk=1,
+                # V = leading `c` channels of the latent row (never fetched
+                # separately); prefill keeps the dense path (S/QT re-reads
+                # of the latent would swamp HBM for MQA-shaped caches)
+                from ..ops.flash_attention import flash_attention
+                from .attn import _total_lens
+
+                o_lat = flash_attention(
+                    q_eff, layer, ctx.positions, _total_lens(ctx, B, S),
+                    block_tables=(ctx.block_tables
+                                  if ctx.attn_mode == "paged" else None),
+                    scale=self.sm_scale, latent=c, k_bits=ctx.k_bits,
+                    interpret=(backend == "interpret"),
+                ).astype(jnp.bfloat16)
+            else:
+                k_eff, k_pos, k_valid = self._cache_fetch(layer, ctx)
+                o_lat = attend_dense(
+                    q_eff, k_eff, k_eff[..., :c],
+                    q_positions=ctx.positions, k_positions=k_pos,
+                    k_valid=k_valid, scale=self.sm_scale,
+                )
 
         w_uv = params[self.key]["w_uv"]  # (c, H, dv)
         o = jnp.einsum(

@@ -87,7 +87,7 @@ def attend_paged(
     v_pages,
     block_tables,
     q_positions,
-    cache_seqlens,
+    total_lens,
     scale: float = 1.0,
     sliding_window: int = 0,
     logit_softcap: float = 0.0,
@@ -118,9 +118,12 @@ def attend_paged(
     k = k.reshape(B, T, *k.shape[3:])
     v = v.reshape(B, T, *v.shape[3:])
     k_pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-    # exclude never-written slots beyond current length
-    total_len = q_positions.max(axis=-1) + 1  # (B,)
-    k_valid = k_pos < total_len[:, None]
+    # exclude never-written slots beyond the true per-row length; padded q
+    # rows may park at positions past the real end, so q_positions.max()
+    # must not be used as the length
+    if total_lens is None:
+        total_lens = q_positions.max(axis=-1) + 1  # (B,)
+    k_valid = k_pos < total_lens[:, None]
     return attend_dense(
         q, k, v, q_positions, k_pos, k_valid=k_valid, scale=scale,
         sliding_window=sliding_window, logit_softcap=logit_softcap, sinks=sinks,

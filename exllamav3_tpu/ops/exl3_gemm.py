@@ -102,23 +102,28 @@ def _hn_permuted() -> np.ndarray:
 # -- kernel ------------------------------------------------------------------------
 
 
-def _f16bits_to_f32(h: jnp.ndarray) -> jnp.ndarray:
-    """fp16 bit pattern (in uint32 lanes) -> f32 value, integer ops only.
-
-    Valid because the codebook's masked patterns never produce fp16
-    denormals/inf/nan (the exponent field is confined to 12..15 by the
-    AND/XOR masks, and MUL1 patterns sit at exponent 25). Mosaic supports
-    the same-width u32->f32 vreg bitcast; 16-bit bitcasts it does not.
-    """
-    sign = (h & jnp.uint32(0x8000)) << 16
-    exp_man = ((h & jnp.uint32(0x7FFF)) << 13) + jnp.uint32(112 << 23)
-    import jax.lax as lax
-
-    return lax.bitcast_convert_type(sign | exp_man, jnp.float32)
+def decode_scale(cb: int) -> float:
+    """Post-scale folded into svh: the kernel emits fp16-pattern halves
+    bitcast WITHOUT re-biasing the exponent into f32 (saves one add per
+    half), so decoded values carry a constant 2^-112 factor that the
+    output-side scale vector absorbs for free."""
+    return 2.0 ** 112 if cb in (CB_3INST, CB_MCG) else 1.0
 
 
 def _decode_codes_f32(code: jnp.ndarray, cb: int) -> jnp.ndarray:
-    """uint32 codes (<65536) -> decoded value f32, vector ops only."""
+    """uint32 codes (<65536) -> decoded value f32 (scaled by
+    1/decode_scale(cb)), vector ops only.
+
+    fp16-half bitcast trick: the codebook's masked patterns never produce
+    fp16 denormals/inf/nan (the AND/XOR masks confine the exponent field to
+    12..15), so sign|exponent|mantissa can be repositioned into an f32 bit
+    pattern with shifts/ands alone; the 112-step exponent re-bias is a
+    constant 2^112 factor folded into svh (decode_scale). ~14 VPU ops per
+    weight vs the reference CUDA lop3+half2 sequence
+    (exllamav3_ext/quant/codebook.cuh:57-84).
+    """
+    import jax.lax as lax
+
     x = code
     if cb == CB_3INST:
         x = x * jnp.uint32(89226354) + jnp.uint32(64248484)
@@ -126,14 +131,22 @@ def _decode_codes_f32(code: jnp.ndarray, cb: int) -> jnp.ndarray:
         x = x * jnp.uint32(0xCBAC1FED)
     else:  # CB_MUL1
         x = x * jnp.uint32(0x83DCD12D)
-        s = ((x & 0xFF) + ((x >> 8) & 0xFF) + ((x >> 16) & 0xFF) + ((x >> 24) & 0xFF))
+        # byte-sum via two pair-sums (6 ops vs 10 for four extracts)
+        p = (x & jnp.uint32(0x00FF00FF)) + ((x >> 8) & jnp.uint32(0x00FF00FF))
+        s = (p + (p >> 16)) & jnp.uint32(0x7FF)
         # fp16 pattern 0x6400+s encodes exactly 1024.0+s for s in [0, 1020]
         # (uint32->f32 casts are unsupported in Mosaic; go via int32)
         hf = s.astype(jnp.int32).astype(jnp.float32) + np.float32(1024.0)
         return hf * np.float32(0.006767272949218750) + np.float32(-10.3828125)
     m = (x & jnp.uint32(0x8FFF8FFF)) ^ jnp.uint32(0x3B603B60)
-    lo = _f16bits_to_f32(m & jnp.uint32(0xFFFF))
-    hi = _f16bits_to_f32(m >> 16)
+    # lo half: fp16 bits 0..15 -> f32 pattern (sign<<16 | exp_man<<13)
+    lo = lax.bitcast_convert_type(
+        ((m << 13) & jnp.uint32(0x0FFFE000)) | ((m & jnp.uint32(0x8000)) << 16),
+        jnp.float32)
+    # hi half: fp16 bits 16..31 -> (sign already at 31 | exp_man>>3)
+    hi = lax.bitcast_convert_type(
+        ((m >> 3) & jnp.uint32(0x0FFFE000)) | (m & jnp.uint32(0x80000000)),
+        jnp.float32)
     return lo + hi
 
 
@@ -182,15 +195,18 @@ def _exl3_gemm_kernel(x_ref, w_ref, out_ref, acc_ref, *, K: int, cb: int,
 
     # t = (gl<<3)|(ci<<2)|(rh<<1)|rl; kernel row r' = (gl<<2)|(rh<<1)|rl.
     # Columns come out ci-major per n-block: col = ci*L + lane (lane=(nt,gh));
-    # the XLA epilogue un-permutes (activation-sized, cheap). Avoids lane
-    # interleaves, which Mosaic's layout inference rejects.
+    # the XLA epilogue un-permutes (activation-sized, cheap). Rows come out
+    # rp-major over the k block (row = r'*bkt + kt): a sublane CONCAT is free
+    # register placement where a 16-way stack interleave costs sublane
+    # shuffles on every decoded vector — the matching lane order of x is a
+    # cheap XLA pre-transpose outside the kernel (exl3_matmul_fused).
     rows0, rows1 = [], []
     for rp in range(16):
         gl, rh, rl = rp >> 2, (rp >> 1) & 1, rp & 1
         rows0.append(vals[gl * 8 + rh * 2 + rl])
         rows1.append(vals[gl * 8 + 4 + rh * 2 + rl])
-    w0 = jnp.stack(rows0, axis=1).reshape(bkt * 16, L)
-    w1 = jnp.stack(rows1, axis=1).reshape(bkt * 16, L)
+    w0 = jnp.concatenate(rows0, axis=0)  # (16*bkt, L), row = rp*bkt + kt
+    w1 = jnp.concatenate(rows1, axis=0)
     w = jnp.concatenate([w0, w1], axis=1).astype(jnp.bfloat16)
 
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
@@ -268,7 +284,13 @@ def exl3_matmul_fused(x, words, suh, svh, K: int, cb: int = CB_3INST,
         xh = jnp.pad(xh, ((0, m_pad), (0, 0)))
     interpret = jax.default_backend() in ("cpu",)
     bn = 256 if n % 256 == 0 else 128
-    y = exl3_gemm_core(xh, words, K, cb, block_m=bm, block_n=bn,
+    bk = 256 if k % 256 == 0 else 128
+    # lane order matching the kernel's concat row layout: within each
+    # k-block, lane kt*16 + rp -> rp*bkt + kt
+    m2 = xh.shape[0]
+    bkt = bk // 16
+    xh = xh.reshape(m2, k // bk, bkt, 16).transpose(0, 1, 3, 2).reshape(m2, k)
+    y = exl3_gemm_core(xh, words, K, cb, block_m=bm, block_n=bn, block_k=bk,
                        interpret=interpret)
     if m_pad:
         y = y[:m]
@@ -280,7 +302,7 @@ def exl3_matmul_fused(x, words, suh, svh, K: int, cb: int = CB_3INST,
     y = y.transpose(0, 1, 3, 4, 2).reshape(mm, n)
 
     y = (y.reshape(m, n // 128, 128).astype(jnp.float32) @ hn).reshape(m, n)
-    y = y * svh.astype(jnp.float32)
+    y = y * (svh.astype(jnp.float32) * np.float32(decode_scale(cb)))
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.reshape(shape[:-1] + (n,)).astype(out_dtype)

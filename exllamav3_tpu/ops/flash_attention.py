@@ -1,15 +1,38 @@
-"""Pallas paged flash-decode attention.
+"""Pallas flash attention family: paged/linear, decode + SD verify + prefill.
 
 Feature reference: /root/reference/exllamav3/modules/attention_fn/
-triton_paged.py (split-KV flash decode over block tables). TPU design: grid
-(batch, page); the block table rides scalar prefetch so the Pallas pipeline
-DMAs exactly the pages each sequence owns (each page fetched once, all KV
-heads processed in-kernel); online-softmax accumulators live in VMEM scratch
-across the page-sequential grid dimension. GQA groups feed the MXU as the M
-dimension of the (G, D) x (D, PAGE_SIZE) score matmuls.
+triton_paged.py (split-KV flash decode + prefill over block tables, fused
+quantized-cache `qc` variants) and exllamav3_ext/cache/q_cache.cu (2-8 bit
+32-group packed KV). TPU design — one kernel body, several spec builders:
 
-Decode-shaped (S=1). Prefill and the S>1 verification forwards use the jnp
-reference (ops/attention.py); a prefill flash kernel is future work.
+  * grid (B, Hg, Qb, MP): the page/time dim is innermost-sequential with
+    online-softmax accumulators in VMEM scratch; B/heads/q-blocks parallel.
+  * block tables ride scalar prefetch so the pipeline DMAs exactly the pages
+    each sequence owns. Per q-block [first_page, last_page] bounds (causal +
+    sliding window + true sequence length) are precomputed host-side; the
+    index map CLAMPS the page index into that range, so out-of-range grid
+    steps re-issue the same block index and the Pallas pipeline elides the
+    DMA — trailing/dead pages cost neither bandwidth nor compute.
+  * decode / spec-verify (small S): all KV heads ride in one block (each
+    page fetched once per sequence, contiguous DMA), queries laid out
+    (S*G, D) per head feed the MXU.
+  * prefill (large S): KV heads move to the grid, q-blocks of QT tokens x G
+    GQA heads give (QT*G, D) score matmuls per page — K re-reads scale as
+    S/QT like any flash prefill.
+  * quantized caches (2/4/8 bits) are dequantized IN-KERNEL from the packed
+    int32 words: J=32/bits lane-parallel shift+mask passes concatenated
+    along lanes yield the channels in a static permutation (see
+    channel_perm); q is pre-permuted and the output unpermuted outside, so
+    the kernel never materializes a dequantized cache. Odd bit-widths
+    (3/5/6/7 straddle word boundaries) use the jnp fallback path.
+  * MLA absorbed decode: Hk=1, V = leading `v_from_k` channels of K (the
+    latent), so V is never fetched separately; the quantized-latent layout
+    ([packed latent | bf16 rope-key]) rides an extra `k_extra` input that is
+    concatenated after dequant.
+
+Numerics: f32 accumulation, scale-then-softcap, per-q-head sink logits join
+the softmax denominator (gpt-oss), sliding-window masking, per-row causal
+masking by absolute position (padded rows mask themselves out).
 """
 from __future__ import annotations
 
@@ -23,146 +46,449 @@ from ..constants import PAGE_SIZE
 
 NEG_INF = -1e30
 
+FAST_BITS = (0, 2, 4, 8)  # in-kernel dequant needs word-aligned fields
 
-def _paged_decode_kernel(
-    bt_ref,      # scalar prefetch: (B, MP) int32 block tables
-    qpos_ref,    # scalar prefetch: (B,) int32 query positions
-    q_ref,       # (1, Hk, G, D)
-    k_ref,       # (1, PAGE_SIZE, Hk, D)
-    v_ref,       # (1, PAGE_SIZE, Hk, D)
-    sink_ref,    # (Hk, G) f32 (zeros when unused)
-    o_ref,       # (1, Hk, G, D)
-    m_ref, l_ref, acc_ref,  # scratch (Hk*G, 1), (Hk*G, 1), (Hk*G, D)
-    *,
+
+# -- quantized-channel permutation helpers -----------------------------------
+
+@functools.lru_cache(maxsize=None)
+def channel_perm(D: int, bits: int) -> tuple:
+    """Lane order produced by the in-kernel parallel unpack.
+
+    The packed layout (ops/kv_quant.py) stores the value with in-group index
+    i in word i//J at field (i%J)*bits, J = 32//bits, words laid out
+    group-major. The kernel extracts field j of every word in one shift+mask
+    pass and concatenates the J passes along lanes, so lane position
+    p = j*(g*bits) + group*bits + w holds channel 32*group + w*J + j.
+    Returns (perm, inv_perm) as numpy arrays: x_kernel = x[..., perm];
+    x = x_kernel[..., inv_perm].
+    """
+    assert bits in (2, 4, 8) and D % 32 == 0
+    J = 32 // bits
+    g = D // 32
+    perm = np.empty((D,), np.int32)
+    p = 0
+    for j in range(J):
+        for group in range(g):
+            for w in range(bits):
+                perm[p] = 32 * group + w * J + j
+                p += 1
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(D, dtype=np.int32)
+    return perm, inv
+
+
+@functools.lru_cache(maxsize=None)
+def _scale_expand_mat(D: int, bits: int) -> np.ndarray:
+    """(g, D) f32 matrix: scales (T, g) @ E -> per-lane scale in the kernel's
+    permuted channel order (lane p belongs to group (p % (g*bits)) // bits)."""
+    g = D // 32
+    E = np.zeros((g, D), np.float32)
+    for p in range(D):
+        E[(p % (g * bits)) // bits, p] = 1.0
+    return E
+
+
+def _dequant_rows(words, scales, bits: int, exp_mat):
+    """words (T, g*bits) int32, scales (T, g) f32 -> (T, D) f32 in permuted
+    channel order. Mirrors ops/kv_quant.dequantize_kv numerics."""
+    J = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    w = words.astype(jnp.uint32)
+    # uint32->f32 casts are unsupported in Mosaic; fields are < 2^bits so
+    # the int32 detour is exact
+    parts = [((w >> jnp.uint32(j * bits)) & mask)
+             .astype(jnp.int32).astype(jnp.float32) for j in range(J)]
+    vals = jnp.concatenate(parts, axis=-1) - ((1 << bits) - 1) / 2.0
+    se = jnp.dot(scales, exp_mat, preferred_element_type=jnp.float32)
+    return vals * se
+
+
+# -- kernel body ---------------------------------------------------------------
+
+def _flash_kernel(
+    # scalar prefetch: [bt?] pf pl   (bt only in paged mode)
+    *refs,
+    layout: str,          # "paged" | "linear"
+    Hb: int,              # KV heads per block
+    QT: int,              # query tokens per block
+    G: int,               # GQA group (q heads per kv head)
+    D: int,               # K channels (post-concat for MLA-quant)
+    Dv: int,              # V channels
+    TB: int,              # time block (PAGE_SIZE for paged)
+    flat_heads: bool,     # K/V lanes are (Hk*D); block is this head's slice
+    k_bits: int,
+    v_bits: int,
+    d_extra: int,         # trailing unquantized K channels (MLA rope key)
+    v_from_k: bool,       # V = leading Dv channels of K
     scale: float,
     sliding_window: int,
     logit_softcap: float,
     has_sinks: bool,
-    num_kv_heads: int,
 ):
     import jax.experimental.pallas as pl
 
+    # -- unpack refs ----------------------------------------------------------
+    i = 0
+    if layout == "paged":
+        bt_ref = refs[i]; i += 1
+    pf_ref = refs[i]; i += 1
+    pl_ref = refs[i]; i += 1
+    q_ref = refs[i]; i += 1          # (1, Hb, QT, G, D)
+    if k_bits:
+        kq_ref = refs[i]; i += 1     # (1, TB, Hb, (D-d_extra)//32*k_bits)
+        ks_ref = refs[i]; i += 1     # (1, TB, Hb, (D-d_extra)//32)
+        if d_extra:
+            ke_ref = refs[i]; i += 1  # (1, TB, Hb, d_extra)
+    else:
+        k_ref = refs[i]; i += 1      # (1, TB, Hb, D)
+    if not v_from_k:
+        if v_bits:
+            vq_ref = refs[i]; i += 1
+            vs_ref = refs[i]; i += 1
+        else:
+            v_ref = refs[i]; i += 1
+    qpos_ref = refs[i]; i += 1       # (1, QT*G, 1) int32
+    sink_ref = refs[i]; i += 1       # (Hb, QT*G, 1) f32
+    if k_bits:
+        ematk_ref = refs[i]; i += 1  # ((D-d_extra)//32, D-d_extra) f32
+    if v_bits and not v_from_k:
+        ematv_ref = refs[i]; i += 1  # (Dv//32, Dv) f32
+    o_ref = refs[i]; i += 1          # (1, Hb, QT, G, Dv)
+    m_ref, l_ref, acc_ref = refs[i], refs[i + 1], refs[i + 2]
+
     b = pl.program_id(0)
-    p = pl.program_id(1)
-    num_p = pl.num_programs(1)
-    Hk = num_kv_heads
-    G = q_ref.shape[2]
+    qt = pl.program_id(2)
+    p = pl.program_id(3)
+    num_p = pl.num_programs(3)
+    R = QT * G  # score rows per head
 
     @pl.when(p == 0)
     def _():
         if has_sinks:
-            sink = sink_ref[:].astype(jnp.float32).reshape(Hk * G, 1)
-            m_ref[:] = sink
-            l_ref[:] = jnp.ones_like(l_ref)  # exp(sink - sink)
+            for h in range(Hb):
+                rows = slice(h * R, (h + 1) * R)
+                m_ref[rows, :] = sink_ref[h].astype(jnp.float32)
+            l_ref[:] = jnp.ones_like(l_ref)
         else:
             m_ref[:] = jnp.full_like(m_ref, NEG_INF)
             l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    qpos = qpos_ref[b]
-    page_start = p * PAGE_SIZE
-    page_valid = page_start <= qpos
+    in_range = (p >= pf_ref[b, qt]) & (p <= pl_ref[b, qt])
 
-    @pl.when(page_valid)
+    @pl.when(in_range)
     def _():
-        for h in range(Hk):  # static unroll over KV heads
-            q = q_ref[0, h].astype(jnp.float32)  # (G, D)
-            k = k_ref[0, :, h].astype(jnp.float32)  # (PS, D)
-            v = v_ref[0, :, h].astype(jnp.float32)
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        qpos = qpos_ref[0]                         # (R, 1) int32
+        if k_bits:
+            emat_k = ematk_ref[:]
+        if v_bits and not v_from_k:
+            emat_v = ematv_ref[:]
+        for h in range(Hb):
+            rows = slice(h * R, (h + 1) * R)
+            q = q_ref[0, h].reshape(R, D).astype(jnp.float32)
+            if k_bits:
+                k = _dequant_rows(kq_ref[0, :, h, :], ks_ref[0, :, h, :],
+                                  k_bits, emat_k)
+                if d_extra:
+                    k = jnp.concatenate(
+                        [k, ke_ref[0, :, h, :].astype(jnp.float32)], axis=-1)
+            elif flat_heads:
+                k = k_ref[0].astype(jnp.float32)           # (TB, D)
+            else:
+                k = k_ref[0, :, h, :].astype(jnp.float32)  # (TB, D)
+            if v_from_k:
+                v = k[:, :Dv]
+            elif v_bits:
+                v = _dequant_rows(vq_ref[0, :, h, :], vs_ref[0, :, h, :],
+                                  v_bits, emat_v)
+            elif flat_heads:
+                v = v_ref[0].astype(jnp.float32)
+            else:
+                v = v_ref[0, :, h, :].astype(jnp.float32)
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
             if logit_softcap:
                 s = jnp.tanh(s / logit_softcap) * logit_softcap
-            kp = page_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            kp = p * TB + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             mask = kp <= qpos
             if sliding_window:
                 mask &= kp > qpos - sliding_window
             s = jnp.where(mask, s, NEG_INF)
 
-            rows = slice(h * G, (h + 1) * G)
             m_prev = m_ref[rows, :]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
             ps = jnp.exp(s - m_new)
-            l_ref[rows, :] = l_ref[rows, :] * alpha + jnp.sum(ps, axis=1,
-                                                              keepdims=True)
+            l_ref[rows, :] = l_ref[rows, :] * alpha + jnp.sum(
+                ps, axis=1, keepdims=True)
             acc_ref[rows, :] = acc_ref[rows, :] * alpha + jnp.dot(
-                ps, v, preferred_element_type=jnp.float32
-            )
+                ps, v, preferred_element_type=jnp.float32)
             m_ref[rows, :] = m_new
 
     @pl.when(p == num_p - 1)
     def _():
         o = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
-        o_ref[0] = o.reshape(Hk, G, o.shape[-1]).astype(o_ref.dtype)
+        o_ref[0] = o.reshape(Hb, QT, G, Dv).astype(o_ref.dtype)
+
+
+# -- host-side wrapper ---------------------------------------------------------
+
+def _choose_blocks(S: int, G: int, Hk: int):
+    """-> (Hb, QT): wide for decode/verify, tall for prefill. Tall QT is a
+    multiple of 8 so sliced q-position blocks satisfy Mosaic's sublane
+    divisibility."""
+    if S <= 32:
+        return Hk, S
+    QT = max(8, min(S, max(1, 256 // G)))
+    QT = ((QT + 7) // 8) * 8
+    return 1, QT
+
+
+def _pad_to(x, size, axis, value=None):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    if value is None:  # edge-pad (repeat last row: keeps positions monotone)
+        idx = jnp.concatenate([
+            jnp.arange(x.shape[axis]),
+            jnp.full((pad,), x.shape[axis] - 1)]).astype(jnp.int32)
+        return jnp.take(x, idx, axis=axis)
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg, constant_values=value)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "sliding_window", "logit_softcap", "interpret"),
+    static_argnames=("scale", "sliding_window", "logit_softcap", "k_bits",
+                     "v_bits", "latent", "interpret", "out_dtype"),
 )
-def paged_decode_attention(
-    q,            # (B, Hq, D)
-    k_pages,      # (P, PAGE_SIZE, Hk, D)
-    v_pages,
-    block_tables,  # (B, MP) int32
-    q_positions,   # (B,) int32
-    sinks=None,    # (Hq,) f32 or None
+def flash_attention(
+    q,                 # (B, S, Hq, D)
+    layer_state: dict,  # {"k","v"} | {"k_q","k_s","v_q","v_s"} | {"kv"} |
+                        # {"kv_q","kv_s","k_pe"}  — paged (P, PS, Hk, ·) or
+                        # linear (B, T, Hk, ·)
+    q_positions,       # (B, S) int32 absolute positions
+    total_lens,        # (B,) int32 sequence length AFTER the cache update
+    block_tables=None,  # (B, MP) int32 (paged) | None (linear)
+    sinks=None,        # (Hq,) f32
     scale: float = 1.0,
     sliding_window: int = 0,
     logit_softcap: float = 0.0,
+    k_bits: int = 0,
+    v_bits: int = 0,
+    latent: int = 0,   # MLA: V = leading `latent` channels of K
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ):
-    """Returns (B, Hq, D) f32."""
+    """Returns (B, S, Hq, Dv) out_dtype. See module docstring."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, Hq, D = q.shape
-    P, PS, Hk, _ = k_pages.shape
-    assert PS == PAGE_SIZE
+    B, S, Hq, D_in = q.shape
+    mla = "kv" in layer_state or "kv_q" in layer_state
+    if mla:
+        assert latent > 0
+        Hk = 1
+    else:
+        karr = layer_state["k"] if "k" in layer_state else layer_state["k_q"]
+        Hk = karr.shape[2]
     G = Hq // Hk
-    MP = block_tables.shape[1]
+    v_from_k = mla
+    d_extra = 0
 
-    qg = q.reshape(B, Hk, G, D)  # heads grouped [h0g0..h0gG, h1g0..]
-    # NOTE: HF head order is h-major over Hq = Hk*G? q heads are laid out so
-    # that heads [h*G:(h+1)*G] share kv head h (standard GQA repeat order).
+    # -- resolve K/V arrays + kernel channel permutations ---------------------
+    perm_k = inv_v = None
+    if mla:
+        if k_bits:
+            kq = layer_state["kv_q"]
+            ks = layer_state["kv_s"]
+            ke = layer_state["k_pe"]
+            d_extra = ke.shape[-1]
+            pk, ik = channel_perm(latent, k_bits)
+            perm_k = np.concatenate([pk, latent + np.arange(d_extra)])
+            inv_v = ik
+            k_inputs = (kq, ks, ke)
+            D = latent + d_extra
+        else:
+            k_inputs = (layer_state["kv"],)
+            D = layer_state["kv"].shape[-1]
+        v_inputs = ()
+        Dv = latent
+    else:
+        if k_bits:
+            k_inputs = (layer_state["k_q"], layer_state["k_s"])
+            D = layer_state["k_s"].shape[-1] * 32
+            perm_k, _ = channel_perm(D, k_bits)
+        else:
+            k_inputs = (layer_state["k"],)
+            D = layer_state["k"].shape[-1]
+        if v_bits:
+            v_inputs = (layer_state["v_q"], layer_state["v_s"])
+            Dv = layer_state["v_s"].shape[-1] * 32
+            _, inv_v = channel_perm(Dv, v_bits)
+        else:
+            v_inputs = (layer_state["v"],)
+            Dv = layer_state["v"].shape[-1]
+    assert D == D_in, f"q head_dim {D_in} != cache K width {D}"
+
+    if perm_k is not None:
+        q = q[..., jnp.asarray(perm_k)]
+
+    # -- block geometry -------------------------------------------------------
+    paged = block_tables is not None
+    first = k_inputs[0]
+    if paged:
+        TB = first.shape[1]
+        assert TB == PAGE_SIZE
+        MPk = block_tables.shape[1]
+    else:
+        T = first.shape[1]
+        TB = next((t for t in (256, 128, 64, 32, 16, 8) if T % t == 0), 0)
+        if TB == 0:
+            raise ValueError(f"linear cache length {T} not divisible by 8")
+        MPk = T // TB
+
+    Hb, QT = _choose_blocks(S, G, Hk)
+    # Mosaic only allows slicing the heads dim when it rides the lane axis:
+    # per-head tall fetch needs dense K/V with 128-multiple widths (flattened
+    # (Hk*D) lanes view, free). Otherwise fetch all heads per block — same
+    # total bytes, just less grid parallelism.
+    flat_heads = Hb == 1 and Hk > 1
+    if flat_heads and (k_bits or v_bits or D % 128 or Dv % 128):
+        Hb = Hk
+        flat_heads = False
+    Hg = Hk // Hb
+    S_pad = ((S + QT - 1) // QT) * QT
+    Qb = S_pad // QT
+
+    qk = q.reshape(B, S, Hk, G, D_in).transpose(0, 2, 1, 3, 4)
+    qk = _pad_to(qk, S_pad, axis=2)               # (B, Hk, S_pad, G, D)
+    pos_pad = _pad_to(q_positions.astype(jnp.int32), S_pad, axis=1)
+
+    # per-q-block page bounds (host precompute, rides scalar prefetch)
+    pos_blk = pos_pad.reshape(B, Qb, QT)
+    last_needed = jnp.minimum(pos_blk[:, :, -1], total_lens[:, None] - 1)
+    pl_arr = jnp.clip(last_needed // TB, 0, MPk - 1).astype(jnp.int32)
+    if sliding_window:
+        first_needed = jnp.maximum(pos_blk[:, :, 0] - sliding_window + 1, 0)
+        pf_arr = jnp.clip(first_needed // TB, 0, MPk - 1).astype(jnp.int32)
+        pf_arr = jnp.minimum(pf_arr, pl_arr)
+    else:
+        pf_arr = jnp.zeros_like(pl_arr)
+
+    qpos_rows = jnp.repeat(pos_pad, G, axis=1)[..., None]  # (B, S_pad*G, 1)
     has_sinks = sinks is not None
-    sink_in = (sinks.reshape(Hk, G).astype(jnp.float32) if has_sinks
-               else jnp.zeros((Hk, G), dtype=jnp.float32))
+    if has_sinks:
+        sink_rows = jnp.broadcast_to(
+            sinks.astype(jnp.float32).reshape(Hk, 1, G), (Hk, QT, G)
+        ).reshape(Hk, QT * G, 1)
+    else:
+        sink_rows = jnp.zeros((Hk, QT * G, 1), jnp.float32)
+
+    # -- specs ----------------------------------------------------------------
+    def _teff(b, qt_, p, pf, pl_):
+        return jnp.clip(p, pf[b, qt_], pl_[b, qt_])
+
+    def kidx(b, hg, qt_, p, *sref):
+        if paged:
+            bt, pf, pl_ = sref
+            return (bt[b, _teff(b, qt_, p, pf, pl_)], 0, hg, 0)
+        pf, pl_ = sref
+        return (b, _teff(b, qt_, p, pf, pl_), hg, 0)
+
+    def kidx_flat(b, hg, qt_, p, *sref):
+        if paged:
+            bt, pf, pl_ = sref
+            return (bt[b, _teff(b, qt_, p, pf, pl_)], 0, hg)
+        pf, pl_ = sref
+        return (b, _teff(b, qt_, p, pf, pl_), hg)
+
+    def tb_spec(width):
+        return pl.BlockSpec((1, TB, Hb, width), kidx,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, Hb, QT, G, D_in),
+                     lambda b, hg, qt_, p, *s: (b, hg, qt_, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    tensor_inputs = [qk]
+    for arr in k_inputs + v_inputs:
+        if flat_heads:
+            w = arr.shape[-1]
+            in_specs.append(pl.BlockSpec((1, TB, w), kidx_flat,
+                                         memory_space=pltpu.VMEM))
+            tensor_inputs.append(arr.reshape(arr.shape[0], arr.shape[1],
+                                             Hk * w))
+        else:
+            in_specs.append(tb_spec(arr.shape[-1]))
+            tensor_inputs.append(arr)
+    in_specs += [
+        pl.BlockSpec((1, QT * G, 1),
+                     lambda b, hg, qt_, p, *s: (b, qt_, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hb, QT * G, 1),
+                     lambda b, hg, qt_, p, *s: (hg, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    tensor_inputs += [qpos_rows, sink_rows]
+    if k_bits:
+        em = _scale_expand_mat(D_in - d_extra if mla else D, k_bits)
+        in_specs.append(pl.BlockSpec(
+            em.shape, lambda b, hg, qt_, p, *s: (0, 0),
+            memory_space=pltpu.VMEM))
+        tensor_inputs.append(jnp.asarray(em))
+    if v_bits and not v_from_k:
+        em = _scale_expand_mat(Dv, v_bits)
+        in_specs.append(pl.BlockSpec(
+            em.shape, lambda b, hg, qt_, p, *s: (0, 0),
+            memory_space=pltpu.VMEM))
+        tensor_inputs.append(jnp.asarray(em))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, MP),
-        in_specs=[
-            pl.BlockSpec((1, Hk, G, D), lambda b, p, bt, qp: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PAGE_SIZE, Hk, D),
-                         lambda b, p, bt, qp: (bt[b, p], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PAGE_SIZE, Hk, D),
-                         lambda b, p, bt, qp: (bt[b, p], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hk, G), lambda b, p, bt, qp: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Hk, G, D), lambda b, p, bt, qp: (b, 0, 0, 0),
+        num_scalar_prefetch=3 if paged else 2,
+        grid=(B, Hg, Qb, MPk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Hb, QT, G, Dv),
+                               lambda b, hg, qt_, p, *s: (b, hg, qt_, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Hk * G, 1), jnp.float32),
-            pltpu.VMEM((Hk * G, 1), jnp.float32),
-            pltpu.VMEM((Hk * G, D), jnp.float32),
+            pltpu.VMEM((Hb * QT * G, 1), jnp.float32),
+            pltpu.VMEM((Hb * QT * G, 1), jnp.float32),
+            pltpu.VMEM((Hb * QT * G, Dv), jnp.float32),
         ],
     )
     kernel = functools.partial(
-        _paged_decode_kernel, scale=scale, sliding_window=sliding_window,
-        logit_softcap=logit_softcap, has_sinks=has_sinks, num_kv_heads=Hk,
+        _flash_kernel,
+        layout="paged" if paged else "linear",
+        Hb=Hb, QT=QT, G=G, D=D_in, Dv=Dv, TB=TB, flat_heads=flat_heads,
+        k_bits=k_bits, v_bits=v_bits, d_extra=d_extra, v_from_k=v_from_k,
+        scale=scale, sliding_window=sliding_window,
+        logit_softcap=logit_softcap, has_sinks=has_sinks,
     )
+    scalars = ((block_tables.astype(jnp.int32),) if paged else ()) + (
+        pf_arr, pl_arr)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hk, G, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hk, S_pad, G, Dv), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
         ),
         interpret=interpret,
-    )(block_tables, q_positions, qg, k_pages, v_pages, sink_in)
-    return out.reshape(B, Hq, D)
+    )(*scalars, *tensor_inputs)
+
+    out = out.transpose(0, 2, 1, 3, 4).reshape(B, S_pad, Hq, Dv)[:, :S]
+    if inv_v is not None:
+        out = out[..., jnp.asarray(inv_v)]
+    return out
+
+
+def flash_supported(k_bits: int, v_bits: int) -> bool:
+    """In-kernel dequant requires word-aligned bit-widths."""
+    return k_bits in FAST_BITS and v_bits in FAST_BITS

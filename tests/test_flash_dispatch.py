@@ -1,0 +1,64 @@
+"""End-to-end dispatch through the Pallas flash kernel (interpret mode):
+prefill + decode + n-gram SD verify + quantized cache must generate the
+same tokens as the jnp dense path."""
+import os
+
+import numpy as np
+import pytest
+
+from exllamav3_tpu.conversion.synth import write_synth_dense_for_arch
+from exllamav3_tpu.model import Config, Model, Cache, CacheSpec
+from exllamav3_tpu.generator import Generator, GreedySampler
+
+CFG = dict(
+    architectures=["LlamaForCausalLM"], bos_token_id=1, eos_token_id=2,
+    vocab_size=512, hidden_size=128, intermediate_size=256,
+    max_position_embeddings=4096, num_attention_heads=4,
+    num_key_value_heads=2, num_hidden_layers=2, rms_norm_eps=1e-5,
+    rope_theta=10000.0, torch_dtype="bfloat16", head_dim=32,
+    hidden_act="silu", tie_word_embeddings=True,
+)
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("flash_e2e"))
+    write_synth_dense_for_arch(d, CFG, seed=23)
+    return d
+
+
+def _generate(model_dir, backend, prompt, k_bits=0, v_bits=0, **gkw):
+    os.environ["EXL3_TPU_ATTN"] = backend
+    try:
+        m = Model.from_config(Config.from_directory(model_dir))
+        m.load()
+        cache = Cache(m, CacheSpec(layout="paged", num_pages=16,
+                                   k_bits=k_bits, v_bits=v_bits))
+        gen = Generator(m, cache, **gkw)
+        return gen.generate(np.asarray(prompt), max_new_tokens=16,
+                            sampler=GreedySampler(), decode_text=False)
+    finally:
+        os.environ.pop("EXL3_TPU_ATTN", None)
+
+
+def test_flash_generate_matches_dense(model_dir):
+    prompt = (np.arange(40) % 300 + 5).tolist()
+    dense = _generate(model_dir, "dense", prompt)
+    flash = _generate(model_dir, "interpret", prompt)
+    assert flash == dense
+
+
+def test_flash_sd_verify_matches_dense(model_dir):
+    base = (np.arange(6) * 7 % 250 + 3).tolist()
+    prompt = base * 4 + base[:2]
+    kw = dict(use_ngram_draft=True, num_draft_tokens=4)
+    dense = _generate(model_dir, "dense", prompt, **kw)
+    flash = _generate(model_dir, "interpret", prompt, **kw)
+    assert flash == dense
+
+
+def test_flash_quant_cache_matches_dense(model_dir):
+    prompt = (np.arange(40) % 300 + 5).tolist()
+    dense = _generate(model_dir, "dense", prompt, k_bits=4, v_bits=4)
+    flash = _generate(model_dir, "interpret", prompt, k_bits=4, v_bits=4)
+    assert flash == dense
