@@ -1,17 +1,29 @@
-"""Benchmark: single-sequence greedy decode throughput on a synthetic
-EXL3-quantized Llama-class model (real checkpoints are unreachable from this
+"""Benchmark: decode/prefill/serving throughput on a synthetic EXL3
+8B-class Llama model (real checkpoints are unreachable from this
 environment; synthetic trellis streams exercise the identical compute path).
 
 Prints ONE JSON line:
   {"metric": "decode_tok_s", "value": N, "unit": "tok/s",
    "vs_baseline": N, ...detail fields}
 
-vs_baseline = measured / HBM-roofline estimate for the active runtime
+vs_baseline = measured / HBM-roofline estimate for the serving-mode weight
 representation (weights-bytes / HBM bandwidth per token), i.e. 1.0 means
-memory-bound decode, the reference's own headline claim (README.md:174).
+memory-bound decode — the reference's own headline claim (README.md:174).
+
+Axon-tunnel measurement discipline (each dispatch carries ~30-45 ms RTT and
+the relay caches identical executions):
+  * decode: lax.scan over N vs 4N steps, report the difference quotient
+  * prefill: best-of-N single dispatches minus the measured RTT
+  * serving (Generator, host-driven loop): reported as measured, with the
+    RTT in the detail — a real deployment runs on-host and does not pay it.
+
+Modes: int8 is the serving mode (HBM-roofline-bound on the MXU); `fused`
+trellis-decode is the capacity mode — measured and reported, but its
+speed-of-light on TPU is the VPU decode limit (~20 ops/weight), not HBM.
 """
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -21,7 +33,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5p": 2765.0}
+HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5p": 2765.0,
+            "TPU v6 lite": 1640.0}
+
+
+def _weight_bytes(model) -> int:
+    wb = 0
+    for key, grp in model.params.items():
+        for name, arr in grp.items():
+            if name in ("weight", "weight_q", "trellis", "qkv_w", "qkv_q",
+                        "gate_up_w", "gate_up_q", "words"):
+                wb += arr.size * arr.dtype.itemsize
+    return wb
 
 
 def main():
@@ -39,20 +62,21 @@ def main():
     from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3, tiny_llama_cfg
     from exllamav3_tpu.model import Config, Model, InferParams, Cache, CacheSpec
 
+    t_start = time.time()
     if on_tpu:
+        # Llama-3.1-8B geometry (vocab trimmed: embedding size does not
+        # change the per-layer compute path; roofline uses actual bytes)
         cfg = tiny_llama_cfg(
-            vocab_size=32768, hidden_size=2048, intermediate_size=8192,
-            num_layers=16, num_q_heads=32, num_kv_heads=8, head_dim=64,
+            vocab_size=32768, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_q_heads=32, num_kv_heads=8, head_dim=128,
         )
-        mode = os.environ.get("EXL3TPU_BENCH_MODE", "int8")
-        decode_steps = 128
+        decode_steps = 32
     else:
         cfg = tiny_llama_cfg(
             vocab_size=2048, hidden_size=512, intermediate_size=1024,
             num_layers=4, num_q_heads=8, num_kv_heads=4,
         )
-        mode = "int8"
-        decode_steps = 16
+        decode_steps = 8
 
     import tempfile
 
@@ -60,144 +84,171 @@ def main():
     if not os.path.exists(os.path.join(d, "config.json")):
         write_tiny_llama_exl3(d, cfg, K=4, seed=0)
 
+    # measured tunnel RTT (subtracted from single-dispatch timings)
+    rtt = float("inf")
+    for i in range(5):
+        t0 = time.time()
+        np.asarray(jnp.zeros((2,)) + i)
+        rtt = min(rtt, time.time() - t0)
+
+    B = 1
+    S = 128
+
+    def scan_decode_factory(model, bsz):
+        step_fn = model.step_fn("dense")
+
+        def scan_decode(params, tok, state, t0_, steps):
+            def body(carry, i):
+                tok, state = carry
+                t = t0_ + i
+                pos_t = jnp.full((bsz, 1), 0, jnp.int32) + t
+                logits, state = step_fn(params, tok, state, pos_t,
+                                        jnp.full(bsz, 0, jnp.int32) + t, None)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+                return (nxt, state), nxt[:, 0]
+
+            (tok, state), toks = jax.lax.scan(body, (tok, state),
+                                              jnp.arange(steps))
+            return tok, state, toks
+
+        return jax.jit(scan_decode, static_argnames=("steps",))
+
+    def measure_decode(model, bsz, steps):
+        """Difference-quotient decode timing: (T(4N) - T(N)) / 3N."""
+        max_len = S + 24 * steps + 256  # compile + 3 timed runs of 4N steps
+        max_len += (-max_len) % 256
+        cache = Cache(model, CacheSpec(layout="linear", batch_size=bsz,
+                                       max_len=max_len))
+        step = model.jitted_step("dense", donate_cache=False)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, cfg["vocab_size"], size=(bsz, S)).astype(np.int32)
+        pos = np.broadcast_to(np.arange(S, dtype=np.int32), (bsz, S)).copy()
+        logits, cache.state = step(model.params, jnp.asarray(ids), cache.state,
+                                   jnp.asarray(pos), jnp.zeros(bsz, jnp.int32),
+                                   None)
+        np.asarray(logits[:, -1, :8])
+        scan = scan_decode_factory(model, bsz)
+        tok = jnp.asarray(ids[:, -1:])
+        t_base = S
+
+        def run(steps_n, reps=3):
+            nonlocal t_base
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                _, _, toks = scan(model.params, tok, cache.state,
+                                  jnp.int32(t_base), steps=steps_n)
+                np.asarray(toks[-1])
+                best = min(best, time.time() - t0)
+                t_base += steps_n  # fresh positions: avoid relay exec cache
+            return best
+
+        run(steps); run(4 * steps, reps=1)  # compile both shapes
+        dt = max(run(4 * steps) - run(steps), 1e-9) / (3 * steps)
+        return 1.0 / dt
+
+    detail = {"device": str(dev.device_kind), "backend": backend,
+              "rtt_ms": round(rtt * 1e3, 1),
+              "model": (f"synthetic llama h{cfg['hidden_size']} "
+                        f"L{cfg['num_hidden_layers']} 4bpw")}
+
+    # -- serving mode: int8 ---------------------------------------------------
     t0 = time.time()
-    config = Config.from_directory(d, infer_params=InferParams(linear_mode=mode))
+    config = Config.from_directory(d, infer_params=InferParams(linear_mode="int8"))
     model = Model.from_config(config)
     model.load()
-    load_s = time.time() - t0
-
-    # weight bytes actually read per decode step (active runtime representation)
-    wbytes = 0
-    for key, grp in model.params.items():
-        for name, arr in grp.items():
-            if name in ("weight", "weight_q", "trellis", "qkv_w", "qkv_q",
-                        "gate_up_w", "gate_up_q", "words"):
-                wbytes += arr.size * arr.dtype.itemsize
+    detail["load_s_int8"] = round(time.time() - t0, 1)
+    wbytes = _weight_bytes(model)
     roofline_tok_s = hbm_gbps * 1e9 / max(wbytes, 1)
+    detail["weight_bytes_int8"] = wbytes
+    detail["roofline_tok_s_int8"] = round(roofline_tok_s, 2)
 
-    B, S = 1, 128
-    cache = Cache(model, CacheSpec(layout="linear", batch_size=B,
-                                   max_len=S + 8 + 3 * decode_steps))
-    step = model.jitted_step("dense", donate_cache=True)
+    tok_s = measure_decode(model, 1, decode_steps)
+    detail["runtime_mode"] = "int8"
 
-    rng = np.random.default_rng(0)
-    ids = rng.integers(0, cfg["vocab_size"], size=(B, S)).astype(np.int32)
-    pos = np.broadcast_to(np.arange(S, dtype=np.int32), (B, S)).copy()
-
-    # prefill
-    t0 = time.time()
-    logits, cache.state = step(model.params, jnp.asarray(ids), cache.state,
-                               jnp.asarray(pos), jnp.zeros(B, jnp.int32), None)
-    logits.block_until_ready()
-    prefill_s = time.time() - t0
-
-    # decode: greedy steps chained inside one jitted scan, so the measurement
-    # reflects device throughput (host dispatch through the axon tunnel adds
-    # ~ms/step that on-host serving would not pay)
-    step_fn = model.step_fn("dense")
-
-    def scan_decode(params, tok, state, t0_):
-        def body(carry, i):
-            tok, state = carry
-            t = t0_ + i
-            pos_t = jnp.full((B, 1), 0, jnp.int32) + t
-            logits, state = step_fn(params, tok, state, pos_t,
-                                    jnp.full(B, 0, jnp.int32) + t, None)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
-            return (nxt, state), nxt[:, 0]
-
-        (tok, state), toks = jax.lax.scan(body, (tok, state), jnp.arange(decode_steps))
-        return tok, state, toks
-
-    scan_decode_j = jax.jit(scan_decode, donate_argnums=(2,))
-    tok = jnp.asarray(ids[:, -1:])
-    tok, cache.state, toks = scan_decode_j(model.params, tok, cache.state,
-                                           jnp.int32(S))
-    np.asarray(toks)  # device_get forces a full flush (block_until_ready
-    # best of 3 (axon tunnel RTT jitter)      # alone does not always wait)
-    dt = float("inf")
-    base = S
-    for r in range(3):
-        t0 = time.time()
-        tok, cache.state, toks = scan_decode_j(
-            model.params, tok, cache.state,
-            jnp.int32(base + (r + 1) * decode_steps))
-        np.asarray(toks)
-        dt = min(dt, time.time() - t0)
-    tok_s = decode_steps / dt
-
-    # serving-shaped extras: batched decode aggregate and prefill throughput
-    batch_tok_s = prefill_tok_s = 0.0
     if on_tpu:
-        BB = 8
-        cache_b = Cache(model, CacheSpec(layout="linear", batch_size=BB,
-                                         max_len=S + 8 + 3 * decode_steps))
-        B = BB  # scan_decode closes over B
+        detail["batch8_decode_tok_s"] = round(
+            8 * measure_decode(model, 8, decode_steps), 2)
 
-        def scan_decode_b(params, tok, state, t0_):
-            return scan_decode(params, tok, state, t0_)
-
-        scan_b = jax.jit(scan_decode_b, donate_argnums=(2,))
-        ids_b = rng.integers(0, cfg["vocab_size"], size=(BB, S)).astype(np.int32)
-        pos_b = np.broadcast_to(np.arange(S, dtype=np.int32), (BB, S)).copy()
-        _, cache_b.state = step(model.params, jnp.asarray(ids_b), cache_b.state,
-                                jnp.asarray(pos_b), jnp.zeros(BB, jnp.int32),
-                                None)
-        tok_b = jnp.asarray(ids_b[:, -1:])
-        tok_b, cache_b.state, toks_b = scan_b(model.params, tok_b,
-                                              cache_b.state, jnp.int32(S))
-        np.asarray(toks_b)
-        dtb = float("inf")
-        for r in range(3):
-            t0 = time.time()
-            tok_b, cache_b.state, toks_b = scan_b(
-                model.params, tok_b, cache_b.state,
-                jnp.int32(S + (r + 1) * decode_steps))
-            np.asarray(toks_b)
-            dtb = min(dtb, time.time() - t0)
-        batch_tok_s = BB * decode_steps / dtb
-        B = 1
-
-        # prefill throughput: 2048 tokens, steady state (pre-compiled shape)
+        # prefill 2048 (flash prefill kernel, linear layout)
         Sp = 2048
         cache_p = Cache(model, CacheSpec(layout="linear", batch_size=1,
-                                         max_len=Sp + 8))
-        ids_p = rng.integers(0, cfg["vocab_size"], size=(1, Sp)).astype(np.int32)
-        pos_p = np.broadcast_to(np.arange(Sp, dtype=np.int32), (1, Sp)).copy()
-        lp, cache_p.state = step(model.params, jnp.asarray(ids_p),
-                                 cache_p.state, jnp.asarray(pos_p),
-                                 jnp.zeros(1, jnp.int32), None)
-        np.asarray(lp[:, -1, :8])
-        # best of 3: a single dispatch through the axon tunnel carries tens
-        # of ms of RTT jitter that would swamp the 2048-token compute
+                                         max_len=Sp + 256))
+        step = model.jitted_step("dense", donate_cache=False)
+        rng = np.random.default_rng(1)
         best = float("inf")
-        for _ in range(3):
+        for r in range(4):
+            ids_p = rng.integers(0, cfg["vocab_size"], size=(1, Sp)).astype(np.int32)
+            pos_p = np.broadcast_to(np.arange(Sp, dtype=np.int32), (1, Sp)).copy()
             cache_p.reset()
             t0 = time.time()
             lp, cache_p.state = step(model.params, jnp.asarray(ids_p),
                                      cache_p.state, jnp.asarray(pos_p),
                                      jnp.zeros(1, jnp.int32), None)
             np.asarray(lp[:, -1, :8])
-            best = min(best, time.time() - t0)
-        prefill_tok_s = Sp / best
+            if r:  # first call compiles
+                best = min(best, time.time() - t0)
+        detail["prefill_tok_s_2048"] = round(Sp / max(best - rtt, 1e-6), 2)
 
+        # -- serving: continuous batching, paged cache, mixed load ------------
+        from exllamav3_tpu.generator import Generator, Job, GreedySampler
+
+        cache_g = Cache(model, CacheSpec(layout="paged", num_pages=48))
+        gen = Generator(model, cache_g, max_batch_size=8)
+        rng = np.random.default_rng(2)
+        jobs = []
+        for i in range(12):
+            plen = int(rng.integers(600, 900))
+            prompt = rng.integers(3, cfg["vocab_size"], size=plen)
+            jobs.append(Job(prompt, max_new_tokens=64,
+                            sampler=GreedySampler(), identifier=i))
+        t_serve0 = time.time()
+        for j in jobs:
+            gen.enqueue(j)
+        ttfts, total_new = [], 0
+        while gen.pending or gen.active:
+            for ev in gen.iterate():
+                if ev["stage"] == "finished":
+                    ttfts.append(ev["ttft_s"])
+                    total_new += ev["generated_tokens"]
+        t_serve = time.time() - t_serve0
+        detail["serving_p50_ttft_s"] = round(float(np.percentile(ttfts, 50)), 3)
+        detail["serving_p95_ttft_s"] = round(float(np.percentile(ttfts, 95)), 3)
+        detail["serving_throughput_tok_s"] = round(total_new / t_serve, 2)
+        detail["serving_note"] = ("host loop crosses the axon tunnel every "
+                                  "iteration; on-host serving does not pay "
+                                  "rtt_ms per step")
+
+        # -- capacity mode: fused trellis decode ------------------------------
+        del gen, cache_g, cache_p, model
+        gc.collect()
+        try:
+            t0 = time.time()
+            config_f = Config.from_directory(
+                d, infer_params=InferParams(linear_mode="fused"))
+            model_f = Model.from_config(config_f)
+            model_f.load()
+            detail["load_s_fused"] = round(time.time() - t0, 1)
+            wb_f = _weight_bytes(model_f)
+            detail["weight_bytes_fused"] = wb_f
+            detail["roofline_tok_s_fused"] = round(hbm_gbps * 1e9 / wb_f, 2)
+            detail["fused_decode_tok_s"] = round(
+                measure_decode(model_f, 1, max(8, decode_steps // 4)), 2)
+            detail["fused_note"] = ("VPU-bound trellis decode (~20 ops/"
+                                    "weight): capacity mode for models past "
+                                    "the int8 HBM budget, not a speed mode")
+            del model_f
+            gc.collect()
+        except Exception as e:  # keep the primary metric on any failure
+            detail["fused_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    detail["total_bench_s"] = round(time.time() - t_start, 1)
     print(json.dumps({
         "metric": "decode_tok_s",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / roofline_tok_s, 4),
-        "detail": {
-            "model": f"synthetic llama h{cfg['hidden_size']} L{cfg['num_hidden_layers']} 4bpw",
-            "runtime_mode": mode,
-            "backend": backend,
-            "device": str(dev.device_kind),
-            "weight_bytes": wbytes,
-            "roofline_tok_s": round(roofline_tok_s, 2),
-            "prefill_s_128tok_incl_compile": round(prefill_s, 3),
-            "batch8_decode_tok_s": round(batch_tok_s, 2),
-            "prefill_tok_s_2048": round(prefill_tok_s, 2),
-            "load_s": round(load_s, 2),
-        },
+        "detail": detail,
     }))
 
 

@@ -25,6 +25,10 @@ def main():
     p.add_argument("--cal_text", nargs="*", help="calibration text files")
     p.add_argument("-cb", "--codebook", choices=["3inst", "mcg", "mul1"], default="3inst")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hq", action="store_true",
+                   help="boost sensitive layers (down/o/v) one bit above base")
+    p.add_argument("--mtp_bits", type=int, default=None,
+                   help="bits for MTP-head linears (aux target)")
     p.add_argument("--no_resume", action="store_true", help="ignore existing job state")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args()
@@ -45,6 +49,8 @@ def main():
         seed=args.seed,
         resume=not args.no_resume,
         verbose=not args.quiet,
+        hq=args.hq,
+        mtp_bits=args.mtp_bits,
     )
 
 

@@ -49,6 +49,8 @@ def convert_model(
     viterbi_backend: str = "auto",
     fast: bool = False,
     strategy: dict | None = None,  # per-linear-key K overrides (optimize.py)
+    hq: bool = False,              # clamp sensitive groups >= base+1 bits
+    mtp_bits: int | None = None,   # auxiliary target for MTP-head linears
 ):
     os.makedirs(out_dir, exist_ok=True)
     qdir = os.path.join(out_dir, "qtensors")
@@ -94,7 +96,11 @@ def convert_model(
         plans.append((mi, module, list(groups.values())))
 
     all_groups = [g for _, _, gs in plans for g in gs]
-    create_q_strategy(all_groups, bpw, head_bits)
+    achieved = create_q_strategy(all_groups, bpw, head_bits, hq=hq,
+                                 mtp_bits=mtp_bits)
+    if verbose:
+        print(f" -- bit allocation: body {achieved:.3f} bpw "
+              f"(target {bpw}), head {head_bits}")
 
     # calibration state flows through modules; starts as token ids
     state = cal_ids.astype(np.int32)

@@ -482,3 +482,18 @@ def _write_nanochat_extras(directory: str, cfg: dict, seed: int) -> None:
         bf16_keys.add(k)
     save_file(tensors, os.path.join(directory, "model.extras.safetensors"),
               bf16_keys=bf16_keys)
+
+def write_synth_tokenizer(directory: str) -> None:
+    """Byte-level tokenizer files for synthetic checkpoints (tests/eval
+    harnesses need a real text round-trip; vocab = 256 byte alphabet)."""
+    import json as _json
+    from tokenizers import Tokenizer as HFT, models, pre_tokenizers, decoders
+
+    alphabet = sorted(pre_tokenizers.ByteLevel.alphabet())
+    vocab = {tok: i for i, tok in enumerate(alphabet)}
+    hft = HFT(models.BPE(vocab=vocab, merges=[]))
+    hft.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    hft.decoder = decoders.ByteLevel()
+    hft.save(os.path.join(directory, "tokenizer.json"))
+    with open(os.path.join(directory, "tokenizer_config.json"), "w") as f:
+        _json.dump({}, f)

@@ -66,6 +66,7 @@ class Generator:
         spec = getattr(cache, "spec", None)
         self.k_bits = k_bits or (spec.k_bits if spec else 0)
         self.v_bits = v_bits or (spec.v_bits if spec else 0)
+        self.compand_a = getattr(spec, "compand_a", 0.0) if spec else 0.0
         # speculative decoding (draft model and/or suffix-automaton n-gram;
         # reference generator.py:475-743). Greedy verification: used when
         # every running job samples greedily, exact-output-preserving.
@@ -327,6 +328,7 @@ class Generator:
             else:
                 self.pending.pop(0)
             job.status = "prefill"
+            job.time_prefill_start = time.time()
             self.active.append(job)
             self.job_slots[job] = self.free_slots.pop(0)
             slot = self.job_slots[job]
@@ -453,6 +455,7 @@ class Generator:
             neg_done = self._prefill_negative(job)
         if job.prefill_done >= end and neg_done:
             job.status = "running"
+            job.time_prefill_end = time.time()
             self._finalize_full_pages(job, upto=end)
         results.append({
             "identifier": job.identifier, "stage": "prefill", "job": job,
@@ -501,7 +504,7 @@ class Generator:
     def _get_prefill_fn(self, hidden: bool = False, history: bool = False):
         key = ("prefill", hidden, history)
         if key not in self._decode_fns:
-            fn = self.model.step_fn("paged", k_bits=self.k_bits,
+            fn = self.model.step_fn("paged", k_bits=self.k_bits, compand_a=self.compand_a,
                                     v_bits=self.v_bits, return_hidden=hidden,
                                     recurrent_history=history)
             self._decode_fns[key] = jax.jit(fn, donate_argnums=(2,))
@@ -523,7 +526,7 @@ class Generator:
         key = ("capture",)
         if key not in self._decode_fns:
             fn = self.model.step_fn(
-                "paged", k_bits=self.k_bits, v_bits=self.v_bits,
+                "paged", k_bits=self.k_bits, compand_a=self.compand_a, v_bits=self.v_bits,
                 capture_layers=tuple(self.dflash_model.target_layer_ids))
             self._decode_fns[key] = jax.jit(fn, donate_argnums=(2,))
         return self._decode_fns[key]
@@ -629,6 +632,8 @@ class Generator:
                 else:
                     break
             self.num_accepted += accepted
+            job.accepted_draft_tokens += accepted
+            job.rejected_draft_tokens += len(d) - accepted
             # extend the DFlash context with hiddens of the valid run
             self._dflash_update(
                 job, [c[i : i + 1, : accepted + 1] for c in caps],
@@ -689,7 +694,7 @@ class Generator:
         key = ("decode", logprobs)
         if key not in self._decode_fns:
             model_step = self.model.step_fn(
-                "paged", k_bits=self.k_bits, v_bits=self.v_bits
+                "paged", k_bits=self.k_bits, compand_a=self.compand_a, v_bits=self.v_bits
             )
 
             def fn(params, ids, cache_state, positions, seqlens, block_tables,
@@ -863,6 +868,7 @@ class Generator:
                        top_logprobs: dict | None = None):
         if not job.new_tokens:
             job.time_first_token = time.time()
+        job.time_last_token = time.time()
         job.new_tokens.append(tok)
         job._stream_logprobs = top_logprobs
         self._maybe_finalize_decode_page(job)
@@ -1004,6 +1010,7 @@ class Generator:
                 "identifier": job.identifier, "stage": "finished", "job": job,
                 "eos_reason": reason, "new_tokens": list(job.new_tokens),
                 "full_text": job.emitted_text,
+                **job.metrics(),
             })
 
     # -- defragmentation ----------------------------------------------------------
@@ -1164,6 +1171,8 @@ class Generator:
                 else:
                     break
             self.num_accepted += accepted
+            job.accepted_draft_tokens += accepted
+            job.rejected_draft_tokens += len(d) - accepted
             if rec_hist is not None:
                 self._rewind_recurrent(job, i, accepted, rec_hist)
             new = [int(out[i, j]) for j in range(accepted + 1)]
@@ -1241,6 +1250,8 @@ class Generator:
                 else:
                     break
             self.num_accepted += accepted
+            job.accepted_draft_tokens += accepted
+            job.rejected_draft_tokens += len(d) - accepted
             if rec_hist is not None:
                 self._rewind_recurrent(job, i, accepted, rec_hist)
             # accepted draft tokens + one bonus token, in order

@@ -95,7 +95,33 @@ class Job:
         self.emitted_text = ""
         self.eos_reason: str | None = None
         self.time_enqueued = 0.0
+        self.time_prefill_start = 0.0
+        self.time_prefill_end = 0.0
         self.time_first_token = 0.0
+        self.time_last_token = 0.0
+        self.accepted_draft_tokens = 0
+        self.rejected_draft_tokens = 0
+
+    def metrics(self) -> dict:
+        """Per-job serving metrics attached to the finished result event
+        (reference generator.py:386-395): queue wait, prefill and generate
+        durations, TTFT, draft accept/reject counts and throughputs."""
+        t_gen = max(self.time_last_token - self.time_prefill_end, 0.0)
+        n = len(self.new_tokens)
+        return {
+            "prompt_tokens": int(self.input_ids.size),
+            "cached_tokens": int(self.cached_tokens),
+            "generated_tokens": n,
+            "time_enqueued": self.time_enqueued,
+            "queued_s": max(self.time_prefill_start - self.time_enqueued, 0.0),
+            "prefill_s": max(self.time_prefill_end - self.time_prefill_start,
+                             0.0),
+            "ttft_s": max(self.time_first_token - self.time_enqueued, 0.0),
+            "generate_s": t_gen,
+            "generate_tok_s": (n / t_gen) if t_gen > 0 else 0.0,
+            "accepted_draft_tokens": self.accepted_draft_tokens,
+            "rejected_draft_tokens": self.rejected_draft_tokens,
+        }
 
     # -- geometry ---------------------------------------------------------
 

@@ -35,6 +35,7 @@ class CacheSpec:
     kv_dtype: str = "bfloat16"
     k_bits: int = 0  # 0 = unquantized; 2..8 = quantized cache
     v_bits: int = 0
+    compand_a: float = 0.0  # cubic compander for the quant cache (0 = off)
     # sequence slots for recurrent layer state (GDN/Mamba2). 0 = derive:
     # batch_size for linear layout, 33 (generator max_batch 32 + scrap row)
     # for paged.
@@ -80,13 +81,14 @@ class Cache:
 
 
 def linear_cache_update(layer_state: dict, k_new, v_new, positions, k_bits: int = 0,
-                        v_bits: int = 0):
+                        v_bits: int = 0, compand_a: float = 0.0):
     """Scatter (B, S, Hk, D) new keys/values at token positions. Returns the
     updated layer state (functional)."""
     if k_bits:
         from ..ops.kv_quant import quant_cache_update
 
-        return quant_cache_update(layer_state, k_new, v_new, positions, k_bits, v_bits)
+        return quant_cache_update(layer_state, k_new, v_new, positions,
+                                  k_bits, v_bits, compand_a)
     B = k_new.shape[0]
     b_idx = jnp.arange(B)[:, None]
     k = layer_state["k"].at[b_idx, positions].set(k_new.astype(layer_state["k"].dtype))
@@ -95,7 +97,7 @@ def linear_cache_update(layer_state: dict, k_new, v_new, positions, k_bits: int 
 
 
 def paged_cache_update(layer_state: dict, k_new, v_new, positions, block_tables,
-                       k_bits: int = 0, v_bits: int = 0):
+                       k_bits: int = 0, v_bits: int = 0, compand_a: float = 0.0):
     """Scatter (B, S, Hk, D) into paged cache. positions: (B, S) token
     positions; block_tables: (B, max_pages) page indices."""
     B, S = positions.shape
@@ -105,8 +107,8 @@ def paged_cache_update(layer_state: dict, k_new, v_new, positions, block_tables,
     if k_bits:
         from ..ops.kv_quant import quantize_kv
 
-        kq, ks = quantize_kv(k_new, k_bits)
-        vq, vs = quantize_kv(v_new, v_bits)
+        kq, ks = quantize_kv(k_new, k_bits, compand_a)
+        vq, vs = quantize_kv(v_new, v_bits, compand_a)
         return {
             "k_q": layer_state["k_q"].at[pages, in_page].set(kq),
             "k_s": layer_state["k_s"].at[pages, in_page].set(ks),

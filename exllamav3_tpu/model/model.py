@@ -73,6 +73,7 @@ class Model:
         return x
 
     def step_fn(self, attn_mode: str = "dense", k_bits: int = 0, v_bits: int = 0,
+                compand_a: float = 0.0,
                 return_hidden: bool = False, recurrent_history: bool = False,
                 capture_layers: tuple = ()):
         """Pure (params, ids, cache_state, positions, cache_seqlens,
@@ -92,6 +93,7 @@ class Model:
                 cache_seqlens=cache_seqlens,
                 k_bits=k_bits,
                 v_bits=v_bits,
+                compand_a=compand_a,
                 state_slots=state_slots,
             )
             if mm_embeddings is not None:
@@ -141,10 +143,10 @@ class Model:
         return fn
 
     def jitted_step(self, attn_mode: str = "dense", donate_cache: bool = True,
-                    k_bits: int = 0, v_bits: int = 0):
-        key = (attn_mode, donate_cache, k_bits, v_bits)
+                    k_bits: int = 0, v_bits: int = 0, compand_a: float = 0.0):
+        key = (attn_mode, donate_cache, k_bits, v_bits, compand_a)
         if key not in self._step_cache:
-            fn = self.step_fn(attn_mode, k_bits, v_bits)
+            fn = self.step_fn(attn_mode, k_bits, v_bits, compand_a)
             donate = (2,) if donate_cache else ()
             self._step_cache[key] = jax.jit(fn, donate_argnums=donate)
         return self._step_cache[key]

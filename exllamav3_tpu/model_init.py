@@ -22,6 +22,9 @@ def add_args(p: argparse.ArgumentParser, cache: bool = True, draft: bool = True)
                        help="quantized cache K bits (0=off, 2-8)")
         p.add_argument("-cv", "--cache_v_bits", type=int, default=0,
                        help="quantized cache V bits")
+        p.add_argument("-cc", "--cache_compand", type=float, default=0.0,
+                       help="cubic compander coefficient for the quantized "
+                            "cache (reference compand_a; try 0.65)")
     if draft:
         p.add_argument("-dm", "--draft_model_dir",
                        help="draft model for SD (DFlash drafters auto-detect)")
@@ -72,6 +75,7 @@ def init(args, load: bool = True):
         cache = Cache(model, CacheSpec(
             layout="paged", num_pages=num_pages,
             k_bits=args.cache_k_bits, v_bits=args.cache_v_bits,
+            compand_a=getattr(args, "cache_compand", 0.0),
             swa_ring=getattr(args, "swa_ring", False),
             recurrent_slots=args.max_batch + 1,
         ))

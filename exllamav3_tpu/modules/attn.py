@@ -323,7 +323,7 @@ class Attention(Module):
             layer_state = ctx.cache[self.key]
             layer_state = paged_cache_update(
                 layer_state, k, v, ctx.positions, ctx.block_tables,
-                ctx.k_bits, ctx.v_bits,
+                ctx.k_bits, ctx.v_bits, ctx.compand_a,
             )
             ctx.cache[self.key] = layer_state
             quant = bool(ctx.k_bits)
@@ -338,6 +338,7 @@ class Attention(Module):
                     scale=self.sm_scale, sliding_window=self.sliding_window,
                     logit_softcap=self.logit_softcap,
                     k_bits=ctx.k_bits, v_bits=ctx.v_bits,
+                    compand_a=ctx.compand_a,
                     interpret=(backend == "interpret"),
                 ).astype(dt)
             else:
@@ -350,11 +351,13 @@ class Attention(Module):
                     logit_softcap=self.logit_softcap, sinks=sinks,
                     quant_state=layer_state if quant else None,
                     k_bits=ctx.k_bits, v_bits=ctx.v_bits,
+                    compand_a=ctx.compand_a,
                 )
         else:
             layer_state = ctx.cache[self.key]
             layer_state = linear_cache_update(
-                layer_state, k, v, ctx.positions, ctx.k_bits, ctx.v_bits
+                layer_state, k, v, ctx.positions, ctx.k_bits, ctx.v_bits,
+                ctx.compand_a,
             )
             ctx.cache[self.key] = layer_state
             T = (layer_state.get("k") if not ctx.k_bits
@@ -370,6 +373,7 @@ class Attention(Module):
                     scale=self.sm_scale, sliding_window=self.sliding_window,
                     logit_softcap=self.logit_softcap,
                     k_bits=ctx.k_bits, v_bits=ctx.v_bits,
+                    compand_a=ctx.compand_a,
                     interpret=(backend == "interpret"),
                 ).astype(dt)
             else:
@@ -377,7 +381,8 @@ class Attention(Module):
                     from ..ops.kv_quant import quant_cache_fetch
 
                     k_all, v_all = quant_cache_fetch(
-                        layer_state, ctx.k_bits, ctx.v_bits)
+                        layer_state, ctx.k_bits, ctx.v_bits,
+                        compand_a=ctx.compand_a)
                 else:
                     k_all, v_all = layer_state["k"], layer_state["v"]
                 k_pos = jnp.broadcast_to(

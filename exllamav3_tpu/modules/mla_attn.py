@@ -127,7 +127,7 @@ class MLAttention(Module):
             n, t, _, _ = cache_base_shape(spec, 1, c)
             return {
                 "kv_q": jnp.zeros((n, t, 1, c * spec.k_bits // 32), jnp.int32),
-                "kv_s": jnp.zeros((n, t, 1, c // GROUP), jnp.float32),
+                "kv_s": jnp.zeros((n, t, 1, c // GROUP), jnp.bfloat16),
                 "k_pe": jnp.zeros((n, t, 1, dr), jnp.bfloat16),
             }
         shape = cache_base_shape(spec, 1, c + dr)
@@ -227,6 +227,7 @@ class MLAttention(Module):
                     block_tables=(ctx.block_tables
                                   if ctx.attn_mode == "paged" else None),
                     scale=self.sm_scale, latent=c, k_bits=ctx.k_bits,
+                    compand_a=ctx.compand_a,
                     interpret=(backend == "interpret"),
                 ).astype(jnp.bfloat16)
             else:
@@ -266,7 +267,7 @@ class MLAttention(Module):
         if ctx.k_bits:
             from ..ops.kv_quant import quantize_kv
 
-            lat_q, lat_s = quantize_kv(new[..., :c], ctx.k_bits)
+            lat_q, lat_s = quantize_kv(new[..., :c], ctx.k_bits, ctx.compand_a)
             return {
                 "kv_q": layer["kv_q"].at[rows, cols].set(lat_q),
                 "kv_s": layer["kv_s"].at[rows, cols].set(lat_s),
@@ -284,7 +285,8 @@ class MLAttention(Module):
                 from ..ops.kv_quant import dequantize_kv
 
                 lat = dequantize_kv(layer["kv_q"][ctx.block_tables],
-                                    layer["kv_s"][ctx.block_tables], ctx.k_bits)
+                                    layer["kv_s"][ctx.block_tables], ctx.k_bits,
+                                    compand_a=ctx.compand_a)
                 kv = jnp.concatenate(
                     [lat, layer["k_pe"][ctx.block_tables].astype(lat.dtype)], axis=-1)
             else:
@@ -296,7 +298,8 @@ class MLAttention(Module):
         if ctx.k_bits:
             from ..ops.kv_quant import dequantize_kv
 
-            lat = dequantize_kv(layer["kv_q"], layer["kv_s"], ctx.k_bits)
+            lat = dequantize_kv(layer["kv_q"], layer["kv_s"], ctx.k_bits,
+                                compand_a=ctx.compand_a)
             kv = jnp.concatenate([lat, layer["k_pe"].astype(lat.dtype)], axis=-1)
         else:
             kv = layer["kv"]

@@ -26,6 +26,7 @@ class ForwardCtx:
     cache: Any = None  # Cache adapter (see model/cache.py)
     k_bits: int = 0  # quantized-cache bit widths (0 = unquantized); static
     v_bits: int = 0
+    compand_a: float = 0.0  # cubic-compander coefficient (0 = midpoint grid)
     block_tables: jnp.ndarray | None = None  # (B, max_pages) int32, paged mode
     cache_seqlens: jnp.ndarray | None = None  # (B,) int32 tokens already cached
     # stable per-sequence slots for recurrent layer state (GDN/Mamba2/SWA);

@@ -95,6 +95,7 @@ def attend_paged(
     quant_state: dict | None = None,
     k_bits: int = 0,
     v_bits: int = 0,
+    compand_a: float = 0.0,
 ):
     """Paged attention, jnp reference: gather the sequence's pages then run
     dense attention. k_pages: (P, PAGE_SIZE, Hk, D); block_tables: (B, MP).
@@ -108,9 +109,11 @@ def attend_paged(
         from .kv_quant import dequantize_kv
 
         k = dequantize_kv(quant_state["k_q"][block_tables],
-                          quant_state["k_s"][block_tables], k_bits)
+                          quant_state["k_s"][block_tables], k_bits,
+                          compand_a=compand_a)
         v = dequantize_kv(quant_state["v_q"][block_tables],
-                          quant_state["v_s"][block_tables], v_bits)
+                          quant_state["v_s"][block_tables], v_bits,
+                          compand_a=compand_a)
     else:
         k = k_pages[block_tables]  # (B, MP, PAGE_SIZE, Hk, D)
         v = v_pages[block_tables]

@@ -79,28 +79,78 @@ def channel_perm(D: int, bits: int) -> tuple:
 
 
 @functools.lru_cache(maxsize=None)
-def _scale_expand_mat(D: int, bits: int) -> np.ndarray:
-    """(g, D) f32 matrix: scales (T, g) @ E -> per-lane scale in the kernel's
-    permuted channel order (lane p belongs to group (p % (g*bits)) // bits)."""
+def _scale_expand_mat(D: int, bits: int, factor: float = 1.0) -> np.ndarray:
+    """(g, D) f32 matrix: scales (T, g) @ E -> per-lane scale*factor in the
+    kernel's permuted channel order (lane p -> group (p % (g*bits)) // bits)."""
     g = D // 32
     E = np.zeros((g, D), np.float32)
     for p in range(D):
-        E[(p % (g * bits)) // bits, p] = 1.0
+        E[(p % (g * bits)) // bits, p] = factor
     return E
 
 
-def _dequant_rows(words, scales, bits: int, exp_mat):
-    """words (T, g*bits) int32, scales (T, g) f32 -> (T, D) f32 in permuted
-    channel order. Mirrors ops/kv_quant.dequantize_kv numerics."""
+@functools.lru_cache(maxsize=None)
+def _h_block(D: int) -> np.ndarray:
+    """Block-diagonal normalized H32 over D channels (symmetric, H@H=I)."""
+    from .kv_quant import _h32n
+
+    g = D // 32
+    h = _h32n()
+    out = np.zeros((D, D), np.float32)
+    for i in range(g):
+        out[i * 32:(i + 1) * 32, i * 32:(i + 1) * 32] = h
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _q_transform(D: int, bits: int, extra: int = 0) -> np.ndarray:
+    """(D+extra, D+extra): rotate q per group THEN land in the kernel's
+    permuted channel order (identity on the trailing `extra` channels).
+    Scores are rotation-invariant, so the stored-KV rotation costs only this
+    one activation-side matmul."""
+    perm, _ = channel_perm(D, bits)
+    m = _h_block(D)[:, perm]
+    if not extra:
+        return m
+    out = np.zeros((D + extra, D + extra), np.float32)
+    out[:D, :D] = m
+    out[D:, D:] = np.eye(extra, dtype=np.float32)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _out_transform(Dv: int, bits: int) -> np.ndarray:
+    """(Dv, Dv): un-permute the kernel's V channel order AND undo the group
+    rotation on the attention output."""
+    perm, _ = channel_perm(Dv, bits)
+    return _h_block(Dv)[perm, :]
+
+
+def _dequant_rows(words, scales, bits: int, exp_mat, compand_a: float):
+    """words (T, g*bits) int32, scales (T, g) bf16 -> (T, D) f32 ROTATED
+    values in permuted channel order. Mirrors ops/kv_quant.dequantize_kv
+    (midpoint grid / cubic compander) minus the group un-rotation, which the
+    caller folds into the activations."""
     J = 32 // bits
+    N = 1 << bits
     mask = jnp.uint32((1 << bits) - 1)
     w = words.astype(jnp.uint32)
     # uint32->f32 casts are unsupported in Mosaic; fields are < 2^bits so
     # the int32 detour is exact
     parts = [((w >> jnp.uint32(j * bits)) & mask)
              .astype(jnp.int32).astype(jnp.float32) for j in range(J)]
-    vals = jnp.concatenate(parts, axis=-1) - ((1 << bits) - 1) / 2.0
-    se = jnp.dot(scales, exp_mat, preferred_element_type=jnp.float32)
+    q = jnp.concatenate(parts, axis=-1)
+    sf = scales.astype(jnp.float32)
+    if compand_a > 0.0:
+        t = (q + np.float32((1 - N) / 2)) * np.float32(2.0 / N)
+        b = 1.0 - compand_a
+        t = t * (np.float32(compand_a) + np.float32(b) * t * t)
+        se = jnp.dot(sf, exp_mat, preferred_element_type=jnp.float32)
+        return t * se
+    # midpoint grid: ((2q+1)/N - 1) * s — the affine folds into the offset
+    # and the 2/N factor into the scale-expand matmul
+    vals = q + np.float32((1 - N) / 2)
+    se = jnp.dot(sf, exp_mat, preferred_element_type=jnp.float32)
     return vals * se
 
 
@@ -119,6 +169,7 @@ def _flash_kernel(
     flat_heads: bool,     # K/V lanes are (Hk*D); block is this head's slice
     k_bits: int,
     v_bits: int,
+    compand_a: float,
     d_extra: int,         # trailing unquantized K channels (MLA rope key)
     v_from_k: bool,       # V = leading Dv channels of K
     scale: float,
@@ -189,7 +240,7 @@ def _flash_kernel(
             q = q_ref[0, h].reshape(R, D).astype(jnp.float32)
             if k_bits:
                 k = _dequant_rows(kq_ref[0, :, h, :], ks_ref[0, :, h, :],
-                                  k_bits, emat_k)
+                                  k_bits, emat_k, compand_a)
                 if d_extra:
                     k = jnp.concatenate(
                         [k, ke_ref[0, :, h, :].astype(jnp.float32)], axis=-1)
@@ -201,7 +252,7 @@ def _flash_kernel(
                 v = k[:, :Dv]
             elif v_bits:
                 v = _dequant_rows(vq_ref[0, :, h, :], vs_ref[0, :, h, :],
-                                  v_bits, emat_v)
+                                  v_bits, emat_v, compand_a)
             elif flat_heads:
                 v = v_ref[0].astype(jnp.float32)
             else:
@@ -264,7 +315,8 @@ def _pad_to(x, size, axis, value=None):
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "logit_softcap", "k_bits",
-                     "v_bits", "latent", "interpret", "out_dtype"),
+                     "v_bits", "latent", "compand_a", "interpret",
+                     "out_dtype"),
 )
 def flash_attention(
     q,                 # (B, S, Hq, D)
@@ -281,6 +333,7 @@ def flash_attention(
     k_bits: int = 0,
     v_bits: int = 0,
     latent: int = 0,   # MLA: V = leading `latent` channels of K
+    compand_a: float = 0.0,
     interpret: bool = False,
     out_dtype=jnp.float32,
 ):
@@ -300,17 +353,16 @@ def flash_attention(
     v_from_k = mla
     d_extra = 0
 
-    # -- resolve K/V arrays + kernel channel permutations ---------------------
-    perm_k = inv_v = None
+    # -- resolve K/V arrays + activation-side rotate/permute transforms -------
+    mq = mo = None  # q-side and output-side (D, D)/(Dv, Dv) matrices
     if mla:
         if k_bits:
             kq = layer_state["kv_q"]
             ks = layer_state["kv_s"]
             ke = layer_state["k_pe"]
             d_extra = ke.shape[-1]
-            pk, ik = channel_perm(latent, k_bits)
-            perm_k = np.concatenate([pk, latent + np.arange(d_extra)])
-            inv_v = ik
+            mq = _q_transform(latent, k_bits, extra=d_extra)
+            mo = _out_transform(latent, k_bits)
             k_inputs = (kq, ks, ke)
             D = latent + d_extra
         else:
@@ -322,21 +374,21 @@ def flash_attention(
         if k_bits:
             k_inputs = (layer_state["k_q"], layer_state["k_s"])
             D = layer_state["k_s"].shape[-1] * 32
-            perm_k, _ = channel_perm(D, k_bits)
+            mq = _q_transform(D, k_bits)
         else:
             k_inputs = (layer_state["k"],)
             D = layer_state["k"].shape[-1]
         if v_bits:
             v_inputs = (layer_state["v_q"], layer_state["v_s"])
             Dv = layer_state["v_s"].shape[-1] * 32
-            _, inv_v = channel_perm(Dv, v_bits)
+            mo = _out_transform(Dv, v_bits)
         else:
             v_inputs = (layer_state["v"],)
             Dv = layer_state["v"].shape[-1]
     assert D == D_in, f"q head_dim {D_in} != cache K width {D}"
 
-    if perm_k is not None:
-        q = q[..., jnp.asarray(perm_k)]
+    if mq is not None:
+        q = (q.astype(jnp.float32) @ jnp.asarray(mq)).astype(q.dtype)
 
     # -- block geometry -------------------------------------------------------
     paged = block_tables is not None
@@ -436,14 +488,17 @@ def flash_attention(
                      memory_space=pltpu.VMEM),
     ]
     tensor_inputs += [qpos_rows, sink_rows]
+    # scale-expand matmuls; the midpoint grid's 2/N factor folds in for free
     if k_bits:
-        em = _scale_expand_mat(D_in - d_extra if mla else D, k_bits)
+        fac = 1.0 if compand_a > 0.0 else 2.0 / (1 << k_bits)
+        em = _scale_expand_mat(D_in - d_extra if mla else D, k_bits, fac)
         in_specs.append(pl.BlockSpec(
             em.shape, lambda b, hg, qt_, p, *s: (0, 0),
             memory_space=pltpu.VMEM))
         tensor_inputs.append(jnp.asarray(em))
     if v_bits and not v_from_k:
-        em = _scale_expand_mat(Dv, v_bits)
+        fac = 1.0 if compand_a > 0.0 else 2.0 / (1 << v_bits)
+        em = _scale_expand_mat(Dv, v_bits, fac)
         in_specs.append(pl.BlockSpec(
             em.shape, lambda b, hg, qt_, p, *s: (0, 0),
             memory_space=pltpu.VMEM))
@@ -466,7 +521,8 @@ def flash_attention(
         _flash_kernel,
         layout="paged" if paged else "linear",
         Hb=Hb, QT=QT, G=G, D=D_in, Dv=Dv, TB=TB, flat_heads=flat_heads,
-        k_bits=k_bits, v_bits=v_bits, d_extra=d_extra, v_from_k=v_from_k,
+        k_bits=k_bits, v_bits=v_bits, compand_a=compand_a,
+        d_extra=d_extra, v_from_k=v_from_k,
         scale=scale, sliding_window=sliding_window,
         logit_softcap=logit_softcap, has_sinks=has_sinks,
     )
@@ -484,8 +540,8 @@ def flash_attention(
     )(*scalars, *tensor_inputs)
 
     out = out.transpose(0, 2, 1, 3, 4).reshape(B, S_pad, Hq, Dv)[:, :S]
-    if inv_v is not None:
-        out = out[..., jnp.asarray(inv_v)]
+    if mo is not None:
+        out = out @ jnp.asarray(mo)
     return out
 
 

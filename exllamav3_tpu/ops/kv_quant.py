@@ -1,44 +1,101 @@
 """Quantized KV cache: 2-8 bit pack/dequant with per-32-group scales.
 
-Feature reference: /root/reference/exllamav3/cache/quant.py (32-element
-groups, independent K/V bit-widths) and exllamav3_ext/cache/q_cache.cu.
-TPU-native layout: values pack into int32 words along head_dim (32/bits
-values per word), scales are f32 per (token, head, group-of-32). All pure
-jnp — XLA fuses the pack into the cache-update scatter and the unpack into
-the attention prologue; the Pallas paged-attention kernel dequantizes
-in-kernel for the fused path.
+Feature reference: /root/reference/exllamav3/cache/quant.py and
+exllamav3_ext/cache/q_cache_kernels.cuh (+ lmq.cuh): each group of 32
+channels is rotated by a normalized H32 Hadamard (regularizes toward
+Gaussian), scaled to [-1, 1] by its absmax (stored as one scale per group),
+then quantized to num_bits on the MIDPOINT grid — centroids at
+((2q+1)/2^bits - 1), ~5% lower MSE than the rounding grid — or through the
+cubic compander f(t) = a*t + (1-a)*t^3 when compand_a > 0 (encode solves
+the cubic by Cardano's formula).
+
+TPU-native twists:
+  * values pack into int32 words along the channel dim (32/bits per word) so
+    single-token scatters never straddle other tokens' bits.
+  * the H32 rotation is FREE at attention time: scores are rotation-
+    invariant (q is rotated once outside the kernel), and V's rotation is
+    undone on the attention OUTPUT (activation-sized) — where the reference
+    unrotates inside its dequant kernel, the TPU kernel consumes rotated
+    values directly (ops/flash_attention.py).
+  * scales store as bf16 (payload overhead 12.5% at 4 bits instead of 25%).
+
+All pure jnp — XLA fuses the pack into the cache-update scatter; the Pallas
+attention kernel dequantizes in-kernel for the fused path.
 """
 from __future__ import annotations
 
+import functools
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 GROUP = 32
+COMPAND_A = 0.65  # cubic coefficient when companding is enabled
 
 
-def _qmid(bits: int) -> float:
-    # symmetric offset grid using all 2^bits levels: q in [0, 2^bits-1],
-    # value = (q - mid) * scale with mid = (2^bits - 1) / 2
-    return ((1 << bits) - 1) / 2.0
+@functools.lru_cache(maxsize=None)
+def _h32n() -> np.ndarray:
+    """Normalized symmetric 32-point Hadamard (H @ H = I)."""
+    from ..quant.hadamard import hadamard_np
+
+    return (hadamard_np(32) / math.sqrt(32.0)).astype(np.float32)
 
 
-def quantize_kv(x: jnp.ndarray, bits: int):
-    """x: (..., D) f32/bf16 -> (packed (..., D*bits/32) int32, scale (..., D/32) f32).
+def _rotate_groups(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """(..., D) -> per-32-group H32 rotation (symmetric: inverse == forward)."""
+    D = x.shape[-1]
+    g = D // GROUP
+    h = jnp.asarray(_h32n())
+    xr = x.reshape(x.shape[:-1] + (g, GROUP)) @ h
+    return xr.reshape(x.shape)
 
-    Per-group offset-grid quantization using all 2^bits levels:
-    q = round(x/scale + mid) in [0, 2^bits-1], value = (q - mid) * scale.
+
+def compand_encode(t: jnp.ndarray, bits: int, a: float) -> jnp.ndarray:
+    """t in [-1, 1] -> grid index via Cardano's solve of b*u^3 + a*u = t
+    (reference lmq.cuh lm_cubic_encode)."""
+    N = 1 << bits
+    b = 1.0 - a
+    inv_b = 1.0 / b
+    p3 = a * inv_b / 3.0
+    p3_cub = p3 * p3 * p3
+    q_half = t * inv_b * 0.5
+    s = jnp.sqrt(q_half * q_half + p3_cub)
+    u = jnp.cbrt(q_half + s) + jnp.cbrt(q_half - s)
+    idx = jnp.floor(u * (N // 2) + (N // 2))
+    return jnp.clip(idx, 0, N - 1).astype(jnp.uint32)
+
+
+def compand_decode(idx: jnp.ndarray, bits: int, a: float) -> jnp.ndarray:
+    """Grid index -> value in [-1, 1]: u = (2q+1)/N - 1; a*u + (1-a)*u^3."""
+    N = 1 << bits
+    u = (2.0 * idx + 1.0) / N - 1.0
+    return u * (a + (1.0 - a) * u * u)
+
+
+def quantize_kv(x: jnp.ndarray, bits: int, compand_a: float = 0.0):
+    """x: (..., D) -> (packed (..., D*bits/32) int32, scale (..., D/32) bf16).
+
+    Rotate -> absmax scale -> midpoint-grid (or companded) encode -> pack as
+    a little-endian bit stream per group (32/bits values per int32 word).
     """
     D = x.shape[-1]
     assert D % GROUP == 0
     g = D // GROUP
-    mid = _qmid(bits)
-    xf = x.astype(jnp.float32).reshape(x.shape[:-1] + (g, GROUP))
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = amax / mid + 1e-12
-    qb = jnp.clip(jnp.round(xf / scale + mid), 0, (1 << bits) - 1).astype(jnp.uint32)
-    # pack the 32 values of each group as a continuous little-endian bit
-    # stream into `bits` uint32 words (fields may straddle word boundaries)
-    words = [jnp.zeros(x.shape[:-1] + (g,), dtype=jnp.uint32) for _ in range(bits)]
+    N = 1 << bits
+    xr = _rotate_groups(x.astype(jnp.float32))
+    xg = xr.reshape(x.shape[:-1] + (g, GROUP))
+    amax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+    scale = (amax + 1e-12).astype(jnp.bfloat16)
+    t = xg / scale.astype(jnp.float32)
+    if compand_a > 0.0:
+        qb = compand_encode(t, bits, compand_a)
+    else:
+        qb = jnp.clip(jnp.floor(t * (N // 2) + (N // 2)),
+                      0, N - 1).astype(jnp.uint32)
+    words = [jnp.zeros(x.shape[:-1] + (g,), dtype=jnp.uint32)
+             for _ in range(bits)]
     for i in range(GROUP):
         q = qb[..., i]
         off = i * bits
@@ -51,11 +108,13 @@ def quantize_kv(x: jnp.ndarray, bits: int):
     return packed, scale.reshape(x.shape[:-1] + (g,))
 
 
-def dequantize_kv(words: jnp.ndarray, scale: jnp.ndarray, bits: int, dtype=jnp.bfloat16):
-    """Inverse of quantize_kv -> (..., D)."""
+def dequantize_kv(words: jnp.ndarray, scale: jnp.ndarray, bits: int,
+                  dtype=jnp.bfloat16, compand_a: float = 0.0):
+    """Inverse of quantize_kv -> (..., D) (unrotated, true channel order)."""
     nwords = words.shape[-1]
     D = nwords * 32 // bits
     g = D // GROUP
+    N = 1 << bits
     w = words.astype(jnp.uint32).reshape(words.shape[:-1] + (g, bits))
     mask = jnp.uint32((1 << bits) - 1)
     fields = []
@@ -66,9 +125,14 @@ def dequantize_kv(words: jnp.ndarray, scale: jnp.ndarray, bits: int, dtype=jnp.b
         if sh + bits > 32:
             f = f | (w[..., w0 + 1] << (32 - sh))
         fields.append(f & mask)
-    q = jnp.stack(fields, axis=-1).astype(jnp.float32) - _qmid(bits)
-    x = q * scale[..., None]
-    return x.reshape(words.shape[:-1] + (D,)).astype(dtype)
+    q = jnp.stack(fields, axis=-1).astype(jnp.float32)
+    if compand_a > 0.0:
+        t = compand_decode(q, bits, compand_a)
+    else:
+        t = (2.0 * q + 1.0) / N - 1.0
+    xr = t * scale[..., None].astype(jnp.float32)
+    xr = xr.reshape(words.shape[:-1] + (D,))
+    return _rotate_groups(xr, inverse=True).astype(dtype)
 
 
 def quant_cache_shapes(shape: tuple, k_bits: int, v_bits: int) -> dict:
@@ -76,18 +140,19 @@ def quant_cache_shapes(shape: tuple, k_bits: int, v_bits: int) -> dict:
     n, t, hk, d = shape
     return {
         "k_q": jnp.zeros((n, t, hk, d * k_bits // 32), dtype=jnp.int32),
-        "k_s": jnp.zeros((n, t, hk, d // GROUP), dtype=jnp.float32),
+        "k_s": jnp.zeros((n, t, hk, d // GROUP), dtype=jnp.bfloat16),
         "v_q": jnp.zeros((n, t, hk, d * v_bits // 32), dtype=jnp.int32),
-        "v_s": jnp.zeros((n, t, hk, d // GROUP), dtype=jnp.float32),
+        "v_s": jnp.zeros((n, t, hk, d // GROUP), dtype=jnp.bfloat16),
     }
 
 
-def quant_cache_update(layer_state: dict, k_new, v_new, positions, k_bits: int, v_bits: int):
+def quant_cache_update(layer_state: dict, k_new, v_new, positions, k_bits: int,
+                       v_bits: int, compand_a: float = 0.0):
     """Scatter quantized (B, S, Hk, D) at token positions (linear layout)."""
     B = k_new.shape[0]
     b_idx = jnp.arange(B)[:, None]
-    kq, ks = quantize_kv(k_new, k_bits)
-    vq, vs = quantize_kv(v_new, v_bits)
+    kq, ks = quantize_kv(k_new, k_bits, compand_a)
+    vq, vs = quantize_kv(v_new, v_bits, compand_a)
     return {
         "k_q": layer_state["k_q"].at[b_idx, positions].set(kq),
         "k_s": layer_state["k_s"].at[b_idx, positions].set(ks),
@@ -96,8 +161,11 @@ def quant_cache_update(layer_state: dict, k_new, v_new, positions, k_bits: int, 
     }
 
 
-def quant_cache_fetch(layer_state: dict, k_bits: int, v_bits: int, dtype=jnp.bfloat16):
+def quant_cache_fetch(layer_state: dict, k_bits: int, v_bits: int,
+                      dtype=jnp.bfloat16, compand_a: float = 0.0):
     """Dequantize the whole layer -> (k, v) full tensors."""
-    k = dequantize_kv(layer_state["k_q"], layer_state["k_s"], k_bits, dtype)
-    v = dequantize_kv(layer_state["v_q"], layer_state["v_s"], v_bits, dtype)
+    k = dequantize_kv(layer_state["k_q"], layer_state["k_s"], k_bits, dtype,
+                      compand_a)
+    v = dequantize_kv(layer_state["v_q"], layer_state["v_s"], v_bits, dtype,
+                      compand_a)
     return k, v

@@ -27,13 +27,15 @@ def model_dir(tmp_path_factory):
     return d
 
 
-def _generate(model_dir, backend, prompt, k_bits=0, v_bits=0, **gkw):
+def _generate(model_dir, backend, prompt, k_bits=0, v_bits=0, compand=0.0,
+              **gkw):
     os.environ["EXL3_TPU_ATTN"] = backend
     try:
         m = Model.from_config(Config.from_directory(model_dir))
         m.load()
         cache = Cache(m, CacheSpec(layout="paged", num_pages=16,
-                                   k_bits=k_bits, v_bits=v_bits))
+                                   k_bits=k_bits, v_bits=v_bits,
+                                   compand_a=compand))
         gen = Generator(m, cache, **gkw)
         return gen.generate(np.asarray(prompt), max_new_tokens=16,
                             sampler=GreedySampler(), decode_text=False)
@@ -57,8 +59,44 @@ def test_flash_sd_verify_matches_dense(model_dir):
     assert flash == dense
 
 
-def test_flash_quant_cache_matches_dense(model_dir):
-    prompt = (np.arange(40) % 300 + 5).tolist()
-    dense = _generate(model_dir, "dense", prompt, k_bits=4, v_bits=4)
-    flash = _generate(model_dir, "interpret", prompt, k_bits=4, v_bits=4)
-    assert flash == dense
+def _paged_logits(model_dir, backend, k_bits=0, compand=0.0):
+    """Prefill 32 tokens + one decode step through the paged step fn."""
+    import jax.numpy as jnp
+
+    os.environ["EXL3_TPU_ATTN"] = backend
+    try:
+        m = Model.from_config(Config.from_directory(model_dir))
+        m.load()
+        cache = Cache(m, CacheSpec(layout="paged", num_pages=4,
+                                   k_bits=k_bits, v_bits=k_bits,
+                                   compand_a=compand))
+        import jax
+
+        step = jax.jit(m.step_fn("paged", k_bits=k_bits, v_bits=k_bits,
+                                 compand_a=compand))
+        ids = (np.arange(32) % 300 + 5).astype(np.int32)[None]
+        pos = np.arange(32, dtype=np.int32)[None]
+        bt = np.array([[1, 2, 3]], np.int32)
+        lp, state = step(m.params, jnp.asarray(ids), cache.state,
+                         jnp.asarray(pos), jnp.zeros(1, jnp.int32),
+                         jnp.asarray(bt))
+        l1, _ = step(m.params, jnp.asarray([[7]], np.int32), state,
+                     jnp.asarray([[32]], np.int32),
+                     jnp.full(1, 32, jnp.int32), jnp.asarray(bt))
+        return np.asarray(lp[0, -1]), np.asarray(l1[0, -1])
+    finally:
+        os.environ.pop("EXL3_TPU_ATTN", None)
+
+
+@pytest.mark.parametrize("compand", [0.0, 0.65])
+def test_flash_quant_cache_close_to_dense(model_dir, compand):
+    """Quantized caches: the kernel's in-kernel dequant and the jnp
+    dequantize-then-attend round bf16 in different places (the group
+    rotation folds into q/output on the kernel path), so compare logits
+    rather than greedy token streams."""
+    dp, dd = _paged_logits(model_dir, "dense", k_bits=4, compand=compand)
+    fp, fd = _paged_logits(model_dir, "interpret", k_bits=4, compand=compand)
+    for a, b in ((dp, fp), (dd, fd)):
+        denom = np.maximum(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.05
+        assert a.argmax() == b.argmax()

@@ -51,6 +51,38 @@ def test_exl3_checkpoint_matches_hf_llama(tmp_path):
     assert cos > 0.7, cos
 
 
+def test_quantized_runtime_footprint_and_logits(tmp_path):
+    """Exl3HfLinear path: the model must hold packed trellis tensors (EXL3
+    footprint, not dense) and produce the same logits as the dense-decoded
+    load (identical reconstruction, so near-exact)."""
+    d = str(tmp_path / "m")
+    cfg = tiny_llama_cfg(vocab_size=512, hidden_size=128, intermediate_size=256,
+                         num_layers=2, num_q_heads=4, num_kv_heads=4)
+    write_tiny_llama_exl3(d, cfg, K=4, seed=9)
+
+    hq = load_exl3_transformers(d, quantized_runtime=True)
+    hd = load_exl3_transformers(d, quantized_runtime=False)
+    assert hq._exl3_swapped > 0
+
+    def nbytes(m):
+        return sum(t.numel() * t.element_size()
+                   for t in list(m.parameters()) + list(m.buffers()))
+
+    # packed trellis at K=4: ~4 bits/weight vs 32 dense; embeddings dominate
+    # the tiny model, so just require a solid reduction
+    assert nbytes(hq) < 0.6 * nbytes(hd)
+
+    from exllamav3_tpu.integration.transformers import _hf_linear_cls
+
+    assert any(isinstance(m, _hf_linear_cls()) for m in hq.modules())
+
+    ids = torch.from_numpy(np.array([[5, 9, 13, 2, 7, 301]], dtype=np.int64))
+    with torch.no_grad():
+        lq = hq(input_ids=ids).logits.float().numpy()
+        ld = hd(input_ids=ids).logits.float().numpy()
+    np.testing.assert_allclose(lq, ld, rtol=1e-4, atol=1e-4)
+
+
 def test_patch_transformers_registers():
     patch_transformers()
     from transformers.quantizers.auto import AUTO_QUANTIZER_MAPPING

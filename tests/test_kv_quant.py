@@ -16,12 +16,33 @@ def test_roundtrip_error(bits):
     q, s = quantize_kv(jnp.asarray(x), bits)
     y = np.asarray(dequantize_kv(q, s, bits, dtype=jnp.float32))
     err = np.abs(y - x)
-    # max error bounded by half a quantization step per group
-    mid = (2 ** bits - 1) / 2
-    step = np.abs(x).reshape(4, 7, 2, 2, 32).max(-1) / mid
-    assert (err.reshape(4, 7, 2, 2, 32) <= 0.51 * step[..., None] + 1e-6).all()
+    # the H32 rotation spreads per-value error across the group, so only the
+    # RMS bound holds in the original space (midpoint grid: step = 2a/N)
     rel = float(np.sqrt(np.mean(err**2) / np.mean(x**2)))
     assert rel < {2: 0.45, 3: 0.2, 4: 0.1, 5: 0.05, 6: 0.025, 8: 0.007}[bits]
+
+
+@pytest.mark.parametrize("bits", [3, 4, 6])
+def test_compand_roundtrip(bits):
+    """Cubic compander (reference lmq.cuh): encode/decode must invert on the
+    grid, and heavy-tailed data must quantize no worse than the linear grid."""
+    from exllamav3_tpu.ops.kv_quant import compand_encode, compand_decode
+
+    N = 1 << bits
+    idx = jnp.arange(N, dtype=jnp.float32)
+    vals = compand_decode(idx, bits, 0.65)
+    back = np.asarray(compand_encode(vals, bits, 0.65))
+    assert (back == np.arange(N)).all()
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_t(df=3, size=(8, 4, 2, 64)).astype(np.float32)  # tails
+    q0, s0 = quantize_kv(jnp.asarray(x), bits)
+    q1, s1 = quantize_kv(jnp.asarray(x), bits, compand_a=0.65)
+    y0 = np.asarray(dequantize_kv(q0, s0, bits, jnp.float32))
+    y1 = np.asarray(dequantize_kv(q1, s1, bits, jnp.float32, compand_a=0.65))
+    rms0 = np.sqrt(np.mean((y0 - x) ** 2))
+    rms1 = np.sqrt(np.mean((y1 - x) ** 2))
+    assert rms1 < 1.1 * rms0
 
 
 def test_quant_cache_decode_parity(tmp_path):
