@@ -196,12 +196,24 @@ def main():
         cache_g = Cache(model, CacheSpec(layout="paged", num_pages=48))
         gen = Generator(model, cache_g, max_batch_size=8)
         rng = np.random.default_rng(2)
-        jobs = []
-        for i in range(12):
-            plen = int(rng.integers(600, 900))
-            prompt = rng.integers(3, cfg["vocab_size"], size=plen)
-            jobs.append(Job(prompt, max_new_tokens=64,
-                            sampler=GreedySampler(), identifier=i))
+
+        def mk_jobs(n):
+            jobs = []
+            for i in range(n):
+                plen = int(rng.integers(600, 900))
+                prompt = rng.integers(3, cfg["vocab_size"], size=plen)
+                jobs.append(Job(prompt, max_new_tokens=64,
+                                sampler=GreedySampler(), identifier=i))
+            return jobs
+
+        # warmup round compiles the prefill/decode bucket shapes so TTFT
+        # measures serving, not XLA compilation
+        for j in mk_jobs(9):
+            gen.enqueue(j)
+        while gen.pending or gen.active:
+            gen.iterate()
+
+        jobs = mk_jobs(12)
         t_serve0 = time.time()
         for j in jobs:
             gen.enqueue(j)

@@ -136,15 +136,94 @@ class Tokenizer:
             self._id_to_piece = {v: k for k, v in self.get_vocab().items()}
         return self._id_to_piece.get(tid, "")
 
-    @lru_cache(maxsize=16)
+    def single_id(self, token: str) -> int | None:
+        """Id of a single (special) token string, None when absent
+        (reference tokenizer.py single_id:240)."""
+        return self.hf.token_to_id(token)
+
+    def num_tokens(self, text: str) -> int:
+        return len(self.hf.encode(text, add_special_tokens=False).ids)
+
+    def get_id_to_piece_list(self) -> list:
+        """Decoded TEXT of every token id, computed once in one batch decode
+        (reference tokenizer.py _get_fixed_vocab:578 — a probe decides
+        whether pieces decode standalone or need a space-prefix anchor to
+        preserve leading-space bytes)."""
+        if getattr(self, "_piece_list", None) is not None:
+            return self._piece_list
+        n = self.vocab_size
+        test = self.hf.encode(" t", add_special_tokens=False).ids
+        standalone = (len(test) == 1
+                      and len(self.hf.decode([test[0]],
+                                             skip_special_tokens=False)) == 2)
+        if standalone:
+            pieces = self.hf.decode_batch([[i] for i in range(n)],
+                                          skip_special_tokens=False)
+        else:
+            sp = self.hf.encode(" ", add_special_tokens=False).ids
+            anchor = sp[0] if sp else None
+            if anchor is None:
+                pieces = self.hf.decode_batch([[i] for i in range(n)],
+                                              skip_special_tokens=False)
+            else:
+                plen = len(self.hf.decode([anchor],
+                                          skip_special_tokens=False))
+                pieces = self.hf.decode_batch(
+                    [[anchor, i] for i in range(n)],
+                    skip_special_tokens=False)
+                pieces = [p[plen:] for p in pieces]
+        self._piece_list = pieces
+        return pieces
+
+    def get_piece_to_id_dict(self) -> dict:
+        if getattr(self, "_piece_to_id", None) is None:
+            self._piece_to_id = {p: i for i, p in
+                                 enumerate(self.get_id_to_piece_list())}
+        return self._piece_to_id
+
+    def get_vocab_dict(self) -> dict:
+        """Raw piece-string -> id over the full vocab (Formatron wants the
+        tokenizer-internal pieces, not decoded text; reference
+        tokenizer.py:669)."""
+        if getattr(self, "_vocab_dict", None) is None:
+            self._vocab_dict = {
+                self.hf.id_to_token(i) or f"<undef_{i}>": i
+                for i in range(self.vocab_size)}
+        return self._vocab_dict
+
+    def get_id_to_ord_list(self) -> list:
+        """Byte ordinal of each single-byte token, -1 for multi-byte pieces
+        (reference tokenizer.py:538 — stop-string/filter machinery)."""
+        if getattr(self, "_id_to_ord", None) is None:
+            out = []
+            for p in self.get_id_to_piece_list():
+                out.append(ord(p) if len(p) == 1 and ord(p) <= 255 else -1)
+            self._id_to_ord = out
+        return self._id_to_ord
+
+    def padding_mask(self, ids: np.ndarray) -> np.ndarray:
+        """Additive f32 bias: -inf-like where ids == pad_token_id, 0
+        elsewhere (reference tokenizer.py padding_mask:504)."""
+        pad = self.pad_token_id if self.pad_token_id is not None else -1
+        return np.where(np.asarray(ids) == pad,
+                        np.float32(-65505.0 * 2), np.float32(0.0))
+
+    @lru_cache(maxsize=1000)
+    def get_tokens_with_prefix_string(self, prefix: str) -> tuple:
+        """Token ids whose decoded text starts with `prefix` — one pass over
+        the cached piece list (the O(vocab)-decodes-per-call scan is gone;
+        reference tokenizer.py:651)."""
+        pieces = self.get_id_to_piece_list()
+        return tuple(i for i, p in enumerate(pieces) if p.startswith(prefix))
+
+    @lru_cache(maxsize=1000)
+    def get_tokens_with_prefix_id(self, prefix_id: int) -> tuple:
+        return self.get_tokens_with_prefix_string(
+            self.get_id_to_piece_list()[prefix_id])
+
     def prefix_token_ids(self, prefix: str) -> tuple:
-        """Token ids whose decoded text starts with `prefix` (token healing)."""
-        out = []
-        for tid in range(self.vocab_size):
-            piece = self.decode([tid])
-            if piece.startswith(prefix):
-                out.append(tid)
-        return tuple(out)
+        """Token healing entry point (kept name)."""
+        return self.get_tokens_with_prefix_string(prefix)
 
     # -- chat templates ----------------------------------------------------------
 
