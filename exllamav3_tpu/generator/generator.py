@@ -55,6 +55,8 @@ class Generator:
         use_ngram_draft: bool = False,
         mtp_model=None,
         cpu_cache_bytes: int = 0,
+        sp_mesh=None,
+        sp_axis: str = "sp",
     ):
         self.model = model
         self.cache = cache
@@ -63,6 +65,14 @@ class Generator:
         self.max_chunk_size = max_chunk_size
         # cache quantization defaults come from the cache's own spec; the
         # explicit args remain as an override
+        # sequence-parallel serving: shard the paged cache's page dim over
+        # the mesh's sp axis; attention merges per-device stats (parallel/sp.py)
+        self.sp_mesh = sp_mesh
+        self.sp_axis = sp_axis
+        if sp_mesh is not None:
+            from ..parallel.sp import shard_cache_state
+
+            cache.state = shard_cache_state(cache.state, sp_mesh, sp_axis)
         spec = getattr(cache, "spec", None)
         self.k_bits = k_bits or (spec.k_bits if spec else 0)
         self.v_bits = v_bits or (spec.v_bits if spec else 0)
@@ -268,9 +278,13 @@ class Generator:
         if running and not prefilling:
             greedy = all(j.sampler.greedy for j in running) and not any(
                 j.cfg_scale is not None for j in running)
-            if self.dflash_model is not None and greedy:
+            # MTP/DFlash fast paths verify with raw argmax; constrained jobs
+            # need per-position filter masks, which the draft/n-gram SD path
+            # and the plain batch path apply
+            filtered = any(j.filters for j in running)
+            if self.dflash_model is not None and greedy and not filtered:
                 self._decode_batch_dflash(running, results)
-            elif self.mtp_model is not None and greedy:
+            elif self.mtp_model is not None and greedy and not filtered:
                 self._decode_batch_mtp(running, results)
             elif (self.draft_model is not None or self.use_ngram_draft) and greedy:
                 self._decode_batch_sd(running, results)
@@ -504,7 +518,7 @@ class Generator:
     def _get_prefill_fn(self, hidden: bool = False, history: bool = False):
         key = ("prefill", hidden, history)
         if key not in self._decode_fns:
-            fn = self.model.step_fn("paged", k_bits=self.k_bits, compand_a=self.compand_a,
+            fn = self.model.step_fn("paged", k_bits=self.k_bits, compand_a=self.compand_a, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
                                     v_bits=self.v_bits, return_hidden=hidden,
                                     recurrent_history=history)
             self._decode_fns[key] = jax.jit(fn, donate_argnums=(2,))
@@ -526,7 +540,7 @@ class Generator:
         key = ("capture",)
         if key not in self._decode_fns:
             fn = self.model.step_fn(
-                "paged", k_bits=self.k_bits, compand_a=self.compand_a, v_bits=self.v_bits,
+                "paged", k_bits=self.k_bits, compand_a=self.compand_a, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis, v_bits=self.v_bits,
                 capture_layers=tuple(self.dflash_model.target_layer_ids))
             self._decode_fns[key] = jax.jit(fn, donate_argnums=(2,))
         return self._decode_fns[key]
@@ -694,7 +708,7 @@ class Generator:
         key = ("decode", logprobs)
         if key not in self._decode_fns:
             model_step = self.model.step_fn(
-                "paged", k_bits=self.k_bits, compand_a=self.compand_a, v_bits=self.v_bits
+                "paged", k_bits=self.k_bits, compand_a=self.compand_a, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis, v_bits=self.v_bits
             )
 
             def fn(params, ids, cache_state, positions, seqlens, block_tables,
@@ -873,12 +887,15 @@ class Generator:
         job._stream_logprobs = top_logprobs
         self._maybe_finalize_decode_page(job)
 
-        for f in job.filters:
-            f.feed(tok)
-        if job.filters and any(f.is_complete() for f in job.filters):
+        stops = [f.feed(tok) for f in job.filters]
+        if any(stops):
             self._emit_text(job, results, flush=True)
             self._finish_job(job, "end_filter", results)
             return
+        # next step's masks evaluate on the worker pool while the host
+        # finishes streaming/scheduling (reference filter.py background eval)
+        for f in job.filters:
+            f.prefetch_mask(self.model.config.vocab_size)
 
         if tok in job.stop_tokens:
             job.new_tokens.pop()  # stop token not part of the output
@@ -907,6 +924,8 @@ class Generator:
             dropped.append(job.new_tokens.pop())
         if not dropped:
             return
+        for f in job.filters:
+            f.rollback(len(dropped))
         job.pos_bans.setdefault(len(job.new_tokens), set()).add(dropped[-1])
         slot = self.job_slots.get(job)
         if slot is not None:
@@ -1240,9 +1259,39 @@ class Generator:
             logits, self.cache.state = out
             rec_hist = None
         out = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)  # (B, S)
+        filtered_rows = {i for i, j in enumerate(jobs) if j.filters}
+        logits_np = (np.asarray(logits) if filtered_rows else None)
 
         for i, job in enumerate(jobs):
             d = drafts[i]
+            if i in filtered_rows:
+                # constrained verify: the mask at position j depends on the
+                # filter state after position j-1, so accept sequentially —
+                # filters are only ever fed ACCEPTED tokens (the journaled
+                # rollback contract covers banned-string rewinds)
+                V = logits_np.shape[-1]
+                accepted = 0
+                j = 0
+                while job.status == "running" and j <= len(d):
+                    lg = logits_np[i, j].copy()
+                    for f in job.filters:
+                        m = f.allowed_mask(V)
+                        if m is not None:
+                            lg = lg + m
+                    tok = int(np.argmax(lg))
+                    match = j < len(d) and tok == d[j]
+                    self._receive_token(job, tok, results)
+                    if match:
+                        accepted += 1
+                        j += 1
+                    else:
+                        break
+                self.num_accepted += accepted
+                job.accepted_draft_tokens += accepted
+                job.rejected_draft_tokens += len(d) - accepted
+                if rec_hist is not None:
+                    self._rewind_recurrent(job, i, accepted, rec_hist)
+                continue
             accepted = 0
             for j in range(len(d)):
                 if out[i, j] == d[j]:

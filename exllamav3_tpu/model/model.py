@@ -73,7 +73,7 @@ class Model:
         return x
 
     def step_fn(self, attn_mode: str = "dense", k_bits: int = 0, v_bits: int = 0,
-                compand_a: float = 0.0,
+                compand_a: float = 0.0, sp_mesh=None, sp_axis: str = "sp",
                 return_hidden: bool = False, recurrent_history: bool = False,
                 capture_layers: tuple = ()):
         """Pure (params, ids, cache_state, positions, cache_seqlens,
@@ -96,6 +96,10 @@ class Model:
                 compand_a=compand_a,
                 state_slots=state_slots,
             )
+            if sp_mesh is not None:
+                # sequence-parallel serving (parallel/sp.py): attention
+                # modules run their paged path as a shard_map island
+                ctx.extras["sp"] = (sp_mesh, sp_axis)
             if mm_embeddings is not None:
                 ctx.extras["mm_embeddings"] = mm_embeddings
             if mrope_positions is not None:

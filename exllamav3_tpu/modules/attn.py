@@ -328,8 +328,27 @@ class Attention(Module):
             ctx.cache[self.key] = layer_state
             quant = bool(ctx.k_bits)
             total_lens = _total_lens(ctx, B, S)
-            backend = attn_backend(ctx.k_bits, ctx.v_bits)
-            if backend != "dense":
+            sp = ctx.extras.get("sp")
+            if sp is not None:
+                # sequence-parallel serving: pages sharded over the sp axis,
+                # local attends merge via online-softmax stats (parallel/sp.py)
+                assert not quant, \
+                    "sequence-parallel serving requires an unquantized cache"
+                from ..parallel.sp import sp_paged_attend
+
+                mesh, axis = sp
+                o = sp_paged_attend(
+                    q.astype(jnp.float32), layer_state, ctx.block_tables,
+                    ctx.positions, total_lens, mesh, axis,
+                    scale=self.sm_scale, sliding_window=self.sliding_window,
+                    logit_softcap=self.logit_softcap, sinks=sinks,
+                ).astype(dt)
+                backend = None
+            else:
+                backend = attn_backend(ctx.k_bits, ctx.v_bits)
+            if backend is None:
+                pass
+            elif backend != "dense":
                 from ..ops.flash_attention import flash_attention
 
                 o = flash_attention(

@@ -1,0 +1,74 @@
+"""Sequence-parallel serving (parallel/sp.py): page-sharded cache + stat
+merge must be exact vs single-device generation (8 virtual CPU devices)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3, tiny_llama_cfg
+from exllamav3_tpu.model import Config, Model, InferParams, Cache, CacheSpec
+from exllamav3_tpu.generator import Generator, Job, GreedySampler
+from exllamav3_tpu.constants import PAGE_SIZE
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("spm"))
+    cfg = tiny_llama_cfg(vocab_size=512, hidden_size=128, intermediate_size=256,
+                         num_layers=2, num_q_heads=4, num_kv_heads=2,
+                         head_dim=64)
+    write_tiny_llama_exl3(d, cfg, K=4, seed=17)
+    m = Model.from_config(Config.from_directory(
+        d, infer_params=InferParams(linear_mode="bf16")))
+    m.load()
+    return m
+
+
+def _sp_mesh(n=8):
+    devs = jax.devices()[:n]
+    return Mesh(np.asarray(devs), axis_names=("sp",))
+
+
+def test_sp_paged_attend_matches_dense(model):
+    """Kernel-level exactness: sp stat-merge vs single-device attend_paged."""
+    from exllamav3_tpu.parallel.sp import sp_paged_attend, shard_cache_state
+    from exllamav3_tpu.ops.attention import attend_paged
+
+    rng = np.random.default_rng(3)
+    B, S, Hq, Hk, D, P = 2, 1, 8, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(
+        (P, PAGE_SIZE, Hk, D)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal(
+        (P, PAGE_SIZE, Hk, D)).astype(np.float32) * 0.3)
+    # pages deliberately scattered across shards
+    bt = np.array([[3, 9], [14, 1]], dtype=np.int32)
+    qpos = np.array([[300], [120]], dtype=np.int32)
+    total = qpos[:, -1] + 1
+    mesh = _sp_mesh()
+
+    ref = np.asarray(attend_paged(
+        q, k, v, jnp.asarray(bt), jnp.asarray(qpos), jnp.asarray(total),
+        scale=D ** -0.5))
+    state = {"k": k, "v": v}
+    state = {"layer": state}
+    state = shard_cache_state(state, mesh, "sp")["layer"]
+    got = np.asarray(sp_paged_attend(
+        q, state, jnp.asarray(bt), jnp.asarray(qpos), jnp.asarray(total),
+        mesh, "sp", scale=D ** -0.5))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def _generate(model, sp_mesh, prompt):
+    cache = Cache(model, CacheSpec(layout="paged", num_pages=16))
+    gen = Generator(model, cache, sp_mesh=sp_mesh, max_batch_size=4)
+    return gen.generate(np.asarray(prompt), max_new_tokens=16,
+                        sampler=GreedySampler(), decode_text=False)
+
+
+def test_sp_generate_matches_single(model):
+    prompt = (np.arange(40) % 300 + 5).tolist()
+    plain = _generate(model, None, prompt)
+    sp = _generate(model, _sp_mesh(), prompt)
+    assert sp == plain
