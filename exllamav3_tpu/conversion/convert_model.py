@@ -106,6 +106,26 @@ def convert_model(
     state = cal_ids.astype(np.int32)
     B, S = state.shape
     positions = np.broadcast_to(np.arange(S, dtype=np.int32), (B, S)).copy()
+    # rows whose hidden state has gone non-finite are excluded from all
+    # further capture and state advancement; the job aborts past 10% bad —
+    # the remainder no longer represents the calibration distribution
+    # (reference convert_model.py check_bad_rows:544, :943-951)
+    bad_rows = set(job.get("bad_rows") or [])
+    # streamed capture/advance: rows process in chunks so host/device peak
+    # memory stays bounded regardless of the calibration set size
+    # (reference captures 250x2048-row sets in chunks, :631)
+    row_batch = int(os.environ.get("EXL3_TPU_CAL_BATCH", "16"))
+    checkpoint_s = float(os.environ.get("EXL3_TPU_CKPT_INTERVAL", "60"))
+
+    def live_row_chunks():
+        live = [r for r in range(B) if r not in bad_rows]
+        for i in range(0, len(live), row_batch):
+            yield live[i : i + row_batch]
+
+    def save_job():
+        job["bad_rows"] = sorted(bad_rows)
+        with open(state_path, "w") as f:
+            json.dump(job, f)
 
     t_start = time.time()
     for mi, module, groups in plans:
@@ -114,21 +134,31 @@ def convert_model(
 
         done = str(mi) in map(str, job["completed"])
         shard_path = os.path.join(qdir, f"module_{mi:04d}.safetensors")
-        if done and os.path.exists(shard_path):
+        partial_done = set(job.get("partial", {}).get(str(mi), []))
+        shard: dict = {}
+        if (done or partial_done) and os.path.exists(shard_path):
             # re-apply saved quantized tensors so the state advance matches
-            _apply_saved(module, params, shard_path, config)
+            # (mid-module resume re-applies just the finished linears)
+            shard = _apply_saved(module, params, shard_path, config,
+                                 only_keys=None if done else partial_done)
         has_linears = any(isinstance(m, Linear) for m in module.walk())
         if has_linears and not done:
-            # 1. capture Hessians
+            # 1. capture Hessians (streamed over row chunks; HessianData
+            # accumulates and drops non-finite tokens internally)
             capture: dict = {}
-            ctx = ForwardCtx(positions=jnp.asarray(positions), capture=capture)
-            x = module.forward(jnp.asarray(state), params, ctx)
-            del x
+            for rows_c in live_row_chunks():
+                ctx = ForwardCtx(positions=jnp.asarray(positions[rows_c]),
+                                 capture=capture)
+                x = module.forward(jnp.asarray(state[rows_c]), params, ctx)
+                del x
 
-            # 2. quantize each group
-            shard: dict = {}
+            # 2. quantize each group (timed mid-module checkpoints: the
+            # shard file + job_state rewrite whenever checkpoint_s elapses)
+            last_ckpt = time.time()
             for g in groups:
                 for lin in g.linears:
+                    if lin.key in partial_done:
+                        continue
                     qmap_key = lin.qmap
                     hd = capture.get(qmap_key) or HessianData(k=lin.in_features)
                     w = lin.get_weight_f32(params)  # (in, out) f32
@@ -145,15 +175,41 @@ def convert_model(
                     for name, arr in out.items():
                         shard[f"{lin.key}.{name}"] = arr
                     _swap_linear_to_exl3(lin, params, out, K, cb)
+                    partial_done.add(lin.key)
+                    if time.time() - last_ckpt > checkpoint_s:
+                        save_file(shard, shard_path)
+                        job.setdefault("partial", {})[str(mi)] = \
+                            sorted(partial_done)
+                        save_job()
+                        last_ckpt = time.time()
             save_file(shard, shard_path)
             job["completed"].append(mi)
-            with open(state_path, "w") as f:
-                json.dump(job, f)
+            job.get("partial", {}).pop(str(mi), None)
+            save_job()
 
-        # 3. advance state with the (possibly quantized) module
-        ctx = ForwardCtx(positions=jnp.asarray(positions))
-        state_j = module.forward(jnp.asarray(state), params, ctx)
-        state = np.asarray(jax.device_get(state_j), dtype=np.float32)
+        # 3. advance state with the (possibly quantized) module, streamed;
+        # rows that emerge non-finite are excluded from here on
+        new_state = None
+        for rows_c in live_row_chunks():
+            ctx = ForwardCtx(positions=jnp.asarray(positions[rows_c]))
+            out_c = np.asarray(jax.device_get(module.forward(
+                jnp.asarray(state[rows_c]), params, ctx)), dtype=np.float32)
+            if new_state is None:
+                new_state = np.zeros((B,) + out_c.shape[1:], np.float32)
+            finite = np.isfinite(out_c).all(
+                axis=tuple(range(1, out_c.ndim)))
+            for j, r in enumerate(rows_c):
+                if finite[j]:
+                    new_state[r] = out_c[j]
+                else:
+                    bad_rows.add(r)
+        if len(bad_rows) > 0.10 * B:
+            save_job()
+            raise RuntimeError(
+                f"{len(bad_rows)} of {B} calibration rows have produced "
+                f"non-finite states (> 10%), aborting job. "
+                f"Rows: {sorted(bad_rows)}")
+        state = new_state if new_state is not None else state
 
     if verbose:
         print(f" -- quantization done in {time.time()-t_start:.0f}s; compiling")
@@ -179,13 +235,19 @@ def _swap_linear_to_exl3(lin: Linear, params: dict, out: dict, K: int, cb: int):
     lin.cb = cb
 
 
-def _apply_saved(module, params, shard_path, config):
+def _apply_saved(module, params, shard_path, config, only_keys=None):
+    """Swap saved quantized tensors back in. only_keys restricts to linears
+    finished before a mid-module checkpoint (timed-resume). Returns the
+    loaded shard tensors so a resumed module keeps accumulating into the
+    same file."""
     from ..loader.safetensors import SafetensorsCollection
-    import mmap
 
+    shard: dict = {}
     stc = SafetensorsCollection(os.path.dirname(shard_path))
     for m in module.walk():
         if isinstance(m, Linear):
+            if only_keys is not None and m.key not in only_keys:
+                continue
             t = stc.get_tensor(m.key + ".trellis", optional=True)
             if t is None:
                 continue
@@ -198,4 +260,7 @@ def _apply_saved(module, params, shard_path, config):
             cb = CB_MCG if stc.has_tensor(m.key + ".mcg") else (
                 CB_MUL1 if stc.has_tensor(m.key + ".mul1") else CB_3INST)
             _swap_linear_to_exl3(m, params, out, K, cb)
+            for name, arr in out.items():
+                shard[f"{m.key}.{name}"] = np.asarray(arr)
     stc.close()
+    return shard

@@ -65,3 +65,55 @@ def test_convert_roundtrip(tmp_path):
                          fast=True, verbose=False, seed=1)
     assert time.time() - t0 < 30
     assert sorted(job2["completed"]) == sorted(job["completed"])
+
+
+@pytest.mark.slow
+def test_convert_timed_checkpoint_resume(tmp_path, monkeypatch):
+    """Mid-module resume: checkpoint after every linear, simulate an
+    interruption by clearing `completed` while keeping the partial record —
+    the resumed run skips finished linears and converges to a working
+    checkpoint."""
+    import json
+
+    src = str(tmp_path / "dense")
+    dst = str(tmp_path / "exl3")
+    write_tiny_llama_dense(src, CFG, seed=7)
+    monkeypatch.setenv("EXL3_TPU_CKPT_INTERVAL", "0")  # checkpoint every linear
+
+    job = convert_model(src, dst, bpw=3.0, head_bits=4, rows=4, length=32,
+                        fast=True, verbose=False, seed=2)
+    n_done = len(job["proxy_err"])
+
+    # simulate a crash mid-module 1: keep only a partial record
+    sp = os.path.join(dst, "job_state.json")
+    with open(sp) as f:
+        st = json.load(f)
+    block_mi = st["completed"][1]
+    partial_keys = [k for k in st["proxy_err"]
+                    if "layers.0.self_attn" in k][:2]
+    st["completed"] = st["completed"][:1]
+    st["partial"] = {str(block_mi): partial_keys}
+    with open(sp, "w") as f:
+        json.dump(st, f)
+
+    job2 = convert_model(src, dst, bpw=3.0, head_bits=4, rows=4, length=32,
+                         fast=True, verbose=False, seed=2, resume=True)
+    assert len(job2["proxy_err"]) == n_done
+    quant = Model.from_config(Config.from_directory(
+        dst, infer_params=InferParams(linear_mode="reconstruct")))
+    quant.load()
+    ids = np.arange(16, dtype=np.int32)[None] % 250
+    assert np.isfinite(np.asarray(quant.forward_simple(ids))).all()
+
+
+@pytest.mark.slow
+def test_convert_bad_rows_abort(tmp_path):
+    """A checkpoint whose activations explode must abort past 10% bad rows
+    instead of silently quantizing garbage (reference check_bad_rows)."""
+    src = str(tmp_path / "dense")
+    dst = str(tmp_path / "exl3")
+    # enormous weights overflow f32 through two matmuls -> non-finite states
+    write_tiny_llama_dense(src, CFG, seed=3, weight_scale=1e25)
+    with pytest.raises(RuntimeError, match="non-finite"):
+        convert_model(src, dst, bpw=3.0, head_bits=4, rows=4, length=32,
+                      fast=True, verbose=False, seed=3, resume=False)
