@@ -279,12 +279,20 @@ def exl3_matmul_fused(x, words, suh, svh, K: int, cb: int = CB_3INST,
     xh = (xf.reshape(m, k // 128, 128) @ hk).reshape(m, k).astype(jnp.bfloat16)
 
     bm = 16 if m <= 16 else (64 if m <= 64 else 128)
-    m_pad = -m % bm
-    if m_pad:
-        xh = jnp.pad(xh, ((0, m_pad), (0, 0)))
     interpret = jax.default_backend() in ("cpu",)
     bn = 256 if n % 256 == 0 else 128
     bk = 256 if k % 256 == 0 else 128
+    if not interpret:
+        # shape-keyed autotune cache (sweeps on first sight when
+        # EXL3_TPU_AUTOTUNE=1; see ops/autotune.py)
+        from .autotune import best_blocks
+
+        tuned = best_blocks(bm, k, n, K, cb, words=words)
+        if tuned is not None:
+            bm, bn, bk = tuned
+    m_pad = -m % bm
+    if m_pad:
+        xh = jnp.pad(xh, ((0, m_pad), (0, 0)))
     # lane order matching the kernel's concat row layout: within each
     # k-block, lane kt*16 + rp -> rp*bkt + kt
     m2 = xh.shape[0]
