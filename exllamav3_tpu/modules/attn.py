@@ -145,8 +145,10 @@ class Attention(Module):
             # the window + the query's own slot + headroom so speculative
             # (draft) writes never evict a still-live window entry: slots
             # alias every R positions, and up to ~16 future positions may be
-            # written then rejected (SD verify chunks)
+            # written then rejected (SD verify chunks); rounded to a multiple
+            # of 8 for the Pallas ring-decode kernel's time blocks
             W = self.sliding_window + 1 + 16
+            W += (-W) % 8
             dt = cache_dtype(spec)
             return {
                 "k": jnp.zeros((n, W, self.num_kv_heads, self.head_dim), dt),
@@ -303,22 +305,45 @@ class Attention(Module):
             }
             ctx.cache[self.key] = layer
 
-            # prior entries must be strictly older than the chunk start —
-            # stale speculative slots could otherwise duplicate chunk keys
-            start = (ctx.cache_seqlens if ctx.cache_seqlens is not None
-                     else jnp.min(ctx.positions, axis=1))
-            prev_valid = (pos_prev >= 0) & (pos_prev < start[:, None])
-            k_all = jnp.concatenate([k_prev.astype(dt), k.astype(dt)], axis=1)
-            v_all = jnp.concatenate([v_prev.astype(dt), v.astype(dt)], axis=1)
-            k_pos = jnp.concatenate([pos_prev, ctx.positions], axis=1)
-            k_valid = jnp.concatenate([prev_valid, valid], axis=1)
-            o = attend_dense(
-                q.astype(dt), k_all, v_all,
-                q_positions=ctx.positions, k_positions=k_pos,
-                k_valid=k_valid, scale=self.sm_scale,
-                sliding_window=self.sliding_window,
-                logit_softcap=self.logit_softcap, sinks=sinks,
-            )
+            from ..ops.flash_attention import ring_kernel_fits
+
+            backend = attn_backend()
+            if S == 1 and backend != "dense" and ring_kernel_fits(
+                    W, self.num_kv_heads, self.head_dim,
+                    layer["k"].dtype.itemsize):
+                # decode via the ring kernel: reads the (freshly scattered)
+                # ring straight from the state arrays via slot rows — no
+                # (B, W, Hk, D) gather copy; stale speculative slots carry
+                # future positions and self-mask
+                from ..ops.flash_attention import flash_ring_attention
+
+                o = flash_ring_attention(
+                    q, layer["k"], layer["v"], layer["pos"], slots,
+                    ctx.positions, sinks=sinks, scale=self.sm_scale,
+                    sliding_window=self.sliding_window,
+                    logit_softcap=self.logit_softcap,
+                    interpret=(backend == "interpret"),
+                ).astype(dt)
+            else:
+                # prior entries must be strictly older than the chunk start
+                # — stale speculative slots could otherwise duplicate chunk
+                # keys
+                start = (ctx.cache_seqlens if ctx.cache_seqlens is not None
+                         else jnp.min(ctx.positions, axis=1))
+                prev_valid = (pos_prev >= 0) & (pos_prev < start[:, None])
+                k_all = jnp.concatenate(
+                    [k_prev.astype(dt), k.astype(dt)], axis=1)
+                v_all = jnp.concatenate(
+                    [v_prev.astype(dt), v.astype(dt)], axis=1)
+                k_pos = jnp.concatenate([pos_prev, ctx.positions], axis=1)
+                k_valid = jnp.concatenate([prev_valid, valid], axis=1)
+                o = attend_dense(
+                    q.astype(dt), k_all, v_all,
+                    q_positions=ctx.positions, k_positions=k_pos,
+                    k_valid=k_valid, scale=self.sm_scale,
+                    sliding_window=self.sliding_window,
+                    logit_softcap=self.logit_softcap, sinks=sinks,
+                )
         elif ctx.attn_mode == "paged":
             layer_state = ctx.cache[self.key]
             layer_state = paged_cache_update(

@@ -183,6 +183,8 @@ def _flash_kernel(
     i = 0
     if layout == "paged":
         bt_ref = refs[i]; i += 1
+    elif layout == "ring":
+        rows_ref = refs[i]; i += 1   # (B,) int32 state-slot rows
     pf_ref = refs[i]; i += 1
     pl_ref = refs[i]; i += 1
     q_ref = refs[i]; i += 1          # (1, Hb, QT, G, D)
@@ -199,6 +201,8 @@ def _flash_kernel(
             vs_ref = refs[i]; i += 1
         else:
             v_ref = refs[i]; i += 1
+    if layout == "ring":
+        kpos_ref = refs[i]; i += 1   # (1, 1, TB) int32 per-slot positions
     qpos_ref = refs[i]; i += 1       # (1, QT*G, 1) int32
     sink_ref = refs[i]; i += 1       # (Hb, QT*G, 1) f32
     if k_bits:
@@ -263,8 +267,16 @@ def _flash_kernel(
                 preferred_element_type=jnp.float32) * scale
             if logit_softcap:
                 s = jnp.tanh(s / logit_softcap) * logit_softcap
-            kp = p * TB + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            mask = kp <= qpos
+            if layout == "ring":
+                # ring slots carry arbitrary absolute positions; -1 = never
+                # written, future positions = stale speculative writes. The
+                # whole ring rides one block (full-dim blocks are exempt
+                # from tile-shape rules), so TB == W here.
+                kp = kpos_ref[0]                           # (1, W)
+                mask = (kp >= 0) & (kp <= qpos)
+            else:
+                kp = p * TB + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                mask = kp <= qpos
             if sliding_window:
                 mask &= kp > qpos - sliding_window
             s = jnp.where(mask, s, NEG_INF)
@@ -548,3 +560,107 @@ def flash_attention(
 def flash_supported(k_bits: int, v_bits: int) -> bool:
     """In-kernel dequant requires word-aligned bit-widths."""
     return k_bits in FAST_BITS and v_bits in FAST_BITS
+
+
+def ring_kernel_fits(W: int, Hk: int, D: int, itemsize: int = 2,
+                     budget: int = 6 * 1024 * 1024) -> bool:
+    """The ring-decode kernel holds the whole ring (K+V) in VMEM per step;
+    windows past the budget fall back to the dense path."""
+    return 2 * W * Hk * D * itemsize <= budget
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window", "logit_softcap", "interpret",
+                     "out_dtype"),
+)
+def flash_ring_attention(
+    q,           # (B, 1, Hq, D) decode-step queries
+    ring_k,      # (N, W, Hk, D) ring slots (slot = pos % W)
+    ring_v,      # (N, W, Hk, D)
+    ring_pos,    # (N, W) int32 absolute position per slot (-1 = unwritten)
+    slots,       # (B,) int32 state-slot row per batch entry
+    q_positions,  # (B, 1) int32
+    sinks=None,
+    scale: float = 1.0,
+    sliding_window: int = 0,
+    logit_softcap: float = 0.0,
+    interpret: bool = False,
+    out_dtype=jnp.float32,
+):
+    """SWA-ring decode (S=1): reads each sequence's ring DIRECTLY from the
+    state arrays via scalar-prefetched slot rows — no (B, W, Hk, D) gather
+    copy — masking by the per-slot absolute positions (stale speculative
+    slots carry future positions and self-mask). The whole ring loads as one
+    VMEM block (gate with ring_kernel_fits).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, Hq, D = q.shape
+    assert S == 1
+    N, W, Hk, _ = ring_k.shape
+    G = Hq // Hk
+    TB = W  # whole ring in one block; see ring_kernel_fits
+    Wb = 1
+
+    qk = q.reshape(B, 1, Hk, G, D).transpose(0, 2, 1, 3, 4)  # (B,Hk,1,G,D)
+    pos3 = ring_pos.reshape(N, 1, W).astype(jnp.int32)
+    qpos_rows = jnp.repeat(q_positions.astype(jnp.int32), G, axis=1)[..., None]
+    has_sinks = sinks is not None
+    sink_rows = (sinks.astype(jnp.float32).reshape(Hk, G, 1) if has_sinks
+                 else jnp.zeros((Hk, G, 1), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, 1, 1, Wb),
+        in_specs=[
+            pl.BlockSpec((1, Hk, 1, G, D),
+                         lambda b, hg, qt_, p, *s: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, Hk, D),
+                         lambda b, hg, qt_, p, rows, pf, pl_: (rows[b], p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, Hk, D),
+                         lambda b, hg, qt_, p, rows, pf, pl_: (rows[b], p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W),
+                         lambda b, hg, qt_, p, rows, pf, pl_: (rows[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 1),
+                         lambda b, hg, qt_, p, *s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hk, G, 1), lambda b, hg, qt_, p, *s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hk, 1, G, D),
+                               lambda b, hg, qt_, p, *s: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Hk * G, 1), jnp.float32),
+            pltpu.VMEM((Hk * G, 1), jnp.float32),
+            pltpu.VMEM((Hk * G, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _flash_kernel,
+        layout="ring", Hb=Hk, QT=1, G=G, D=D, Dv=D, TB=TB,
+        flat_heads=False, k_bits=0, v_bits=0, compand_a=0.0,
+        d_extra=0, v_from_k=False, scale=scale,
+        sliding_window=sliding_window, logit_softcap=logit_softcap,
+        has_sinks=has_sinks,
+    )
+    pf = jnp.zeros((B, 1), jnp.int32)
+    pl_arr = jnp.full((B, 1), Wb - 1, jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hk, 1, G, D), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(slots.astype(jnp.int32), pf, pl_arr, qk, ring_k, ring_v, pos3,
+      qpos_rows, sink_rows)
+    return out.transpose(0, 2, 1, 3, 4).reshape(B, 1, Hq, D)

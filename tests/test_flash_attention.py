@@ -191,3 +191,40 @@ def test_padded_rows_and_batch():
         jnp.asarray(total), block_tables=jnp.asarray(bt),
         scale=scale, interpret=True))
     np.testing.assert_allclose(got[:1, :20], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_ring_decode_kernel():
+    """SWA-ring decode kernel vs dense reference: arbitrary per-slot
+    positions, unwritten (-1) and stale-future slots masked."""
+    from exllamav3_tpu.ops.flash_attention import flash_ring_attention
+
+    rng = np.random.default_rng(9)
+    N, W, Hk, D, Hq, B = 5, 48, 2, 64, 8, 3
+    sw = 40
+    ring_k = jnp.asarray(rng.standard_normal((N, W, Hk, D)).astype(np.float32) * 0.3)
+    ring_v = jnp.asarray(rng.standard_normal((N, W, Hk, D)).astype(np.float32) * 0.3)
+    slots = np.array([4, 0, 2], np.int32)
+    qpos = np.array([[100], [47], [10]], np.int32)
+    # positions: mostly the last W window, some unwritten, some stale future
+    pos = np.full((N, W), -1, np.int32)
+    for b, s in enumerate(slots):
+        p0 = int(qpos[b, 0])
+        for t in range(min(p0 + 1, W)):
+            pp = p0 - t
+            pos[s, pp % W] = pp
+        pos[s, (p0 + 3) % W] = p0 + 3  # stale speculative write
+    pos_j = jnp.asarray(pos)
+
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)).astype(np.float32))
+    got = np.asarray(flash_ring_attention(
+        q, ring_k, ring_v, pos_j, jnp.asarray(slots), jnp.asarray(qpos),
+        scale=D ** -0.5, sliding_window=sw, interpret=True))
+
+    k_g = np.asarray(ring_k)[slots]
+    v_g = np.asarray(ring_v)[slots]
+    kpos_g = pos[slots]
+    ref = np.asarray(attend_dense(
+        q, jnp.asarray(k_g), jnp.asarray(v_g), jnp.asarray(qpos),
+        jnp.asarray(kpos_g), k_valid=jnp.asarray(kpos_g >= 0),
+        scale=D ** -0.5, sliding_window=sw))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

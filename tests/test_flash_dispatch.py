@@ -100,3 +100,38 @@ def test_flash_quant_cache_close_to_dense(model_dir, compand):
         denom = np.maximum(np.abs(a).max(), 1e-6)
         assert np.abs(a - b).max() / denom < 0.05
         assert a.argmax() == b.argmax()
+
+
+def test_flash_swa_ring_matches_dense(model_dir, tmp_path):
+    """SWA-ring decode kernel through the generator: identical tokens to
+    the dense ring path."""
+    from exllamav3_tpu.conversion.synth import write_synth_dense_for_arch
+
+    d = str(tmp_path / "g2")
+    cfg = dict(
+        architectures=["Gemma2ForCausalLM"], bos_token_id=2, eos_token_id=1,
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        max_position_embeddings=4096, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, rms_norm_eps=1e-5,
+        rope_theta=10000.0, torch_dtype="bfloat16", head_dim=32,
+        hidden_act="gelu_pytorch_tanh", sliding_window=8,
+        query_pre_attn_scalar=32, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, tie_word_embeddings=True,
+    )
+    write_synth_dense_for_arch(d, cfg, seed=19)
+
+    def run(backend):
+        os.environ["EXL3_TPU_ATTN"] = backend
+        try:
+            m = Model.from_config(Config.from_directory(d))
+            m.load()
+            cache = Cache(m, CacheSpec(layout="paged", num_pages=8,
+                                       swa_ring=True, recurrent_slots=5))
+            gen = Generator(m, cache, max_batch_size=4)
+            prompt = np.arange(30, dtype=np.int64) % 200 + 3
+            return gen.generate(prompt, max_new_tokens=16,
+                                sampler=GreedySampler(), decode_text=False)
+        finally:
+            os.environ.pop("EXL3_TPU_ATTN", None)
+
+    assert run("interpret") == run("dense")
