@@ -254,6 +254,48 @@ def main():
         except Exception as e:  # keep the primary metric on any failure
             detail["fused_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    if on_tpu:
+        # DeepSeek-family decode: absorbed-MLA latent attention through the
+        # Pallas kernel (Hk=1, V = latent prefix of K)
+        try:
+            from exllamav3_tpu.conversion.synth import write_synth_dense_for_arch
+
+            mla_cfg = dict(
+                architectures=["DeepseekV3ForCausalLM"], bos_token_id=1,
+                eos_token_id=2, vocab_size=32768, hidden_size=2048,
+                intermediate_size=8192, max_position_embeddings=8192,
+                num_attention_heads=16, num_hidden_layers=12,
+                rms_norm_eps=1e-5, rope_theta=10000.0,
+                torch_dtype="bfloat16", hidden_act="silu",
+                kv_lora_rank=512, qk_nope_head_dim=128, qk_rope_head_dim=64,
+                v_head_dim=128,
+                # all-dense MLP layers: isolates MLA decode cost
+                n_routed_experts=8, num_experts_per_tok=2,
+                n_shared_experts=1, moe_intermediate_size=64,
+                first_k_dense_replace=12, n_group=2, topk_group=1,
+                norm_topk_prob=True, routed_scaling_factor=1.0,
+                scoring_func="sigmoid",
+            )
+            dm = os.path.join(tempfile.gettempdir(), "exl3tpu_bench_mla")
+            if not os.path.exists(os.path.join(dm, "config.json")):
+                write_synth_dense_for_arch(dm, mla_cfg, seed=4)
+            t0 = time.time()
+            model_m = Model.from_config(Config.from_directory(dm))
+            model_m.load()
+            detail["load_s_mla"] = round(time.time() - t0, 1)
+            wb_m = sum(a.size * a.dtype.itemsize
+                       for g in model_m.params.values() for a in g.values())
+            detail["mla_roofline_tok_s"] = round(hbm_gbps * 1e9 / wb_m, 2)
+            saved_vocab = cfg["vocab_size"]  # measure_decode samples from cfg
+            cfg["vocab_size"] = mla_cfg["vocab_size"]
+            detail["mla_decode_tok_s"] = round(
+                measure_decode(model_m, 1, decode_steps), 2)
+            cfg["vocab_size"] = saved_vocab
+            del model_m
+            gc.collect()
+        except Exception as e:
+            detail["mla_error"] = f"{type(e).__name__}: {e}"[:200]
+
     detail["total_bench_s"] = round(time.time() - t_start, 1)
     print(json.dumps({
         "metric": "decode_tok_s",
