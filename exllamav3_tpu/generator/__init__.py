@@ -9,4 +9,5 @@ from .sampler import (
     TopKSampler,
     TopPSampler,
     CustomSampler,
+    AdaptivePSampler,
 )

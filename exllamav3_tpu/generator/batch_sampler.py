@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from .sampler import (
     Sampler,
+    SS_AdaptiveP,
     SS_Temperature,
     SS_TopK,
     SS_TopP,
@@ -41,6 +42,7 @@ class BatchSamplerParams:
     frequency_p: np.ndarray  # (B,) f32
     xtc_threshold: np.ndarray  # (B,) f32
     xtc_probability: np.ndarray  # (B,) f32, 0 = off
+    adaptive_target: np.ndarray  # (B,) f32, 0 = off (adapted per step)
     greedy: np.ndarray  # (B,) bool
 
     @staticmethod
@@ -56,6 +58,7 @@ class BatchSamplerParams:
             frequency_p=np.zeros(B, np.float32),
             xtc_threshold=np.ones(B, np.float32),
             xtc_probability=np.zeros(B, np.float32),
+            adaptive_target=np.zeros(B, np.float32),
             greedy=np.zeros(B, bool),
         )
         for i, s in enumerate(samplers):
@@ -77,6 +80,9 @@ class BatchSamplerParams:
                 elif isinstance(step, SS_XTC):
                     p.xtc_threshold[i] = step.threshold
                     p.xtc_probability[i] = step.probability
+                elif isinstance(step, SS_AdaptiveP):
+                    if step.target < 1.0:
+                        p.adaptive_target[i] = step.adapted_target()
         return p
 
     def as_device(self) -> dict:
@@ -90,14 +96,18 @@ class BatchSamplerParams:
             "frequency_p": jnp.asarray(self.frequency_p),
             "xtc_threshold": jnp.asarray(self.xtc_threshold),
             "xtc_probability": jnp.asarray(self.xtc_probability),
+            "adaptive_target": jnp.asarray(self.adaptive_target),
             "greedy": jnp.asarray(self.greedy),
         }
 
 
-def batch_sample(logits, sp: dict, counts, key, filter_mask=None):
+def batch_sample(logits, sp: dict, counts, key, filter_mask=None,
+                 return_probs: bool = False):
     """logits: (B, V) f32; sp: device param dict; counts: (B, V) int32.
 
-    Returns sampled token ids (B,) int32. One fused chain, per-row params.
+    Returns sampled token ids (B,) int32; with return_probs also the
+    sampled token's post-truncation probability (B,) f32 (adaptive-p
+    feedback). One fused chain, per-row params.
     """
     B, V = logits.shape
     x = logits.astype(jnp.float32)
@@ -142,9 +152,21 @@ def batch_sample(logits, sp: dict, counts, key, filter_mask=None):
     gate = (jax.random.uniform(xtc_key, (B, 1)) < sp["xtc_probability"][:, None])
     drop = above & (probs > min_above) & (n_above >= 2) & gate
     x = jnp.where(drop, NEG_INF, x)
+    # adaptive-p (reference sampling_extra.cu adaptivep_gumbel_noise): bell
+    # faux-logits centered on the per-row adapted target probability
+    probs = jax.nn.softmax(x, axis=-1)
+    at = sp["adaptive_target"][:, None]
+    a = jnp.abs(probs - at) / 0.3
+    faux = jnp.where(probs < 1e-8, NEG_INF, 5.0 - 10.0 * a * a / (a + 1.0))
+    x = jnp.where(at > 0.0, faux, x)
     # sample / argmax
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, x.shape, minval=1e-20, maxval=1.0)))
     noisy = jnp.where(x <= NEG_INF / 2, NEG_INF, x + gumbel)
     sampled = jnp.argmax(noisy, axis=-1)
     greedy = jnp.argmax(x, axis=-1)
-    return jnp.where(sp["greedy"], greedy, sampled).astype(jnp.int32)
+    tok = jnp.where(sp["greedy"], greedy, sampled).astype(jnp.int32)
+    if not return_probs:
+        return tok
+    tok_p = jnp.take_along_axis(probs, tok[:, None].astype(jnp.int32),
+                                axis=-1)[:, 0]
+    return tok, tok_p

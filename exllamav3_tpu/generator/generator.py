@@ -29,6 +29,7 @@ from ..constants import PAGE_SIZE
 from .job import Job
 from .pagetable import PageTable, _page_hash
 from .batch_sampler import BatchSamplerParams, batch_sample
+from .sampler import SS_AdaptiveP
 
 
 def _bucket(n: int, buckets) -> int:
@@ -723,13 +724,15 @@ class Generator:
                     l_neg = last[cfg_pair]
                     last = l_neg + cfg_mix[:, None] * (last - l_neg)
                 counts = counts_full[slot_ids]
-                toks = batch_sample(last, sp, counts, rng, filter_mask=filter_mask)
+                toks, tok_p = batch_sample(last, sp, counts, rng,
+                                           filter_mask=filter_mask,
+                                           return_probs=True)
                 counts_full = counts_full.at[slot_ids, toks].add(1)
                 if logprobs:
                     lsm = jax.nn.log_softmax(last, axis=-1)
                     lp_vals, lp_ids = jax.lax.top_k(lsm, 8)
-                    return toks, state, counts_full, lp_vals, lp_ids
-                return toks, state, counts_full
+                    return toks, tok_p, state, counts_full, lp_vals, lp_ids
+                return toks, tok_p, state, counts_full
 
             self._decode_fns[key] = jax.jit(fn, donate_argnums=(2, 7))
         return self._decode_fns[key]
@@ -818,12 +821,21 @@ class Generator:
             jnp.asarray(pair), jnp.asarray(mix), mrope,
         )
         if want_lp:
-            toks, self.cache.state, self.token_counts, lp_vals, lp_ids = out
+            toks, tok_p, self.cache.state, self.token_counts, lp_vals, lp_ids = out
             lp_vals, lp_ids = np.asarray(lp_vals), np.asarray(lp_ids)
         else:
-            toks, self.cache.state, self.token_counts = out
+            toks, tok_p, self.cache.state, self.token_counts = out
             lp_vals = lp_ids = None
         toks = np.asarray(toks)
+        # adaptive-p feedback: the sampled probability adapts next step's
+        # per-row target (reference SS_AdaptiveP running decayed average)
+        adaptive = [(i, st) for i, (j, neg) in enumerate(rows) if not neg
+                    for st in j.sampler.steps
+                    if isinstance(st, SS_AdaptiveP) and st.target < 1.0]
+        if adaptive:
+            tp = np.asarray(tok_p)
+            for i, st in adaptive:
+                st.update(float(tp[i]))
 
         for i, (job, is_neg) in enumerate(rows):
             if is_neg:

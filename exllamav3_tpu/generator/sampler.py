@@ -164,6 +164,52 @@ class SS_MaskApply(SS):
         return logits + mask
 
 
+@dataclass
+class SS_AdaptiveP(SS):
+    """Adaptive-P (reference sampler/custom.py SS_AdaptiveP:864 +
+    sampling_extra.cu adaptivep_gumbel_noise): replaces logits with a bell
+    centered on an adapted target probability — faux logit =
+    PEAK - SHARP*a^2/(a+1), a = |p - target|/WIDTH — then the usual
+    gumbel-argmax samples a token whose probability tracks the target. A
+    running decayed average of SAMPLED probabilities adapts the target
+    (host-side feedback; the generator's batched path feeds update())."""
+
+    target: float = 1.0
+    decay: float = 0.0
+    weighted_sum: float = 0.0
+    total_weight: float = 0.0
+
+    WIDTH = 0.3
+    PEAK = 5.0
+    SHARP = 10.0
+
+    def __post_init__(self):
+        cd = max(min(self.decay, 0.99), 0.0)
+        self.weighted_sum = self.target / (1.0 - cd)
+        self.total_weight = 1.0 / (1.0 - cd)
+
+    def adapted_target(self) -> float:
+        t = min(max(self.target, 0.0), 1.0)
+        if self.total_weight == 0.0:
+            return t
+        a = 2.0 * t - (self.weighted_sum / self.total_weight)
+        return min(max(a, 0.0), 1.0)
+
+    def update(self, sampled_prob: float) -> None:
+        self.weighted_sum = sampled_prob + self.decay * self.weighted_sum
+        self.total_weight = 1.0 + self.decay * self.total_weight
+
+    def apply(self, logits, state):
+        # NOTE: standalone path reads the adapted target at trace time;
+        # the generator's batched path threads it as a per-row array
+        t = state.get("adaptive_target", self.adapted_target())
+        probs = jax.nn.softmax(
+            jnp.where(logits <= NEG_INF / 2, NEG_INF, logits), axis=-1)
+        a = jnp.abs(probs - t) / self.WIDTH
+        faux = self.PEAK - self.SHARP * a * a / (a + 1.0)
+        return jnp.where(probs < 1e-8, NEG_INF, faux)
+
+
 @dataclass(frozen=True)
 class Sampler:
     steps: tuple = ()
@@ -211,6 +257,14 @@ def TopPSampler(top_p: float = 0.9, temperature: float = 0.8) -> Sampler:
     return CustomSampler(temperature=temperature, top_p=top_p)
 
 
+def AdaptivePSampler(target: float = 0.3, decay: float = 0.9,
+                     temperature: float = 1.0) -> Sampler:
+    """Adaptive-P preset (reference presets.py): sampled-token probability
+    tracks `target` via a decayed running average."""
+    return CustomSampler(temperature=temperature, adaptive_p=target,
+                         adaptive_decay=decay)
+
+
 def CustomSampler(
     temperature: float = 1.0,
     top_k: int = 0,
@@ -221,6 +275,8 @@ def CustomSampler(
     frequency_p: float = 0.0,
     logit_bias: tuple = (),
     ban_tokens: tuple = (),
+    adaptive_p: float = 1.0,
+    adaptive_decay: float = 0.0,
 ) -> Sampler:
     steps: list = [SS_MaskApply()]
     if ban_tokens:
@@ -239,4 +295,6 @@ def CustomSampler(
         steps.append(SS_TopP(top_p))
     if min_p > 0.0:
         steps.append(SS_MinP(min_p))
+    if adaptive_p < 1.0:
+        steps.append(SS_AdaptiveP(target=adaptive_p, decay=adaptive_decay))
     return Sampler(steps=tuple(steps))
