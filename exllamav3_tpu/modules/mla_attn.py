@@ -214,11 +214,13 @@ class MLAttention(Module):
             backend = attn_backend(ctx.k_bits, ctx.v_bits)
             lin_ok = (ctx.attn_mode == "paged"
                       or layer[next(iter(layer))].shape[1] % 8 == 0)
-            if backend != "dense" and S <= 32 and lin_ok:
-                # absorbed decode / SD-verify via the Pallas kernel: Hk=1,
-                # V = leading `c` channels of the latent row (never fetched
-                # separately); prefill keeps the dense path (S/QT re-reads
-                # of the latent would swamp HBM for MQA-shaped caches)
+            if backend != "dense" and lin_ok:
+                # absorbed decode / SD-verify / PREFILL via the Pallas
+                # kernel: Hk=1, V = leading `c` channels of the latent row
+                # (never fetched separately). Prefill re-reads the latent
+                # S/QT times (tall q blocks bound it); the dense alternative
+                # materializes O(S*T*Hq) scores, which explodes at long
+                # context
                 from ..ops.flash_attention import flash_attention
                 from .attn import _total_lens
 

@@ -300,12 +300,14 @@ def _flash_kernel(
 # -- host-side wrapper ---------------------------------------------------------
 
 def _choose_blocks(S: int, G: int, Hk: int):
-    """-> (Hb, QT): wide for decode/verify, tall for prefill. Tall QT is a
+    """-> (Hb, QT): wide for decode/verify, tall for prefill. Tall q blocks
+    target ~1024 score rows (bigger blocks divide the K re-read factor S/QT;
+    VMEM stays modest: q ~1 MB + accumulators ~4 MB at Dv=512). QT is a
     multiple of 8 so sliced q-position blocks satisfy Mosaic's sublane
     divisibility."""
     if S <= 32:
         return Hk, S
-    QT = max(8, min(S, max(1, 256 // G)))
+    QT = max(8, min(S, max(1, 1024 // G)))
     QT = ((QT + 7) // 8) * 8
     return 1, QT
 
