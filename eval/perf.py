@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Prefill / decode throughput benchmark (feature reference:
-/root/reference/eval/perf.py).
+/root/reference/eval/perf.py), plus a mixed-load serving section through
+the continuous-batching generator reporting p50/p95 TTFT (BASELINE
+metric 3).
 
     python eval/perf.py -m <model_dir> [-b 1 4 16] [--prefill 2048]
+    python eval/perf.py -m <model_dir> --serving [--jobs 12]
 """
 from __future__ import annotations
 
@@ -23,6 +26,12 @@ def main():
     p.add_argument("--prefill", type=int, default=2048)
     p.add_argument("--decode_steps", type=int, default=128)
     p.add_argument("--linear_mode", default="auto")
+    p.add_argument("--serving", action="store_true",
+                   help="mixed prefill/decode load through the Generator; "
+                        "reports p50/p95 TTFT and aggregate throughput")
+    p.add_argument("--jobs", type=int, default=12)
+    p.add_argument("--max_new", type=int, default=64)
+    p.add_argument("--max_batch", type=int, default=8)
     args = p.parse_args()
 
     import jax
@@ -36,6 +45,44 @@ def main():
     model.load()
     V = config.vocab_size
     rng = np.random.default_rng(0)
+
+    if args.serving:
+        from exllamav3_tpu.constants import PAGE_SIZE
+        from exllamav3_tpu.generator import Generator, Job, GreedySampler
+
+        pages = max(8, (args.jobs * (args.prefill // 2 + args.max_new))
+                    // PAGE_SIZE + args.jobs + 2)
+        cache = Cache(model, CacheSpec(layout="paged", num_pages=pages))
+        gen = Generator(model, cache, max_batch_size=args.max_batch)
+
+        def mk_jobs():
+            out = []
+            for i in range(args.jobs):
+                plen = int(rng.integers(args.prefill // 4, args.prefill // 2))
+                out.append(Job(rng.integers(3, V, size=plen),
+                               max_new_tokens=args.max_new,
+                               sampler=GreedySampler(), identifier=i))
+            return out
+
+        def run(jobs):
+            for j in jobs:
+                gen.enqueue(j)
+            t0 = time.time()
+            ttfts, new = [], 0
+            while gen.pending or gen.active:
+                for ev in gen.iterate():
+                    if ev["stage"] == "finished":
+                        ttfts.append(ev["ttft_s"])
+                        new += ev["generated_tokens"]
+            return ttfts, new, time.time() - t0
+
+        run(mk_jobs()[: max(2, args.jobs // 2)])  # warm the bucket shapes
+        ttfts, new, dt = run(mk_jobs())
+        print(f"serving ({args.jobs} jobs, batch {args.max_batch}): "
+              f"p50 TTFT {np.percentile(ttfts, 50)*1e3:.0f} ms   "
+              f"p95 TTFT {np.percentile(ttfts, 95)*1e3:.0f} ms   "
+              f"throughput {new/dt:.1f} tok/s")
+        return
 
     for B in args.batches:
         S = args.prefill
