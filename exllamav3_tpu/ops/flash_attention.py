@@ -57,9 +57,11 @@ def channel_perm(D: int, bits: int) -> tuple:
 
     The packed layout (ops/kv_quant.py) stores the value with in-group index
     i in word i//J at field (i%J)*bits, J = 32//bits, words laid out
-    group-major. The kernel extracts field j of every word in one shift+mask
-    pass and concatenates the J passes along lanes, so lane position
-    p = j*(g*bits) + group*bits + w holds channel 32*group + w*J + j.
+    group-major. The kernel widens the word block J-fold with pltpu.repeat
+    (tile order: wwide[p] = w[p %% gw] — repeats are near-free on TPU where
+    lane CONCATS of narrow slices relayout at ~50x the cost) and extracts
+    field p//gw with one variable shift, so lane position
+    p = j*gw + group*bits + w holds channel 32*group + w*J + j.
     Returns (perm, inv_perm) as numpy arrays: x_kernel = x[..., perm];
     x = x_kernel[..., inv_perm].
     """
@@ -81,12 +83,22 @@ def channel_perm(D: int, bits: int) -> tuple:
 @functools.lru_cache(maxsize=None)
 def _scale_expand_mat(D: int, bits: int, factor: float = 1.0) -> np.ndarray:
     """(g, D) f32 matrix: scales (T, g) @ E -> per-lane scale*factor in the
-    kernel's permuted channel order (lane p -> group (p % (g*bits)) // bits)."""
+    kernel's permuted channel order (lane p -> group (p %% (g*bits)) //
+    bits). A (T,4)x(4,128) matmul per head-page — measured ~2 us total per
+    decode step, not worth restructuring away."""
     g = D // 32
     E = np.zeros((g, D), np.float32)
     for p in range(D):
         E[(p % (g * bits)) // bits, p] = factor
     return E
+
+
+@functools.lru_cache(maxsize=None)
+def _field_shifts(D: int, bits: int) -> np.ndarray:
+    """(1, D) uint32 per-lane shift amounts for the repeat-widened unpack:
+    lane p extracts field p // gw of word p %% gw."""
+    gw = (D // 32) * bits
+    return ((np.arange(D, dtype=np.uint32) // gw) * bits).reshape(1, D)
 
 
 @functools.lru_cache(maxsize=None)
@@ -103,13 +115,15 @@ def _h_block(D: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _q_transform(D: int, bits: int, extra: int = 0) -> np.ndarray:
+def _q_transform(D: int, bits: int, extra: int = 0,
+                 factor: float = 1.0) -> np.ndarray:
     """(D+extra, D+extra): rotate q per group THEN land in the kernel's
     permuted channel order (identity on the trailing `extra` channels).
     Scores are rotation-invariant, so the stored-KV rotation costs only this
-    one activation-side matmul."""
+    one activation-side matmul — which also absorbs the midpoint grid's 2/N
+    dequant factor (`factor`, applied to the quantized block only)."""
     perm, _ = channel_perm(D, bits)
-    m = _h_block(D)[:, perm]
+    m = _h_block(D)[:, perm] * factor
     if not extra:
         return m
     out = np.zeros((D + extra, D + extra), np.float32)
@@ -119,39 +133,43 @@ def _q_transform(D: int, bits: int, extra: int = 0) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _out_transform(Dv: int, bits: int) -> np.ndarray:
+def _out_transform(Dv: int, bits: int, factor: float = 1.0) -> np.ndarray:
     """(Dv, Dv): un-permute the kernel's V channel order AND undo the group
-    rotation on the attention output."""
+    rotation on the attention output (absorbing the 2/N dequant factor)."""
     perm, _ = channel_perm(Dv, bits)
-    return _h_block(Dv)[perm, :]
+    return _h_block(Dv)[perm, :] * factor
 
 
-def _dequant_rows(words, scales, bits: int, exp_mat, compand_a: float):
+def _dequant_rows(words, scales, bits: int, exp_mat, shvec, compand_a: float):
     """words (T, g*bits) int32, scales (T, g) bf16 -> (T, D) f32 ROTATED
     values in permuted channel order. Mirrors ops/kv_quant.dequantize_kv
     (midpoint grid / cubic compander) minus the group un-rotation, which the
-    caller folds into the activations."""
+    caller folds into the activations.
+
+    Built from ops that are near-free on TPU (measured): one pltpu.repeat
+    widening (a lane CONCAT of J narrow slices costs ~130 us per decode
+    step at 8K context; the tile-repeat costs ~nothing), one variable shift
+    by a constant per-lane vector, mask, casts, and the scale-expand
+    matmul. The midpoint grid's 2/N factor folds into the activation-side
+    transforms (zero in-kernel cost)."""
+    from jax.experimental.pallas import tpu as pltpu
+
     J = 32 // bits
     N = 1 << bits
     mask = jnp.uint32((1 << bits) - 1)
-    w = words.astype(jnp.uint32)
+    wwide = pltpu.repeat(words.astype(jnp.uint32), J, axis=1)   # (T, D)
     # uint32->f32 casts are unsupported in Mosaic; fields are < 2^bits so
     # the int32 detour is exact
-    parts = [((w >> jnp.uint32(j * bits)) & mask)
-             .astype(jnp.int32).astype(jnp.float32) for j in range(J)]
-    q = jnp.concatenate(parts, axis=-1)
-    sf = scales.astype(jnp.float32)
+    q = ((wwide >> shvec) & mask).astype(jnp.int32).astype(jnp.float32)
+    se = jnp.dot(scales.astype(jnp.float32), exp_mat,
+                 preferred_element_type=jnp.float32)
     if compand_a > 0.0:
         t = (q + np.float32((1 - N) / 2)) * np.float32(2.0 / N)
         b = 1.0 - compand_a
         t = t * (np.float32(compand_a) + np.float32(b) * t * t)
-        se = jnp.dot(sf, exp_mat, preferred_element_type=jnp.float32)
         return t * se
-    # midpoint grid: ((2q+1)/N - 1) * s — the affine folds into the offset
-    # and the 2/N factor into the scale-expand matmul
-    vals = q + np.float32((1 - N) / 2)
-    se = jnp.dot(sf, exp_mat, preferred_element_type=jnp.float32)
-    return vals * se
+    # midpoint grid ((2q+1)/N - 1) * s; 2/N lives in mq/mo outside
+    return (q + np.float32((1 - N) / 2)) * se
 
 
 # -- kernel body ---------------------------------------------------------------
@@ -207,8 +225,10 @@ def _flash_kernel(
     sink_ref = refs[i]; i += 1       # (Hb, QT*G, 1) f32
     if k_bits:
         ematk_ref = refs[i]; i += 1  # ((D-d_extra)//32, D-d_extra) f32
+        shk_ref = refs[i]; i += 1    # (1, D-d_extra) uint32 field shifts
     if v_bits and not v_from_k:
         ematv_ref = refs[i]; i += 1  # (Dv//32, Dv) f32
+        shv_ref = refs[i]; i += 1    # (1, Dv) uint32
     o_ref = refs[i]; i += 1          # (1, Hb, QT, G, Dv)
     m_ref, l_ref, acc_ref = refs[i], refs[i + 1], refs[i + 2]
 
@@ -237,14 +257,16 @@ def _flash_kernel(
         qpos = qpos_ref[0]                         # (R, 1) int32
         if k_bits:
             emat_k = ematk_ref[:]
+            shk = shk_ref[:]
         if v_bits and not v_from_k:
             emat_v = ematv_ref[:]
+            shv = shv_ref[:]
         for h in range(Hb):
             rows = slice(h * R, (h + 1) * R)
             q = q_ref[0, h].reshape(R, D).astype(jnp.float32)
             if k_bits:
                 k = _dequant_rows(kq_ref[0, :, h, :], ks_ref[0, :, h, :],
-                                  k_bits, emat_k, compand_a)
+                                  k_bits, emat_k, shk, compand_a)
                 if d_extra:
                     k = jnp.concatenate(
                         [k, ke_ref[0, :, h, :].astype(jnp.float32)], axis=-1)
@@ -256,7 +278,7 @@ def _flash_kernel(
                 v = k[:, :Dv]
             elif v_bits:
                 v = _dequant_rows(vq_ref[0, :, h, :], vs_ref[0, :, h, :],
-                                  v_bits, emat_v, compand_a)
+                                  v_bits, emat_v, shv, compand_a)
             elif flat_heads:
                 v = v_ref[0].astype(jnp.float32)
             else:
@@ -369,14 +391,16 @@ def flash_attention(
 
     # -- resolve K/V arrays + activation-side rotate/permute transforms -------
     mq = mo = None  # q-side and output-side (D, D)/(Dv, Dv) matrices
+    fac_k = 1.0 if compand_a > 0.0 else 2.0 / (1 << k_bits) if k_bits else 1.0
+    fac_v = 1.0 if compand_a > 0.0 else 2.0 / (1 << v_bits) if v_bits else 1.0
     if mla:
         if k_bits:
             kq = layer_state["kv_q"]
             ks = layer_state["kv_s"]
             ke = layer_state["k_pe"]
             d_extra = ke.shape[-1]
-            mq = _q_transform(latent, k_bits, extra=d_extra)
-            mo = _out_transform(latent, k_bits)
+            mq = _q_transform(latent, k_bits, extra=d_extra, factor=fac_k)
+            mo = _out_transform(latent, k_bits, factor=fac_k)
             k_inputs = (kq, ks, ke)
             D = latent + d_extra
         else:
@@ -388,14 +412,14 @@ def flash_attention(
         if k_bits:
             k_inputs = (layer_state["k_q"], layer_state["k_s"])
             D = layer_state["k_s"].shape[-1] * 32
-            mq = _q_transform(D, k_bits)
+            mq = _q_transform(D, k_bits, factor=fac_k)
         else:
             k_inputs = (layer_state["k"],)
             D = layer_state["k"].shape[-1]
         if v_bits:
             v_inputs = (layer_state["v_q"], layer_state["v_s"])
             Dv = layer_state["v_s"].shape[-1] * 32
-            mo = _out_transform(Dv, v_bits)
+            mo = _out_transform(Dv, v_bits, factor=fac_v)
         else:
             v_inputs = (layer_state["v"],)
             Dv = layer_state["v"].shape[-1]
@@ -503,20 +527,19 @@ def flash_attention(
     ]
     tensor_inputs += [qpos_rows, sink_rows]
     # scale-expand matmuls; the midpoint grid's 2/N factor folds in for free
+    def _add_const(arr):
+        in_specs.append(pl.BlockSpec(
+            arr.shape, lambda b, hg, qt_, p, *s: tuple(0 for _ in arr.shape),
+            memory_space=pltpu.VMEM))
+        tensor_inputs.append(jnp.asarray(arr))
+
     if k_bits:
-        fac = 1.0 if compand_a > 0.0 else 2.0 / (1 << k_bits)
-        em = _scale_expand_mat(D_in - d_extra if mla else D, k_bits, fac)
-        in_specs.append(pl.BlockSpec(
-            em.shape, lambda b, hg, qt_, p, *s: (0, 0),
-            memory_space=pltpu.VMEM))
-        tensor_inputs.append(jnp.asarray(em))
+        dk = D_in - d_extra if mla else D
+        _add_const(_scale_expand_mat(dk, k_bits))
+        _add_const(_field_shifts(dk, k_bits))
     if v_bits and not v_from_k:
-        fac = 1.0 if compand_a > 0.0 else 2.0 / (1 << v_bits)
-        em = _scale_expand_mat(Dv, v_bits, fac)
-        in_specs.append(pl.BlockSpec(
-            em.shape, lambda b, hg, qt_, p, *s: (0, 0),
-            memory_space=pltpu.VMEM))
-        tensor_inputs.append(jnp.asarray(em))
+        _add_const(_scale_expand_mat(Dv, v_bits))
+        _add_const(_field_shifts(Dv, v_bits))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if paged else 2,
