@@ -319,9 +319,62 @@ class Step3p7VisionModel:
                 return preprocess_image(image, factor=self.tower.patch_size,
                                         fixed_size=side)
 
-            def get_image_embeddings_pil(self, image, text_alias=None):
-                return self.get_image_embeddings(self.preprocess(image),
-                                                 text_alias=text_alias)
+            def get_image_embeddings_pil(self, image, text_alias=None,
+                                         tokenizer=None):
+                """Multi-tile embedding (reference architecture/step3_7.py
+                get_image_embeddings:326-385): large images tile into
+                square window crops embedded alongside the global view,
+                interleaved with <patch_start>/<patch_end>/<patch_newline>
+                delimiters via the MMEmbedding token string. Without a
+                tokenizer (no delimiter ids) only the global view embeds.
+                """
+                import numpy as np
+                from ..tokenizer.image_processing import (
+                    preprocess_image, step37_get_patches)
+                from ..tokenizer.mm_embedding import MMEmbedding
+
+                tok_ids = None
+                if tokenizer is not None:
+                    cfg_d = config.cfg
+                    names = {
+                        "im_start": cfg_d.get("im_start_token", "<im_start>"),
+                        "im_end": cfg_d.get("im_end_token", "<im_end>"),
+                        "p_start": "<patch_start>",
+                        "p_end": "<patch_end>",
+                        "p_nl": "<patch_newline>",
+                    }
+                    tok_ids = {k: tokenizer.single_id(v)
+                               for k, v in names.items()}
+                    if any(v is None for v in tok_ids.values()):
+                        tok_ids = None
+
+                glob, patches, nl_mask = step37_get_patches(image)
+                if tok_ids is None or not patches:
+                    return self.get_image_embeddings(self.preprocess(glob),
+                                                     text_alias=text_alias)
+
+                side_pp = int(config.cfg.get("patch_size_pp", 504))
+                patch_px = np.stack([
+                    preprocess_image(pimg, factor=self.tower.patch_size,
+                                     fixed_size=side_pp)
+                    for pimg in patches])
+                emb_p = [e.embeddings for e in
+                         self.get_image_embeddings(patch_px)]
+                emb_g = self.get_image_embeddings(
+                    self.preprocess(glob)).embeddings
+
+                feats, ts = [], []
+                for i, ep in enumerate(emb_p):
+                    feats.append(ep)
+                    ts += [tok_ids["p_start"]] + [-1] * ep.shape[0] \
+                        + [tok_ids["p_end"]]
+                    if nl_mask and nl_mask[i]:
+                        ts.append(tok_ids["p_nl"])
+                feats.append(emb_g)
+                ts += [tok_ids["im_start"]] + [-1] * emb_g.shape[0] \
+                    + [tok_ids["im_end"]]
+                return MMEmbedding(np.concatenate(feats, axis=0),
+                                   text_alias=text_alias, token_string=ts)
 
             def get_image_embeddings(self, pixels, text_alias=None):
                 import numpy as np

@@ -87,3 +87,87 @@ def preprocess_image(image, factor: int, mean=CLIP_MEAN, std=CLIP_STD,
         arr = (arr - np.asarray(mean, np.float32)) \
             / np.asarray(std, np.float32)
     return arr.astype(np.float32)
+
+
+# -- Step-3.7 sliding-window tiling ------------------------------------------
+# Feature reference: /root/reference/exllamav3/architecture/mm_processing/
+# step3_7.py (determine_window_size, slide_window, get_patches). Large
+# images tile into square window crops (plus the resized global view); each
+# crop embeds separately and the patch grid carries newline markers.
+
+STEP37_MAX_IMAGE_SIZE = 3024
+
+
+def _step37_window_size(long: int, short: int) -> int:
+    if long <= 728:
+        return short if long / short > 1.5 else 0
+    return min(short, 504) if long / short > 4 else 504
+
+
+def _step37_crop_size(w: int, h: int, win: int) -> tuple:
+    """Round each side to a whole number of windows (within 20% slack)."""
+    def rnd(x):
+        r = x / win
+        if r < 1:
+            return x
+        frac = r - x // win
+        n = int(r) + 1 if frac > 0.2 else int(r)
+        return win * n
+
+    return rnd(w), rnd(h)
+
+
+def _step37_slide(width: int, height: int, win: int):
+    """-> (crop boxes (x, y, w, h), columns per row)."""
+    import math
+    from itertools import product
+
+    def starts(total):
+        n = 1 if total <= win else math.ceil((total - win) / win + 1)
+        st = [win * i for i in range(n)]
+        if len(st) > 1 and st[-1] + win > total:
+            st[-1] = total - win
+        return st
+
+    xs, ys = starts(width), starts(height)
+    boxes = [(x, y, win, win) for y, x in product(ys, xs)]
+    return boxes, len(xs)
+
+
+def step37_get_patches(image):
+    """PIL image -> (global PIL image, [window-crop PIL images],
+    newline mask per crop | None). Mirrors the reference get_patches:
+    extreme aspect ratios square-pad, the image caps at 3024 px, the crop
+    canvas rounds to whole windows, and crops slide left-to-right,
+    top-to-bottom with a newline marker at each row end (except the last).
+    """
+    from PIL import Image
+
+    w, h = image.size
+    ratio = w / h
+    if min(w, h) < 32 and (ratio > 4 or ratio < 0.25):
+        size = max(w, h)
+        padded = Image.new(image.mode, (size, size), 0)
+        padded.paste(image, (0, 0))
+        image = padded
+        w, h = image.size
+    if max(w, h) > STEP37_MAX_IMAGE_SIZE:
+        sc = STEP37_MAX_IMAGE_SIZE / max(w, h)
+        w, h = int(w * sc), int(h * sc)
+        image = image.resize((w, h), Image.Resampling.BILINEAR)
+    win = _step37_window_size(max(w, h), min(w, h))
+    if win == 0:
+        return image, [], None
+    cw, ch = _step37_crop_size(w, h, win)
+    crop_src = image if (cw, ch) == (w, h) else \
+        image.resize((cw, ch), Image.Resampling.BILINEAR)
+    boxes, x_num = _step37_slide(cw, ch, win)
+    patches, newlines = [], []
+    for i, (x, y, pw, ph) in enumerate(boxes):
+        patches.append(crop_src.crop((x, y, x + pw, y + ph)))
+        if (i + 1) % x_num == 0:
+            newlines.append(i)
+    if newlines and newlines[-1] == len(patches) - 1:
+        newlines.pop()
+    mask = [i in newlines for i in range(len(patches))] if patches else None
+    return image, patches, mask

@@ -31,11 +31,21 @@ class MMEmbedding:
 
     def __init__(self, embeddings: np.ndarray, text_alias: str | None = None,
                  metadata: dict | None = None, deepstack: list | None = None,
-                 grid_thw: tuple | None = None, mrope_merge_size: int = 2):
+                 grid_thw: tuple | None = None, mrope_merge_size: int = 2,
+                 token_string: list | None = None):
         self.embeddings = np.asarray(embeddings)
         self.mm_length = int(self.embeddings.shape[0])
         self.text_alias = text_alias
         self.metadata = metadata or {}
+        # interleaved layout (reference mm_embedding.py token_string): a
+        # list of literal token ids with -1 marking embedding slots, e.g.
+        # Step-3.7's <patch_start> [-1 x patch_token_len] <patch_end> runs.
+        # token_ids substitutes the dynamic ids into the -1 positions.
+        if token_string is not None:
+            n_slots = sum(1 for t in token_string if t == -1)
+            assert n_slots == self.mm_length, \
+                f"token_string has {n_slots} slots for {self.mm_length} rows"
+        self.token_string = token_string
         # Qwen3-VL deepstack: per-tap feature rows ADDED to the hidden state
         # at this payload's token positions in the first len(deepstack) text
         # layers (reference arch_specific/qwen3_vl.py DeepstackEmbed:136)
@@ -50,7 +60,13 @@ class MMEmbedding:
 
     @property
     def token_ids(self) -> np.ndarray:
-        return np.arange(self.first_index, self.last_index, dtype=np.int64)
+        if self.token_string is None:
+            return np.arange(self.first_index, self.last_index,
+                             dtype=np.int64)
+        out = np.asarray(self.token_string, dtype=np.int64)
+        out[out == -1] = np.arange(self.first_index, self.last_index,
+                                   dtype=np.int64)
+        return out
 
 
 def mrope_position_streams(ids: np.ndarray, embeddings: list,

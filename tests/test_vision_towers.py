@@ -95,3 +95,84 @@ def test_gemma4_unified_vision_roundtrip(tmp_path):
                                   pooling_kernel_size=2, mm_posemb_size=8,
                                   rms_norm_eps=1e-6))
     _roundtrip(cfg, 33, (16, 16, 3), (0.0, 1.0), tmp_path, "g4u")
+
+
+def test_step37_tiling_geometry():
+    """Sliding-window tiling math (reference mm_processing/step3_7.py):
+    small images stay single; big images tile with row-end newline marks."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+    from exllamav3_tpu.tokenizer.image_processing import step37_get_patches
+
+    # small: no tiling
+    img = Image.new("RGB", (400, 300))
+    g, patches, mask = step37_get_patches(img)
+    assert patches == [] and mask is None
+
+    # 1600x800: window 504, crop canvas 1512x1008 -> 3x2 crops
+    img = Image.new("RGB", (1600, 800))
+    g, patches, mask = step37_get_patches(img)
+    assert len(patches) == 6
+    assert all(p.size == (504, 504) for p in patches)
+    # newline at the end of row 1 (idx 2); the final row's marker drops
+    assert mask == [False, False, True, False, False, False]
+
+    # oversized input caps at 3024 before tiling
+    img = Image.new("RGB", (4000, 1000))
+    g, _, _ = step37_get_patches(img)
+    assert max(g.size) <= 3024
+
+
+def test_mm_token_string_interleave():
+    from exllamav3_tpu.tokenizer.mm_embedding import MMEmbedding
+
+    e = MMEmbedding(np.zeros((3, 8), np.float32),
+                    token_string=[50, -1, -1, 51, -1, 52])
+    ids = e.token_ids
+    assert ids[0] == 50 and ids[3] == 51 and ids[5] == 52
+    dyn = [ids[1], ids[2], ids[4]]
+    assert dyn == [e.first_index, e.first_index + 1, e.first_index + 2]
+
+
+def test_step37_multitile_embeddings(tmp_path):
+    """Multi-tile path end to end: patch crops + global view interleave with
+    delimiter tokens; generation consumes the mixed token string."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    d = str(tmp_path / "s37t")
+    write_synth_dense_for_arch(d, S37_CFG, seed=37)
+    config = Config.from_directory(d)
+    text = Model.from_config(config)
+    text.load()
+    vision = Model.from_config(config, component="vision")
+    vision.load()
+
+    class TokStub:
+        _ids = {"<im_start>": 100, "<im_end>": 101, "<patch_start>": 102,
+                "<patch_end>": 103, "<patch_newline>": 104}
+
+        def single_id(self, t):
+            return self._ids.get(t)
+
+    rng = np.random.default_rng(0)
+    arr = (rng.uniform(0, 255, (800, 1600, 3))).astype(np.uint8)
+    img = Image.fromarray(arr)
+    # tower geometry is tiny (image_size 32): shrink the pp crop size too
+    config.cfg["patch_size_pp"] = 32
+    e = vision.get_image_embeddings_pil(img, tokenizer=TokStub())
+    assert e.token_string is not None
+    ids = e.token_ids
+    assert (ids == 102).sum() == 6          # six patch crops
+    assert (ids == 104).sum() == 1          # one newline marker
+    assert (ids == 100).sum() == 1          # one global image span
+    assert np.isfinite(e.embeddings).all()
+
+    prompt = np.concatenate([np.array([5], np.int64), ids,
+                             np.array([7], np.int64)])
+    gen = Generator(text, Cache(text, CacheSpec(layout="paged", num_pages=8)))
+    job = Job(prompt, max_new_tokens=4, embeddings=[e])
+    gen.enqueue(job)
+    while gen.num_remaining_jobs():
+        gen.iterate()
+    assert len(job.new_tokens) == 4
