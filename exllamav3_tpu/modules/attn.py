@@ -357,8 +357,6 @@ class Attention(Module):
             if sp is not None:
                 # sequence-parallel serving: pages sharded over the sp axis,
                 # local attends merge via online-softmax stats (parallel/sp.py)
-                assert not quant, \
-                    "sequence-parallel serving requires an unquantized cache"
                 from ..parallel.sp import sp_paged_attend
 
                 mesh, axis = sp
@@ -367,6 +365,8 @@ class Attention(Module):
                     ctx.positions, total_lens, mesh, axis,
                     scale=self.sm_scale, sliding_window=self.sliding_window,
                     logit_softcap=self.logit_softcap, sinks=sinks,
+                    k_bits=ctx.k_bits, v_bits=ctx.v_bits,
+                    compand_a=ctx.compand_a,
                 ).astype(dt)
                 backend = None
             else:

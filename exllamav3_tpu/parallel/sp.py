@@ -30,10 +30,12 @@ from ..constants import PAGE_SIZE
 NEG_INF = -1e30
 
 
-def _sp_body(q, positions, total_lens, bt, k_pages, v_pages, *, axis, scale,
-             sliding_window, logit_softcap, sinks, n_local):
-    """Per-shard body under shard_map. k_pages/v_pages are the LOCAL page
-    shards (Pl, PS, Hk, D); bt carries GLOBAL page ids."""
+def _sp_body(q, positions, total_lens, bt, *kv_arrays, axis, scale,
+             sliding_window, logit_softcap, sinks, n_local, k_bits, v_bits,
+             compand_a):
+    """Per-shard body under shard_map. kv_arrays are the LOCAL page shards —
+    (k, v) dense or (k_q, k_s, v_q, v_s) packed; bt carries GLOBAL page
+    ids. Quantized shards dequantize only their RESIDENT gathered pages."""
     d = jax.lax.axis_index(axis)
     B, S, Hq, D = q.shape
 
@@ -43,8 +45,16 @@ def _sp_body(q, positions, total_lens, bt, k_pages, v_pages, *, axis, scale,
     local = jnp.where(owner == d, bt % n_local, 0)
     resident = owner == d                                   # (B, MP)
 
-    k = k_pages[local]                                      # (B, MP, PS, Hk, D)
-    v = v_pages[local]
+    if k_bits:
+        from ..ops.kv_quant import dequantize_kv
+
+        kq, ks, vq, vs = kv_arrays
+        k = dequantize_kv(kq[local], ks[local], k_bits, compand_a=compand_a)
+        v = dequantize_kv(vq[local], vs[local], v_bits, compand_a=compand_a)
+    else:
+        k_pages, v_pages = kv_arrays
+        k = k_pages[local]                                  # (B, MP, PS, Hk, D)
+        v = v_pages[local]
     MP = bt.shape[1]
     T = MP * PAGE_SIZE
     k = k.reshape(B, T, *k.shape[3:])
@@ -88,10 +98,11 @@ def _sp_body(q, positions, total_lens, bt, k_pages, v_pages, *, axis, scale,
 def sp_paged_attend(q, layer_state, block_tables, positions, total_lens,
                     mesh, axis: str = "sp", scale: float = 1.0,
                     sliding_window: int = 0, logit_softcap: float = 0.0,
-                    sinks=None):
+                    sinks=None, k_bits: int = 0, v_bits: int = 0,
+                    compand_a: float = 0.0):
     """Sequence-parallel paged attention over `mesh`'s `axis`. Cache pages
-    (dim 0) are sharded over the axis; q/positions/tables are replicated.
-    Returns (B, S, Hq, Dv) replicated."""
+    (dim 0) — dense or 2-8-bit packed — are sharded over the axis;
+    q/positions/tables are replicated. Returns (B, S, Hq, Dv) replicated."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -99,24 +110,30 @@ def sp_paged_attend(q, layer_state, block_tables, positions, total_lens,
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
 
+    if k_bits:
+        kv_arrays = (layer_state["k_q"], layer_state["k_s"],
+                     layer_state["v_q"], layer_state["v_s"])
+    else:
+        kv_arrays = (layer_state["k"], layer_state["v"])
     n = mesh.shape[axis]
-    P_total = layer_state["k"].shape[0]
+    P_total = kv_arrays[0].shape[0]
     assert P_total % n == 0
     body = partial(_sp_body, axis=axis, scale=scale,
                    sliding_window=sliding_window,
                    logit_softcap=logit_softcap, sinks=sinks,
-                   n_local=P_total // n)
+                   n_local=P_total // n, k_bits=k_bits, v_bits=v_bits,
+                   compand_a=compand_a)
     rep = P()
     page_spec = P(axis, None, None, None)
     kw = dict(mesh=mesh,
-              in_specs=(rep, rep, rep, rep, page_spec, page_spec),
+              in_specs=(rep, rep, rep, rep)
+              + (page_spec,) * len(kv_arrays),
               out_specs=rep)
     try:  # jax>=0.8 renamed check_rep -> check_vma
         f = shard_map(body, check_vma=False, **kw)
     except TypeError:  # pragma: no cover
         f = shard_map(body, check_rep=False, **kw)
-    return f(q, positions, total_lens, block_tables,
-             layer_state["k"], layer_state["v"])
+    return f(q, positions, total_lens, block_tables, *kv_arrays)
 
 
 def shard_cache_state(state: dict, mesh, axis: str = "sp") -> dict:

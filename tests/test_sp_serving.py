@@ -72,3 +72,18 @@ def test_sp_generate_matches_single(model):
     plain = _generate(model, None, prompt)
     sp = _generate(model, _sp_mesh(), prompt)
     assert sp == plain
+
+
+def test_sp_quantized_cache_generate(model):
+    """SP serving with a 4-bit packed cache: the shard bodies dequantize
+    only their resident pages; tokens must match the single-device
+    quantized run."""
+    def run(sp):
+        cache = Cache(model, CacheSpec(layout="paged", num_pages=16,
+                                       k_bits=4, v_bits=4))
+        gen = Generator(model, cache, sp_mesh=sp, max_batch_size=4)
+        prompt = (np.arange(40) % 300 + 5).tolist()
+        return gen.generate(np.asarray(prompt), max_new_tokens=12,
+                            sampler=GreedySampler(), decode_text=False)
+
+    assert run(_sp_mesh()) == run(None)
