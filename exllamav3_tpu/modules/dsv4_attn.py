@@ -403,6 +403,18 @@ class DSV4Attention(Module):
         R = layer["kv"].shape[1] if layer is not None else W
         slots = self._slots(ctx, B)
 
+        # decode-step kernel route: window ring + (HCA) compressor pool via
+        # the Pallas flash kernels with online-softmax stat merging. CSA
+        # needs the indexer's per-query top-k mask -> dense path.
+        use_kernel = (S == 1 and layer is not None
+                      and ctx.attn_mode == "paged" and self.indexer is None)
+        if use_kernel:
+            from ..util.env import attn_backend
+            from ..ops.flash_attention import ring_kernel_fits
+
+            kb = attn_backend()
+            use_kernel = kb != "dense" and ring_kernel_fits(R, 1, D)
+
         # -- compressor pools (before attention: late queries in the chunk can
         # see entries emitted earlier in the same chunk) ------------------------
         pool_entries = ipool_entries = None
@@ -420,7 +432,8 @@ class DSV4Attention(Module):
                     layer["pg_pool"], comp, e, emit, ctx)
                 layer["cb_kv"] = layer["cb_kv"].at[slots].set(nb_kv)
                 layer["cb_gate"] = layer["cb_gate"].at[slots].set(nb_g)
-                pool_entries = self._pool_gather(layer["pg_pool"], ctx, B)
+                if not use_kernel:  # kernels stream pool pages directly
+                    pool_entries = self._pool_gather(layer["pg_pool"], ctx, B)
             else:
                 # mimic the cached path's bf16 pool storage so the stateless
                 # (conversion/eval) pass rounds identically
@@ -445,6 +458,13 @@ class DSV4Attention(Module):
                     params, x, ctx, p0, end, z, z)
                 ipool_entries = jnp.where(iemit[..., None], icomp, 0.0) \
                     .astype(jnp.bfloat16)
+
+        if use_kernel:
+            o = self._decode_kernel(q, kv, layer, ctx, slots, positions,
+                                    end, params, kb)
+            ctx.cache[self.key] = layer
+            o = gptj_rope_trailing(o, table, positions, neg=True)
+            return self._project_out(o, x, params, ctx, dt)
 
         # -- window phase keys: [prior ring | chunk] ----------------------------
         qp = positions  # (B, S)
@@ -540,6 +560,10 @@ class DSV4Attention(Module):
             ctx.cache[self.key] = layer
 
         # -- grouped output projection ------------------------------------------
+        return self._project_out(o, x, params, ctx, dt)
+
+    def _project_out(self, o, x, params, ctx, dt):
+        B, S, H, D = o.shape
         G = self.o_groups
         hpg = H // G
         og = o.reshape(B, S, G, hpg * D).astype(dt)
@@ -550,6 +574,59 @@ class DSV4Attention(Module):
         if self.out_dtype is not None:
             y = y.astype(self.out_dtype)
         return y
+
+    def _decode_kernel(self, q, kv, layer, ctx, slots, positions, end,
+                       params, backend):
+        """S=1 decode via Pallas kernels: the window ring attends in place
+        (slot-indexed blocks) and HCA pools stream their pages through the
+        paged kernel (entry ids as positions: entry e visible iff
+        e < (qpos+1)//m); the partial online-softmax stats merge with the
+        sink logit in one jnp epilogue — numerically the same single
+        softmax over [window ++ pool ++ sink] as the dense path."""
+        from ..ops.flash_attention import (flash_attention,
+                                           flash_ring_attention)
+
+        B = q.shape[0]
+        H, D = self.num_q_heads, self.head_dim
+        interp = backend == "interpret"
+
+        # ring write FIRST (slot = pos % R); stale speculative slots carry
+        # future positions and self-mask inside the kernel
+        R = layer["kv"].shape[1]
+        bidx = slots[:, None]
+        wslot = positions % R
+        layer["kv"] = layer["kv"].at[bidx, wslot].set(
+            kv.astype(layer["kv"].dtype), mode="drop")
+        layer["pos"] = layer["pos"].at[bidx, wslot].set(
+            positions, mode="drop")
+        ring4 = layer["kv"][:, :, None, :]                 # (n, R, 1, D)
+        acc, m, l = flash_ring_attention(
+            q, ring4, ring4, layer["pos"], slots, positions,
+            scale=self.sm_scale, sliding_window=self.sliding_window,
+            return_stats=True, interpret=interp)
+        parts = [(acc, m, l)]
+
+        if self.compressor is not None:
+            mrate = self.compress_rate
+            pool4 = layer["pg_pool"][:, :, None, :]        # (P, epp, 1, D)
+            qpos_pool = (positions + 1) // mrate - 1
+            total_pool = jnp.maximum(end // mrate, 0).astype(jnp.int32)
+            parts.append(flash_attention(
+                q, {"kv": pool4}, qpos_pool, total_pool,
+                block_tables=ctx.block_tables, scale=self.sm_scale,
+                latent=D, return_stats=True, interpret=interp))
+
+        sk = params[self.key]["sinks"][None, None, :]      # (1, 1, H)
+        mg = sk
+        for _, mp, _ in parts:
+            mg = jnp.maximum(mg, mp)
+        lg = jnp.exp(sk - mg)
+        acc_g = 0.0
+        for ap, mp, lp in parts:
+            c = jnp.where(mp <= NEG_INF / 2, 0.0, jnp.exp(mp - mg))
+            lg = lg + lp * c
+            acc_g = acc_g + ap * c[..., None]
+        return acc_g / jnp.maximum(lg, 1e-30)[..., None]   # (B, 1, H, D)
 
 
 class DSparkAttention(DSV4Attention):

@@ -194,6 +194,7 @@ def _flash_kernel(
     sliding_window: int,
     logit_softcap: float,
     has_sinks: bool,
+    return_stats: bool = False,
 ):
     import jax.experimental.pallas as pl
 
@@ -230,6 +231,9 @@ def _flash_kernel(
         ematv_ref = refs[i]; i += 1  # (Dv//32, Dv) f32
         shv_ref = refs[i]; i += 1    # (1, Dv) uint32
     o_ref = refs[i]; i += 1          # (1, Hb, QT, G, Dv)
+    if return_stats:
+        ms_ref = refs[i]; i += 1     # (1, Hb, QT, G) row maxima
+        ls_ref = refs[i]; i += 1     # (1, Hb, QT, G) exp sums
     m_ref, l_ref, acc_ref = refs[i], refs[i + 1], refs[i + 2]
 
     b = pl.program_id(0)
@@ -315,8 +319,14 @@ def _flash_kernel(
 
     @pl.when(p == num_p - 1)
     def _():
-        o = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
-        o_ref[0] = o.reshape(Hb, QT, G, Dv).astype(o_ref.dtype)
+        if return_stats:
+            # merging caller: emit UNNORMALIZED acc + the online stats
+            o_ref[0] = acc_ref[:].reshape(Hb, QT, G, Dv).astype(o_ref.dtype)
+            ms_ref[0] = m_ref[:].reshape(Hb, QT, G)
+            ls_ref[0] = l_ref[:].reshape(Hb, QT, G)
+        else:
+            o = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+            o_ref[0] = o.reshape(Hb, QT, G, Dv).astype(o_ref.dtype)
 
 
 # -- host-side wrapper ---------------------------------------------------------
@@ -351,8 +361,8 @@ def _pad_to(x, size, axis, value=None):
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "logit_softcap", "k_bits",
-                     "v_bits", "latent", "compand_a", "interpret",
-                     "out_dtype"),
+                     "v_bits", "latent", "compand_a", "return_stats",
+                     "interpret", "out_dtype"),
 )
 def flash_attention(
     q,                 # (B, S, Hq, D)
@@ -370,10 +380,14 @@ def flash_attention(
     v_bits: int = 0,
     latent: int = 0,   # MLA: V = leading `latent` channels of K
     compand_a: float = 0.0,
+    return_stats: bool = False,
     interpret: bool = False,
     out_dtype=jnp.float32,
 ):
-    """Returns (B, S, Hq, Dv) out_dtype. See module docstring."""
+    """Returns (B, S, Hq, Dv) out_dtype — or, with return_stats, the
+    UNNORMALIZED (acc, m, l) online-softmax triple (acc (B,S,Hq,Dv) f32,
+    m/l (B,S,Hq) f32) for cross-source merging (DSV4 window+pool+sink,
+    sequence-parallel shards). See module docstring."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -432,8 +446,9 @@ def flash_attention(
     paged = block_tables is not None
     first = k_inputs[0]
     if paged:
+        # usually PAGE_SIZE; DSV4 compressor pools alias the same block
+        # tables with epp entries per page
         TB = first.shape[1]
-        assert TB == PAGE_SIZE
         MPk = block_tables.shape[1]
     else:
         T = first.shape[1]
@@ -545,9 +560,16 @@ def flash_attention(
         num_scalar_prefetch=3 if paged else 2,
         grid=(B, Hg, Qb, MPk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Hb, QT, G, Dv),
-                               lambda b, hg, qt_, p, *s: (b, hg, qt_, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec(
+            (1, Hb, QT, G, Dv),
+            lambda b, hg, qt_, p, *s: (b, hg, qt_, 0, 0),
+            memory_space=pltpu.VMEM) if not return_stats else tuple(
+                [pl.BlockSpec((1, Hb, QT, G, Dv),
+                              lambda b, hg, qt_, p, *s: (b, hg, qt_, 0, 0),
+                              memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec((1, Hb, QT, G),
+                                lambda b, hg, qt_, p, *s: (b, hg, qt_, 0),
+                                memory_space=pltpu.VMEM)] * 2)),
         scratch_shapes=[
             pltpu.VMEM((Hb * QT * G, 1), jnp.float32),
             pltpu.VMEM((Hb * QT * G, 1), jnp.float32),
@@ -562,13 +584,19 @@ def flash_attention(
         d_extra=d_extra, v_from_k=v_from_k,
         scale=scale, sliding_window=sliding_window,
         logit_softcap=logit_softcap, has_sinks=has_sinks,
+        return_stats=return_stats,
     )
     scalars = ((block_tables.astype(jnp.int32),) if paged else ()) + (
         pf_arr, pl_arr)
-    out = pl.pallas_call(
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct((B, Hk, S_pad, G, Dv),
+                              jnp.float32 if return_stats else out_dtype)]
+        + ([jax.ShapeDtypeStruct((B, Hk, S_pad, G), jnp.float32)] * 2
+           if return_stats else []))
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hk, S_pad, G, Dv), out_dtype),
+        out_shape=out_shape if return_stats else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
@@ -576,10 +604,18 @@ def flash_attention(
         interpret=interpret,
     )(*scalars, *tensor_inputs)
 
-    out = out.transpose(0, 2, 1, 3, 4).reshape(B, S_pad, Hq, Dv)[:, :S]
-    if mo is not None:
-        out = out @ jnp.asarray(mo)
-    return out
+    def _fin(out):
+        out = out.transpose(0, 2, 1, 3, 4).reshape(B, S_pad, Hq, Dv)[:, :S]
+        if mo is not None:
+            out = out @ jnp.asarray(mo)
+        return out
+
+    if not return_stats:
+        return _fin(res)
+    acc, m, l = res
+    m = m.transpose(0, 2, 1, 3).reshape(B, S_pad, Hq)[:, :S]
+    l = l.transpose(0, 2, 1, 3).reshape(B, S_pad, Hq)[:, :S]
+    return _fin(acc), m, l
 
 
 def flash_supported(k_bits: int, v_bits: int) -> bool:
@@ -596,8 +632,8 @@ def ring_kernel_fits(W: int, Hk: int, D: int, itemsize: int = 2,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "sliding_window", "logit_softcap", "interpret",
-                     "out_dtype"),
+    static_argnames=("scale", "sliding_window", "logit_softcap",
+                     "return_stats", "interpret", "out_dtype"),
 )
 def flash_ring_attention(
     q,           # (B, 1, Hq, D) decode-step queries
@@ -610,6 +646,7 @@ def flash_ring_attention(
     scale: float = 1.0,
     sliding_window: int = 0,
     logit_softcap: float = 0.0,
+    return_stats: bool = False,
     interpret: bool = False,
     out_dtype=jnp.float32,
 ):
@@ -658,9 +695,15 @@ def flash_ring_attention(
             pl.BlockSpec((Hk, G, 1), lambda b, hg, qt_, p, *s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Hk, 1, G, D),
-                               lambda b, hg, qt_, p, *s: (b, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec(
+            (1, Hk, 1, G, D), lambda b, hg, qt_, p, *s: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM) if not return_stats else tuple(
+                [pl.BlockSpec((1, Hk, 1, G, D),
+                              lambda b, hg, qt_, p, *s: (b, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec((1, Hk, 1, G),
+                                lambda b, hg, qt_, p, *s: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)] * 2)),
         scratch_shapes=[
             pltpu.VMEM((Hk * G, 1), jnp.float32),
             pltpu.VMEM((Hk * G, 1), jnp.float32),
@@ -673,14 +716,19 @@ def flash_ring_attention(
         flat_heads=False, k_bits=0, v_bits=0, compand_a=0.0,
         d_extra=0, v_from_k=False, scale=scale,
         sliding_window=sliding_window, logit_softcap=logit_softcap,
-        has_sinks=has_sinks,
+        has_sinks=has_sinks, return_stats=return_stats,
     )
     pf = jnp.zeros((B, 1), jnp.int32)
     pl_arr = jnp.full((B, 1), Wb - 1, jnp.int32)
-    out = pl.pallas_call(
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct((B, Hk, 1, G, D),
+                              jnp.float32 if return_stats else out_dtype)]
+        + ([jax.ShapeDtypeStruct((B, Hk, 1, G), jnp.float32)] * 2
+           if return_stats else []))
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hk, 1, G, D), out_dtype),
+        out_shape=out_shape if return_stats else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
@@ -688,4 +736,9 @@ def flash_ring_attention(
         interpret=interpret,
     )(slots.astype(jnp.int32), pf, pl_arr, qk, ring_k, ring_v, pos3,
       qpos_rows, sink_rows)
-    return out.transpose(0, 2, 1, 3, 4).reshape(B, 1, Hq, D)
+    if not return_stats:
+        return res.transpose(0, 2, 1, 3, 4).reshape(B, 1, Hq, D)
+    acc, m, l = res
+    return (acc.transpose(0, 2, 1, 3, 4).reshape(B, 1, Hq, D),
+            m.transpose(0, 2, 1, 3).reshape(B, 1, Hq),
+            l.transpose(0, 2, 1, 3).reshape(B, 1, Hq))

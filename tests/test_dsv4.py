@@ -151,3 +151,28 @@ def test_dspark_drafter_matches_plain(tmp_path):
     out = gen.generate(prompt.copy(), max_new_tokens=12)
     assert out == ref
     assert gen.num_drafted > 0
+
+
+def test_dsv4_decode_kernel_matches_dense(model):
+    """S=1 decode through the Pallas window-ring + HCA-pool kernels (stat
+    merge) must produce the same greedy tokens as the dense path. CSA
+    layers keep the dense route (indexer top-k), exercised in the same
+    forward."""
+    import os
+
+    def gen_tokens(backend):
+        os.environ["EXL3_TPU_ATTN"] = backend
+        try:
+            cache = Cache(model, CacheSpec(layout="paged", num_pages=16,
+                                           recurrent_slots=9))
+            gen = Generator(model, cache, max_batch_size=4)
+            prompt = np.asarray([5, 9, 13, 2, 7, 100, 200, 31], np.int32)
+            return gen.generate(prompt, max_new_tokens=12,
+                                decode_text=False)
+        finally:
+            os.environ.pop("EXL3_TPU_ATTN", None)
+
+    dense = gen_tokens("dense")
+    kern = gen_tokens("interpret")
+    agree = np.mean([a == b for a, b in zip(kern, dense)])
+    assert agree >= 0.9, (kern, dense)

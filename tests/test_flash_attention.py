@@ -228,3 +228,42 @@ def test_ring_decode_kernel():
         jnp.asarray(kpos_g), k_valid=jnp.asarray(kpos_g >= 0),
         scale=D ** -0.5, sliding_window=sw))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_return_stats_merge():
+    """Two partial kernel calls over disjoint key ranges must merge (online-
+    softmax stat combination + optional sink) to the single-shot answer —
+    the contract DSV4 window+pool fusion and SP shards build on."""
+    rng = np.random.default_rng(11)
+    B, S, Hq, Hk, D, T = 2, 1, 8, 2, 64, 256
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, T, Hk, D)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((B, T, Hk, D)).astype(np.float32) * 0.3)
+    qpos = np.array([[255], [200]], dtype=np.int32)
+    total = qpos[:, -1] + 1
+    scale = D ** -0.5
+    sinks = jnp.asarray((rng.standard_normal(Hq) * 0.5).astype(np.float32))
+
+    ref = np.asarray(flash_attention(
+        q, {"k": k, "v": v}, jnp.asarray(qpos), jnp.asarray(total),
+        scale=scale, sinks=sinks, interpret=True))
+
+    H = T // 2
+    acc1, m1, l1 = flash_attention(
+        q, {"k": k[:, :H], "v": v[:, :H]}, jnp.asarray(qpos),
+        jnp.asarray(np.minimum(total, H)), scale=scale,
+        return_stats=True, interpret=True)
+    # second half: shift positions so kp stays absolute
+    acc2, m2, l2 = flash_attention(
+        q, {"k": k[:, H:], "v": v[:, H:]},
+        jnp.asarray(qpos - H), jnp.asarray(total - H), scale=scale,
+        return_stats=True, interpret=True)
+
+    sk = sinks[None, None, :]
+    mg = jnp.maximum(jnp.maximum(m1, m2), sk)
+    c1 = jnp.where(m1 <= -1e29, 0.0, jnp.exp(m1 - mg))
+    c2 = jnp.where(m2 <= -1e29, 0.0, jnp.exp(m2 - mg))
+    lg = l1 * c1 + l2 * c2 + jnp.exp(sk - mg)
+    acc = acc1 * c1[..., None] + acc2 * c2[..., None]
+    got = np.asarray(acc / lg[..., None])
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
