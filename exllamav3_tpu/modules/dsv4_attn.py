@@ -407,7 +407,7 @@ class DSV4Attention(Module):
         # the Pallas flash kernels with online-softmax stat merging. CSA
         # needs the indexer's per-query top-k mask -> dense path.
         use_kernel = (S == 1 and layer is not None
-                      and ctx.attn_mode == "paged" and self.indexer is None)
+                      and ctx.attn_mode == "paged")
         if use_kernel:
             from ..util.env import attn_backend
             from ..ops.flash_attention import ring_kernel_fits
@@ -461,7 +461,8 @@ class DSV4Attention(Module):
 
         if use_kernel:
             o = self._decode_kernel(q, kv, layer, ctx, slots, positions,
-                                    end, params, kb)
+                                    end, params, kb, x=x, q_res=q_res,
+                                    ipool_entries=ipool_entries)
             ctx.cache[self.key] = layer
             o = gptj_rope_trailing(o, table, positions, neg=True)
             return self._project_out(o, x, params, ctx, dt)
@@ -507,22 +508,9 @@ class DSV4Attention(Module):
             s_pool = jnp.einsum("bshd,btd->bhst", qf, pf) * self.sm_scale
 
             if self.indexer is not None:
-                # lightning indexer (reference dsa_triton.py
-                # _dsa_indexer_kernel:497): top-k pool entries per query
-                Hi, Di = self.index_n_heads, self.index_head_dim
-                q_idx = self.idx_wq_b.forward(q_res, params, ctx) \
-                    .reshape(B, S, Hi, Di)
-                q_idx = gptj_rope_trailing(q_idx, self.inv_freq_compress,
-                                           positions)
-                wts = self.idx_weights.forward(x, params, ctx) \
-                    .astype(jnp.float32)
-                ipf = ipool_entries.astype(jnp.float32)
-                dots = jnp.einsum("bshd,btd->bhst", q_idx.astype(jnp.float32),
-                                  ipf)
-                iscores = jnp.einsum(
-                    "bhst,bsh->bst", jax.nn.relu(dots), wts) \
-                    * (Di ** -0.5) * (Hi ** -0.5)
-                iscores = jnp.where(mask_pool, iscores, -jnp.inf)
+                iscores = self._indexer_scores(
+                    x, q_res, ipool_entries, positions, params, ctx,
+                    mask_pool)
                 T_all = iscores.shape[-1]
                 k = min(self.index_topk, T_all)
                 thr = jax.lax.top_k(iscores, k)[0][..., -1:]
@@ -575,8 +563,27 @@ class DSV4Attention(Module):
             y = y.astype(self.out_dtype)
         return y
 
+    def _indexer_scores(self, x, q_res, ipool_entries, positions, params,
+                        ctx, mask_pool):
+        """Lightning indexer scores (reference dsa_triton.py
+        _dsa_indexer_kernel:497): score[t,e] = sum_h w[t,h] *
+        relu(q_idx[t,h] . k_idx[e]) / sqrt(Di*Hi); invisible entries
+        -inf."""
+        B, S, _ = x.shape
+        Hi, Di = self.index_n_heads, self.index_head_dim
+        q_idx = self.idx_wq_b.forward(q_res, params, ctx) \
+            .reshape(B, S, Hi, Di)
+        q_idx = gptj_rope_trailing(q_idx, self.inv_freq_compress, positions)
+        wts = self.idx_weights.forward(x, params, ctx).astype(jnp.float32)
+        ipf = ipool_entries.astype(jnp.float32)
+        dots = jnp.einsum("bshd,btd->bhst", q_idx.astype(jnp.float32), ipf)
+        iscores = jnp.einsum("bhst,bsh->bst", jax.nn.relu(dots), wts) \
+            * (Di ** -0.5) * (Hi ** -0.5)
+        return jnp.where(mask_pool, iscores, -jnp.inf)
+
     def _decode_kernel(self, q, kv, layer, ctx, slots, positions, end,
-                       params, backend):
+                       params, backend, x=None, q_res=None,
+                       ipool_entries=None):
         """S=1 decode via Pallas kernels: the window ring attends in place
         (slot-indexed blocks) and HCA pools stream their pages through the
         paged kernel (entry ids as positions: entry e visible iff
@@ -606,7 +613,8 @@ class DSV4Attention(Module):
             return_stats=True, interpret=interp)
         parts = [(acc, m, l)]
 
-        if self.compressor is not None:
+        if self.compressor is not None and self.indexer is None:
+            # HCA: every visible entry attends (entry ids as positions)
             mrate = self.compress_rate
             pool4 = layer["pg_pool"][:, :, None, :]        # (P, epp, 1, D)
             qpos_pool = (positions + 1) // mrate - 1
@@ -615,6 +623,37 @@ class DSV4Attention(Module):
                 q, {"kv": pool4}, qpos_pool, total_pool,
                 block_tables=ctx.block_tables, scale=self.sm_scale,
                 latent=D, return_stats=True, interpret=interp))
+        elif self.compressor is not None:
+            # CSA: lightning-indexer top-k (exact-k, matching the
+            # reference's dsa_topk kernel; the dense path's >=threshold rule
+            # differs only on exact score ties), then the SELECTED entries
+            # gather compactly and attend through the linear-layout kernel —
+            # the (B, H, S, E_pool) score tensor of the dense path never
+            # materializes
+            mrate = self.compress_rate
+            epp = layer["pg_pool"].shape[1]
+            E = ipool_entries.shape[1]
+            ent = jnp.arange(E, dtype=jnp.int32)[None]
+            vis = ent < (positions + 1) // mrate           # (B, E)
+            isc = self._indexer_scores(
+                x, q_res, ipool_entries, positions, params, ctx,
+                vis[:, None, :])[:, 0]                     # (B, E)
+            K = min(self.index_topk, E)
+            top_idx = jax.lax.top_k(isc, K)[1]             # (B, K)
+            vcount = jnp.minimum(jnp.sum(vis, axis=1), K).astype(jnp.int32)
+            page = jnp.take_along_axis(ctx.block_tables, top_idx // epp,
+                                       axis=1)
+            ksel = layer["pg_pool"][page, top_idx % epp]   # (B, K, D)
+            Kp = ((K + 7) // 8) * 8
+            if Kp != K:
+                ksel = jnp.pad(ksel, ((0, 0), (0, Kp - K), (0, 0)))
+            # fictional positions 0..K-1 with the query at vcount-1: exactly
+            # the first vcount (valid, score-sorted) entries attend
+            parts.append(flash_attention(
+                q, {"kv": ksel[:, :, None, :]},
+                (vcount - 1)[:, None], vcount,
+                scale=self.sm_scale, latent=D, return_stats=True,
+                interpret=interp))
 
         sk = params[self.key]["sinks"][None, None, :]      # (1, 1, H)
         mg = sk
