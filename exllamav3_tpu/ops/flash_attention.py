@@ -25,10 +25,17 @@ quantized-cache `qc` variants) and exllamav3_ext/cache/q_cache.cu (2-8 bit
     channel_perm); q is pre-permuted and the output unpermuted outside, so
     the kernel never materializes a dequantized cache. Odd bit-widths
     (3/5/6/7 straddle word boundaries) use the jnp fallback path.
-  * MLA absorbed decode: Hk=1, V = leading `v_from_k` channels of K (the
-    latent), so V is never fetched separately; the quantized-latent layout
-    ([packed latent | bf16 rope-key]) rides an extra `k_extra` input that is
+  * MLA absorbed decode AND prefill: Hk=1, V = leading `v_from_k` channels
+    of K (the latent), so V is never fetched separately; the quantized-
+    latent layout ([packed latent | bf16 rope-key]) rides an extra input
     concatenated after dequant.
+  * SWA rings (flash_ring_attention): the kernel reads each sequence's ring
+    directly from the state arrays via scalar-prefetched slot rows, masking
+    by per-slot absolute positions — no gather copy.
+  * return_stats: emit the UNNORMALIZED (acc, m, l) online-softmax triple
+    instead of the normalized output, so callers merge attention over
+    disjoint key sources (DSV4 window+pool+sink, sequence-parallel shards)
+    into one exact softmax.
 
 Numerics: f32 accumulation, scale-then-softcap, per-q-head sink logits join
 the softmax denominator (gpt-oss), sliding-window masking, per-row causal
