@@ -172,8 +172,15 @@ class Filter:
 
     def _invalidate(self) -> None:
         if self._future is not None:
-            self._future.cancel()
-            self._future = None
+            f, self._future = self._future, None
+            if not f.cancel():
+                # already running on the worker: wait it out so feed()/
+                # rollback() never mutate the engine while a mask
+                # computation is mid-flight (the result is discarded)
+                try:
+                    f.result()
+                except Exception:
+                    pass
 
     def allowed_mask(self, vocab_size: int) -> np.ndarray | None:
         if not self.is_active:

@@ -270,13 +270,18 @@ class Generator:
         """Run one generator iteration; returns a list of result events."""
         results: list = []
         self._admit_jobs(results)
+        # Prefill and decode share each iteration (reference generator.py:
+        # 339-444 runs prefill rounds AND the batched decode forward in one
+        # pass). All prefilling jobs draw from a per-iteration token budget,
+        # so one long prompt cannot starve either other prompts or decode.
         prefilling = [j for j in self.active if j.status == "prefill"]
-        if prefilling:
-            for job in prefilling:
-                self._prefill_job(job, results)
-                break  # one chunk per iteration keeps decode latency bounded
+        budget = self.max_chunk_size
+        for job in prefilling:
+            if budget <= 0:
+                break
+            budget -= self._prefill_job(job, results, budget)
         running = [j for j in self.active if j.status == "running"]
-        if running and not prefilling:
+        if running:
             greedy = all(j.sampler.greedy for j in running) and not any(
                 j.cfg_scale is not None for j in running)
             # MTP/DFlash fast paths verify with raw argmax; constrained jobs
@@ -385,13 +390,18 @@ class Generator:
 
     # -- prefill -----------------------------------------------------------------
 
-    def _prefill_job(self, job: Job, results: list):
+    def _prefill_job(self, job: Job, results: list, budget: int | None = None) -> int:
+        """Prefill up to min(budget, max_chunk_size) tokens; returns tokens
+        consumed so iterate() can spread one budget across all prefilling
+        jobs."""
         ids = job.all_ids()  # prompt (+ prior output when resuming a requeue)
         # all but the last token go through prefill; the last token is fed by
         # the first decode step so its logits produce the first sample
         end = len(ids) - 1
         start = job.prefill_done
         chunk = min(self.max_chunk_size, end - start)
+        if budget is not None:
+            chunk = min(chunk, budget)
         if chunk > 0:
             s_bucket = _bucket(chunk, self.prefill_buckets)
             mp_bucket = _bucket(len(job.pages), self.pages_buckets)
@@ -476,6 +486,7 @@ class Generator:
             "identifier": job.identifier, "stage": "prefill", "job": job,
             "curr_progress": job.prefill_done, "max_progress": end,
         })
+        return chunk
 
     def _prefill_negative(self, job: Job) -> bool:
         """Prefill one chunk of the CFG negative sequence; True when done."""
@@ -658,7 +669,13 @@ class Generator:
             for tok in new:
                 if job.status != "running":
                     break
+                n_before = len(job.new_tokens)
                 self._receive_token(job, tok, results)
+                if len(job.new_tokens) <= n_before:
+                    # a banned-string rewind fired inside _receive_token:
+                    # the remaining verified tokens were computed from the
+                    # pre-rewind context — resample at the rewound position
+                    break
 
     def _get_mtp_fn(self):
         if "mtp" not in self._mtp_fns:
@@ -1217,7 +1234,13 @@ class Generator:
             for tok in new:
                 if job.status != "running":
                     break
+                n_before = len(job.new_tokens)
                 self._receive_token(job, tok, results)
+                if len(job.new_tokens) <= n_before:
+                    # a banned-string rewind fired inside _receive_token:
+                    # the remaining verified tokens were computed from the
+                    # pre-rewind context — resample at the rewound position
+                    break
 
     def _decode_batch_sd(self, jobs: list, results: list):
         """Greedy speculative decode: verify drafts with one (B, k+1) forward.
@@ -1292,7 +1315,10 @@ class Generator:
                             lg = lg + m
                     tok = int(np.argmax(lg))
                     match = j < len(d) and tok == d[j]
+                    n_before = len(job.new_tokens)
                     self._receive_token(job, tok, results)
+                    if len(job.new_tokens) <= n_before:
+                        break  # banned-string rewind: stop the verify run
                     if match:
                         accepted += 1
                         j += 1
@@ -1320,4 +1346,10 @@ class Generator:
             for tok in new:
                 if job.status != "running":
                     break
+                n_before = len(job.new_tokens)
                 self._receive_token(job, tok, results)
+                if len(job.new_tokens) <= n_before:
+                    # a banned-string rewind fired inside _receive_token:
+                    # the remaining verified tokens were computed from the
+                    # pre-rewind context — resample at the rewound position
+                    break

@@ -200,6 +200,10 @@ def _swap_exl3_linears(model, stc, bases) -> int:
     from ..quant.reconstruct import codebook_id
     from ..modules.linear import _unpack_signs
 
+    # the dense-weight LRU is process-global: key by checkpoint identity +
+    # layer path so two same-architecture models loaded in one process
+    # (base vs fine-tune A/B) never serve each other's decoded weights
+    ckpt_id = str(getattr(stc, "directory", None) or f"stc{id(stc)}")
     swapped = 0
     named = dict(model.named_modules())
     for base, parts in bases:
@@ -215,7 +219,7 @@ def _swap_exl3_linears(model, stc, bases) -> int:
                else _unpack_signs(stc.get_tensor(base + ".sv")))
         bias = stc.get_tensor(base + ".bias", optional=True)
         lin = cls(
-            base, trellis,
+            f"{ckpt_id}::{base}", trellis,
             torch.from_numpy(np.ascontiguousarray(suh.astype(np.float16))),
             torch.from_numpy(np.ascontiguousarray(svh.astype(np.float16))),
             torch.from_numpy(bias.astype(np.float32)) if bias is not None

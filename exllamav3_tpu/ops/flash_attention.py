@@ -202,6 +202,7 @@ def _flash_kernel(
     logit_softcap: float,
     has_sinks: bool,
     return_stats: bool = False,
+    has_page_idx: bool = False,
 ):
     import jax.experimental.pallas as pl
 
@@ -209,6 +210,10 @@ def _flash_kernel(
     i = 0
     if layout == "paged":
         bt_ref = refs[i]; i += 1
+        if has_page_idx:
+            # compacted tables (sequence parallelism): entry p's LOGICAL
+            # page index within the sequence (-1 = hole / non-resident)
+            pidx_ref = refs[i]; i += 1
     elif layout == "ring":
         rows_ref = refs[i]; i += 1   # (B,) int32 state-slot rows
     pf_ref = refs[i]; i += 1
@@ -308,8 +313,14 @@ def _flash_kernel(
                 kp = kpos_ref[0]                           # (1, W)
                 mask = (kp >= 0) & (kp <= qpos)
             else:
-                kp = p * TB + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                if has_page_idx:
+                    lp = pidx_ref[b, p]  # logical page index (SMEM scalar)
+                else:
+                    lp = p
+                kp = lp * TB + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 mask = kp <= qpos
+                if has_page_idx:
+                    mask &= lp >= 0
             if sliding_window:
                 mask &= kp > qpos - sliding_window
             s = jnp.where(mask, s, NEG_INF)
@@ -379,6 +390,12 @@ def flash_attention(
     q_positions,       # (B, S) int32 absolute positions
     total_lens,        # (B,) int32 sequence length AFTER the cache update
     block_tables=None,  # (B, MP) int32 (paged) | None (linear)
+    page_indices=None,  # (B, MP) int32: block_tables is COMPACTED (holes
+                        # removed) and entry p covers logical page
+                        # page_indices[b, p] of the sequence, ascending,
+                        # -1 = unused tail. Sequence-parallel shards pass
+                        # their resident-page tables this way so per-step
+                        # cost scales with resident pages only.
     sinks=None,        # (Hq,) f32
     scale: float = 1.0,
     sliding_window: int = 0,
@@ -484,13 +501,34 @@ def flash_attention(
     # per-q-block page bounds (host precompute, rides scalar prefetch)
     pos_blk = pos_pad.reshape(B, Qb, QT)
     last_needed = jnp.minimum(pos_blk[:, :, -1], total_lens[:, None] - 1)
-    pl_arr = jnp.clip(last_needed // TB, 0, MPk - 1).astype(jnp.int32)
-    if sliding_window:
-        first_needed = jnp.maximum(pos_blk[:, :, 0] - sliding_window + 1, 0)
-        pf_arr = jnp.clip(first_needed // TB, 0, MPk - 1).astype(jnp.int32)
-        pf_arr = jnp.minimum(pf_arr, pl_arr)
+    if page_indices is not None:
+        # compacted table: entries hold arbitrary ascending logical page
+        # indices; the grid range per q-block is the COUNT of entries whose
+        # logical page the block needs (absent pages cost no grid step)
+        pi = page_indices.astype(jnp.int32)
+        pvalid = pi >= 0
+        last_page = last_needed // TB                          # (B, Qb)
+        cnt_le = jnp.sum(pvalid[:, None, :]
+                         & (pi[:, None, :] <= last_page[:, :, None]), axis=2)
+        pl_arr = (cnt_le - 1).astype(jnp.int32)  # -1 => no resident pages
+        if sliding_window:
+            first_page = jnp.maximum(
+                pos_blk[:, :, 0] - sliding_window + 1, 0) // TB
+            cnt_lt = jnp.sum(pvalid[:, None, :]
+                             & (pi[:, None, :] < first_page[:, :, None]),
+                             axis=2)
+            pf_arr = cnt_lt.astype(jnp.int32)
+        else:
+            pf_arr = jnp.zeros_like(pl_arr)
     else:
-        pf_arr = jnp.zeros_like(pl_arr)
+        pl_arr = jnp.clip(last_needed // TB, 0, MPk - 1).astype(jnp.int32)
+        if sliding_window:
+            first_needed = jnp.maximum(
+                pos_blk[:, :, 0] - sliding_window + 1, 0)
+            pf_arr = jnp.clip(first_needed // TB, 0, MPk - 1).astype(jnp.int32)
+            pf_arr = jnp.minimum(pf_arr, pl_arr)
+        else:
+            pf_arr = jnp.zeros_like(pl_arr)
 
     qpos_rows = jnp.repeat(pos_pad, G, axis=1)[..., None]  # (B, S_pad*G, 1)
     has_sinks = sinks is not None
@@ -502,21 +540,35 @@ def flash_attention(
         sink_rows = jnp.zeros((Hk, QT * G, 1), jnp.float32)
 
     # -- specs ----------------------------------------------------------------
+    has_pidx = page_indices is not None
+
     def _teff(b, qt_, p, pf, pl_):
-        return jnp.clip(p, pf[b, qt_], pl_[b, qt_])
+        # max(·, 0): compacted tables may report pl = -1 (no resident
+        # pages for this shard) — clamp keeps the DMA address valid while
+        # in_range masks the whole step
+        return jnp.clip(p, jnp.maximum(pf[b, qt_], 0),
+                        jnp.maximum(pl_[b, qt_], 0))
+
+    def _split(sref):
+        if paged:
+            if has_pidx:
+                bt, _pi, pf, pl_ = sref
+            else:
+                bt, pf, pl_ = sref
+            return bt, pf, pl_
+        pf, pl_ = sref
+        return None, pf, pl_
 
     def kidx(b, hg, qt_, p, *sref):
+        bt, pf, pl_ = _split(sref)
         if paged:
-            bt, pf, pl_ = sref
             return (bt[b, _teff(b, qt_, p, pf, pl_)], 0, hg, 0)
-        pf, pl_ = sref
         return (b, _teff(b, qt_, p, pf, pl_), hg, 0)
 
     def kidx_flat(b, hg, qt_, p, *sref):
+        bt, pf, pl_ = _split(sref)
         if paged:
-            bt, pf, pl_ = sref
             return (bt[b, _teff(b, qt_, p, pf, pl_)], 0, hg)
-        pf, pl_ = sref
         return (b, _teff(b, qt_, p, pf, pl_), hg)
 
     def tb_spec(width):
@@ -564,7 +616,7 @@ def flash_attention(
         _add_const(_field_shifts(Dv, v_bits))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3 if paged else 2,
+        num_scalar_prefetch=(3 + int(has_pidx)) if paged else 2,
         grid=(B, Hg, Qb, MPk),
         in_specs=in_specs,
         out_specs=(pl.BlockSpec(
@@ -591,10 +643,12 @@ def flash_attention(
         d_extra=d_extra, v_from_k=v_from_k,
         scale=scale, sliding_window=sliding_window,
         logit_softcap=logit_softcap, has_sinks=has_sinks,
-        return_stats=return_stats,
+        return_stats=return_stats, has_page_idx=has_pidx,
     )
-    scalars = ((block_tables.astype(jnp.int32),) if paged else ()) + (
-        pf_arr, pl_arr)
+    scalars = ((block_tables.astype(jnp.int32),) if paged else ())
+    if has_pidx:
+        scalars += (page_indices.astype(jnp.int32),)
+    scalars += (pf_arr, pl_arr)
     out_shape = tuple(
         [jax.ShapeDtypeStruct((B, Hk, S_pad, G, Dv),
                               jnp.float32 if return_stats else out_dtype)]

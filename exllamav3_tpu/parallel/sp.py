@@ -14,8 +14,17 @@ for contiguous sequence shards; for paged serving the stat-merge form wins:
 pages live where the pagetable put them and only statistics move.)
 
 Page placement: global page id p lives on device p // (P/n) as local page
-p % (P/n). The pagetable allocates global ids; each shard derives its local
-block table by masking non-resident entries.
+p % (P/n). The pagetable allocates global ids; each shard compacts its
+resident entries into a hole-free local block table (ascending logical
+order) and runs the SAME Pallas flash kernel as single-device serving with
+`page_indices` carrying each entry's logical page (ops/flash_attention.py)
+— per-step DMA and compute scale with RESIDENT pages, not context length.
+A dense jnp body remains as the EXL3_TPU_ATTN=dense fallback.
+
+Supported cache layouts: plain paged GQA K/V, dense or 2/4/8-bit packed.
+MLA latents, DSV4 pools and recurrent-state layers do not implement the
+sp attend path yet — Generator(sp_mesh=...) rejects them up front
+(doc/parallelism.md lists the supported set).
 """
 from __future__ import annotations
 
@@ -29,18 +38,83 @@ from ..constants import PAGE_SIZE
 
 NEG_INF = -1e30
 
+# layer-state entries whose leading dim is the page pool -> shardable over sp
+SP_PAGED_NAMES = ("k", "v", "k_q", "k_s", "v_q", "v_s")
+# paged layouts that exist in the cache but have no sp attend path yet
+SP_UNSUPPORTED_NAMES = ("kv", "kv_q", "kv_s", "k_pe", "mkv", "pg_pool",
+                        "pg_ipool")
 
-def _sp_body(q, positions, total_lens, bt, *kv_arrays, axis, scale,
-             sliding_window, logit_softcap, sinks, n_local, k_bits, v_bits,
-             compand_a):
-    """Per-shard body under shard_map. kv_arrays are the LOCAL page shards —
-    (k, v) dense or (k_q, k_s, v_q, v_s) packed; bt carries GLOBAL page
-    ids. Quantized shards dequantize only their RESIDENT gathered pages."""
+
+def _merge_stats(acc, m, l, axis, sinks):
+    """Cross-device online-softmax merge: one pmax + two psums of
+    output-sized tensors — no K/V ever crosses ICI. Shapes: acc (B,S,Hq,Dv)
+    f32 UNNORMALIZED, m/l (B,S,Hq) f32. Sinks join the denominator after
+    the merge (they are position-free)."""
+    mg = jax.lax.pmax(m, axis)
+    c = jnp.where(m <= NEG_INF / 2, 0.0, jnp.exp(m - mg))
+    lg = jax.lax.psum(l * c, axis)
+    accg = jax.lax.psum(acc * c[..., None], axis)
+    if sinks is not None:
+        sk = sinks.astype(jnp.float32).reshape(1, 1, -1)       # (1,1,Hq)
+        mm = jnp.maximum(mg, sk)
+        lg = lg * jnp.exp(mg - mm) + jnp.exp(sk - mm)
+        accg = accg * jnp.exp(mg - mm)[..., None]
+    return accg / jnp.maximum(lg, 1e-20)[..., None]
+
+
+def _local_tables(bt, d, n_local):
+    """Split the GLOBAL block table into this shard's compacted LOCAL table.
+
+    Returns (bt_local, pidx): entry p of bt_local is a local page id and
+    covers logical page pidx[b, p] of the sequence (ascending; -1 = unused
+    tail). Non-resident pages simply do not appear — the flash kernel's
+    per-q-block [first, last] bounds then count only resident pages."""
+    B, MP = bt.shape
+    owner = bt // n_local
+    resident = owner == d                                      # (B, MP)
+    local = jnp.where(resident, bt % n_local, 0)
+    idx = jnp.broadcast_to(jnp.arange(MP, dtype=jnp.int32)[None], (B, MP))
+    order = jnp.argsort(jnp.where(resident, idx, MP + idx), axis=1)
+    res_sorted = jnp.take_along_axis(resident, order, axis=1)
+    bt_local = jnp.where(res_sorted,
+                         jnp.take_along_axis(local, order, axis=1), 0)
+    pidx = jnp.where(res_sorted, order.astype(jnp.int32), -1)
+    return bt_local.astype(jnp.int32), pidx
+
+
+def _sp_body_flash(q, positions, total_lens, bt, *kv_arrays, axis, scale,
+                   sliding_window, logit_softcap, sinks, n_local, k_bits,
+                   v_bits, compand_a, interpret):
+    """Per-shard body: the single-device Pallas flash kernel over the
+    compacted local table, return_stats=True, then the stat merge."""
+    from ..ops.flash_attention import flash_attention
+
+    d = jax.lax.axis_index(axis)
+    bt_local, pidx = _local_tables(bt, d, n_local)
+    if k_bits:
+        layer = {"k_q": kv_arrays[0], "k_s": kv_arrays[1],
+                 "v_q": kv_arrays[2], "v_s": kv_arrays[3]}
+    else:
+        layer = {"k": kv_arrays[0], "v": kv_arrays[1]}
+    acc, m, l = flash_attention(
+        q, layer, positions, total_lens, block_tables=bt_local,
+        page_indices=pidx, sinks=None, scale=scale,
+        sliding_window=sliding_window, logit_softcap=logit_softcap,
+        k_bits=k_bits, v_bits=v_bits, compand_a=compand_a,
+        return_stats=True, interpret=interpret,
+    )
+    return _merge_stats(acc, m, l, axis, sinks)
+
+
+def _sp_body_dense(q, positions, total_lens, bt, *kv_arrays, axis, scale,
+                   sliding_window, logit_softcap, sinks, n_local, k_bits,
+                   v_bits, compand_a):
+    """jnp reference body (EXL3_TPU_ATTN=dense): gathers every RESIDENT
+    page dense and einsums full-length scores. Exact but does not scale to
+    long contexts — the flash body is the serving path."""
     d = jax.lax.axis_index(axis)
     B, S, Hq, D = q.shape
 
-    # local block table: resident entries -> local page id, others -> 0 with
-    # a validity mask (position masking handles the rest)
     owner = bt // n_local
     local = jnp.where(owner == d, bt % n_local, 0)
     resident = owner == d                                   # (B, MP)
@@ -75,34 +149,27 @@ def _sp_body(q, positions, total_lens, bt, *kv_arrays, axis, scale,
         mask &= kp_abs[:, None, None, None, :] > (
             positions[:, None, None, :, None] - sliding_window)
     s = jnp.where(mask, s, NEG_INF)
-    m = jnp.max(s, axis=-1)
+    m = jnp.max(s, axis=-1)                                 # (B,Hk,G,S)
     p = jnp.where(mask, jnp.exp(s - m[..., None]), 0.0)
     l = jnp.sum(p, axis=-1)
     acc = jnp.einsum("bkgst,btkd->bkgsd", p, v.astype(jnp.float32))
-
-    # cross-device online-softmax merge: one pmax + two psums of
-    # output-sized tensors — no K/V ever crosses ICI
-    mg = jax.lax.pmax(m, axis)
-    c = jnp.where(m <= NEG_INF / 2, 0.0, jnp.exp(m - mg))
-    lg = jax.lax.psum(l * c, axis)
-    accg = jax.lax.psum(acc * c[..., None], axis)
-    if sinks is not None:
-        sk = sinks.reshape(1, Hk, G, 1).astype(jnp.float32)
-        lg = lg * jnp.exp(mg - jnp.maximum(mg, sk)) \
-            + jnp.exp(sk - jnp.maximum(mg, sk))
-        accg = accg * jnp.exp(mg - jnp.maximum(mg, sk))[..., None]
-    out = accg / jnp.maximum(lg, 1e-20)[..., None]          # (B,Hk,G,S,D)
-    return jnp.moveaxis(out, 3, 1).reshape(B, S, Hq, -1)
+    # reshape to the merge layout (B,S,Hq,·)
+    Dv = acc.shape[-1]
+    acc = jnp.moveaxis(acc, 3, 1).reshape(B, S, Hq, Dv)
+    m = jnp.moveaxis(m, 3, 1).reshape(B, S, Hq)
+    l = jnp.moveaxis(l, 3, 1).reshape(B, S, Hq)
+    return _merge_stats(acc, m, l, axis, sinks)
 
 
 def sp_paged_attend(q, layer_state, block_tables, positions, total_lens,
                     mesh, axis: str = "sp", scale: float = 1.0,
                     sliding_window: int = 0, logit_softcap: float = 0.0,
                     sinks=None, k_bits: int = 0, v_bits: int = 0,
-                    compand_a: float = 0.0):
+                    compand_a: float = 0.0, backend: str | None = None):
     """Sequence-parallel paged attention over `mesh`'s `axis`. Cache pages
     (dim 0) — dense or 2-8-bit packed — are sharded over the axis;
-    q/positions/tables are replicated. Returns (B, S, Hq, Dv) replicated."""
+    q/positions/tables are replicated. Returns (B, S, Hq, Dv) replicated.
+    `backend` follows util.env.attn_backend: flash | interpret | dense."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -110,6 +177,10 @@ def sp_paged_attend(q, layer_state, block_tables, positions, total_lens,
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
 
+    if backend is None:
+        from ..util.env import attn_backend
+
+        backend = attn_backend(k_bits, v_bits)
     if k_bits:
         kv_arrays = (layer_state["k_q"], layer_state["k_s"],
                      layer_state["v_q"], layer_state["v_s"])
@@ -118,11 +189,15 @@ def sp_paged_attend(q, layer_state, block_tables, positions, total_lens,
     n = mesh.shape[axis]
     P_total = kv_arrays[0].shape[0]
     assert P_total % n == 0
-    body = partial(_sp_body, axis=axis, scale=scale,
-                   sliding_window=sliding_window,
-                   logit_softcap=logit_softcap, sinks=sinks,
-                   n_local=P_total // n, k_bits=k_bits, v_bits=v_bits,
-                   compand_a=compand_a)
+    common = dict(axis=axis, scale=scale, sliding_window=sliding_window,
+                  logit_softcap=logit_softcap, sinks=sinks,
+                  n_local=P_total // n, k_bits=k_bits, v_bits=v_bits,
+                  compand_a=compand_a)
+    if backend == "dense":
+        body = partial(_sp_body_dense, **common)
+    else:
+        body = partial(_sp_body_flash, interpret=(backend == "interpret"),
+                       **common)
     rep = P()
     page_spec = P(axis, None, None, None)
     kw = dict(mesh=mesh,
@@ -137,18 +212,29 @@ def sp_paged_attend(q, layer_state, block_tables, positions, total_lens,
 
 
 def shard_cache_state(state: dict, mesh, axis: str = "sp") -> dict:
-    """Place every paged array's page dim on the sp axis (pg_* pools too);
-    non-paged (slot-keyed) arrays replicate."""
+    """Place plain paged K/V page dims on the sp axis; everything slot-keyed
+    replicates. Raises for cache layouts (MLA latent, DSV4 pools, recurrent
+    rings) that have no sp attend path — sharding them would at best force a
+    full cache all-gather every step, defeating the capacity scaling."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape[axis]
     out = {}
     for key, layer in state.items():
+        bad = [nm for nm in layer if nm in SP_UNSUPPORTED_NAMES
+               or nm.startswith("pg_")]
+        if bad:
+            raise ValueError(
+                f"Generator(sp_mesh=...) supports plain paged GQA K/V "
+                f"caches only; layer {key!r} carries {sorted(bad)} "
+                f"(MLA latent / DSV4 pool / recurrent layouts have no "
+                f"sequence-parallel attend path yet — see "
+                f"doc/parallelism.md)")
+        is_ring = "pos" in layer  # SWA ring: slot-keyed, replicates
         new_layer = {}
         for name, arr in layer.items():
-            if arr.ndim >= 2 and arr.shape[0] % n == 0 and name in (
-                    "k", "v", "k_q", "k_s", "v_q", "v_s", "kv", "kv_q",
-                    "kv_s", "k_pe", "mkv", "pg_pool", "pg_ipool"):
+            if (not is_ring and arr.ndim >= 2 and arr.shape[0] % n == 0
+                    and name in SP_PAGED_NAMES):
                 spec = P(axis, *([None] * (arr.ndim - 1)))
             else:
                 spec = P()

@@ -87,3 +87,58 @@ def test_sp_quantized_cache_generate(model):
                             sampler=GreedySampler(), decode_text=False)
 
     assert run(_sp_mesh()) == run(None)
+
+
+def test_sp_paged_attend_kernel_matches_dense(model):
+    """The Pallas flash body (compacted local tables + page_indices) must
+    match attend_paged exactly, including sliding windows and shards that
+    own zero pages of a sequence."""
+    from exllamav3_tpu.parallel.sp import sp_paged_attend
+    from exllamav3_tpu.parallel.sp import shard_cache_state
+    from exllamav3_tpu.ops.attention import attend_paged
+
+    rng = np.random.default_rng(11)
+    B, S, Hq, Hk, D, P = 2, 1, 8, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(
+        (P, PAGE_SIZE, Hk, D)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal(
+        (P, PAGE_SIZE, Hk, D)).astype(np.float32) * 0.3)
+    # seq 0's pages live on shards {1, 4, 7}; seq 1's on {7, 0}
+    bt = np.array([[3, 9, 15], [14, 1, 0]], dtype=np.int32)
+    qpos = np.array([[700], [300]], dtype=np.int32)
+    total = qpos[:, -1] + 1
+    mesh = _sp_mesh()
+    state = shard_cache_state({"l": {"k": k, "v": v}}, mesh, "sp")["l"]
+
+    for win in (0, 300):
+        ref = np.asarray(attend_paged(
+            q, k, v, jnp.asarray(bt), jnp.asarray(qpos), jnp.asarray(total),
+            scale=D ** -0.5, sliding_window=win))
+        got = np.asarray(sp_paged_attend(
+            q, state, jnp.asarray(bt), jnp.asarray(qpos), jnp.asarray(total),
+            mesh, "sp", scale=D ** -0.5, sliding_window=win,
+            backend="interpret"))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sp_generate_kernel_matches_single(model, monkeypatch):
+    """End-to-end serving through the sp flash-kernel path (interpret mode)
+    decodes the same tokens as single-device generation."""
+    monkeypatch.setenv("EXL3_TPU_ATTN", "interpret")
+    prompt = (np.arange(40) % 300 + 5).tolist()
+    plain = _generate(model, None, prompt)
+    sp = _generate(model, _sp_mesh(), prompt)
+    assert sp == plain
+
+
+def test_sp_rejects_unsupported_layouts():
+    """MLA/DSV4-style cache layouts must be rejected up front, not silently
+    all-gathered every step."""
+    from exllamav3_tpu.parallel.sp import shard_cache_state
+
+    mesh = _sp_mesh()
+    state = {"l0": {"kv": jnp.zeros((16, PAGE_SIZE, 64)),
+                    "k_pe": jnp.zeros((16, PAGE_SIZE, 16))}}
+    with pytest.raises(ValueError, match="sp_mesh"):
+        shard_cache_state(state, mesh, "sp")
