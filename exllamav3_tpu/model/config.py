@@ -26,10 +26,15 @@ no_default = _NoDefault()
 class InferParams:
     """Runtime tunables (reference model/config.py:11-64)."""
 
-    # EXL3 linear runtime representation: "auto" | "fused" | "int8" | "bf16" | "reconstruct"
+    # EXL3 linear runtime representation: "auto" | "fused" | "int4" | "int8" | "bf16" | "reconstruct"
     linear_mode: str = "auto"
     # rows <= this use the decode-optimized path; more rows use reconstruct+GEMM
     reconstruct_threshold: int = 32
+    # MoE decode body: "auto" (selected-expert Pallas kernel on TPU) |
+    # "dense" (einsum over all experts — REQUIRED under expert-parallel
+    # GSPMD sharding, where XLA partitions the einsum). EXL3_TPU_MOE
+    # overrides (util/env.py).
+    moe_decode: str = "auto"
     max_chunk_size: int = 2048
     activation_dtype: str = "bfloat16"
     # fuse q/k/v and gate/up into single matmuls at load (the reference's

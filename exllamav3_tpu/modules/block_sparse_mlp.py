@@ -406,26 +406,69 @@ class BlockSparseMLP(Module):
         if pes is not None:
             weights = weights * pes[None, :]
 
-        # grouped path when it saves real compute (prefill shapes); the
-        # dense-all path below is optimal for bandwidth-bound decode
+        # routed compute, three bodies (same exact routing semantics):
+        #   * grouped ragged-dot for prefill shapes (k/E of dense FLOPs)
+        #   * selected-expert Pallas kernel for decode shapes — reads ONLY
+        #     the k routed experts' weight bytes (reference exl3_moe.cu:
+        #     at top-8-of-128 the dense-all path costs 16x the HBM traffic)
+        #   * dense-all einsum (CPU / expert-parallel GSPMD fallback)
         if T * self.top_k * 2 < T * self.num_experts and T >= 16:
             out = self._grouped_experts(xt_exp, weights, p)
-            if self.routed_post_norm is not None:
-                out = self.routed_post_norm.forward(out, params, ctx) \
-                    .astype(jnp.float32)
-            if self.shared_experts is not None:
-                so = self.shared_experts.forward(xt, params, ctx).astype(jnp.float32)
-                if self.shared_experts_post_norm is not None:
-                    so = self.shared_experts_post_norm.forward(
-                        so, params, ctx).astype(jnp.float32)
-                if self.shared_gate is not None:
-                    sg = self.shared_gate.forward(xt, params, ctx).astype(jnp.float32)
-                    so = so * jax.nn.sigmoid(sg)
-                out = out + so
-            out = out.reshape(shape[:-1] + (h,))
-            dt = self.out_dtype if self.out_dtype is not None else x.dtype
-            return out.astype(dt)
+        elif self._use_selected_kernel(T):
+            out = self._selected_experts(xt_exp, weights, p)
+        else:
+            out = self._dense_all_experts(xt_exp, weights, p)
+        if self.routed_post_norm is not None:
+            out = self.routed_post_norm.forward(out, params, ctx) \
+                .astype(jnp.float32)
 
+        if self.shared_experts is not None:
+            so = self.shared_experts.forward(xt, params, ctx).astype(jnp.float32)
+            if self.shared_experts_post_norm is not None:
+                so = self.shared_experts_post_norm.forward(
+                    so, params, ctx).astype(jnp.float32)
+            if self.shared_gate is not None:
+                sg = self.shared_gate.forward(xt, params, ctx).astype(jnp.float32)
+                so = so * jax.nn.sigmoid(sg)
+            out = out + so
+
+        out = out.reshape(shape[:-1] + (h,))
+        if self.out_dtype is not None:
+            out = out.astype(self.out_dtype)
+        else:
+            out = out.astype(x.dtype)
+        return out
+
+    def _use_selected_kernel(self, T: int) -> bool:
+        from ..util.env import moe_backend
+        from ..ops.moe_gemm import _pick_bi
+
+        backend = moe_backend()
+        if getattr(self.config.infer_params, "moe_decode", "auto") == "dense":
+            backend = "dense"
+        return (backend != "dense" and T <= 16
+                and self.top_k < self.num_experts
+                and self.hidden_size % 128 == 0
+                and _pick_bi(self.hidden_size, self.intermediate_size) > 0)
+
+    def _selected_experts(self, xt, weights, p):
+        """Decode: one Pallas launch reading only the routed experts' bytes
+        (ops/moe_gemm.py)."""
+        from ..util.env import moe_backend
+        from ..ops.moe_gemm import selected_expert_mlp
+
+        gk, uk, dk = self.keys_gud
+        topv, topi = jax.lax.top_k(weights, self.top_k)
+        return selected_expert_mlp(
+            xt, topi, topv, p["w_" + uk], p["w_" + dk],
+            wg=p["w_" + gk] if self.gated else None,
+            bg=p.get("b_" + gk), bu=p.get("b_" + uk), bd=p.get("b_" + dk),
+            activation=self.activation, act_limit=self.act_limit,
+            act_clamp=self.act_clamp,
+            interpret=(moe_backend() == "interpret"),
+        )
+
+    def _dense_all_experts(self, xt_exp, weights, p):
         gk, uk, dk = self.keys_gud
         wu, wd = p["w_" + uk], p["w_" + dk]
         xb = xt_exp.astype(jnp.bfloat16)
@@ -452,24 +495,4 @@ class BlockSparseMLP(Module):
         y = einsum_f32("eti,eih->eth", a, wd)
         if "b_" + dk in p:
             y = y + p["b_" + dk][:, None, :]
-        out = jnp.einsum("eth,te->th", y, weights)
-        if self.routed_post_norm is not None:
-            out = self.routed_post_norm.forward(out, params, ctx) \
-                .astype(jnp.float32)
-
-        if self.shared_experts is not None:
-            so = self.shared_experts.forward(xt, params, ctx).astype(jnp.float32)
-            if self.shared_experts_post_norm is not None:
-                so = self.shared_experts_post_norm.forward(
-                    so, params, ctx).astype(jnp.float32)
-            if self.shared_gate is not None:
-                sg = self.shared_gate.forward(xt, params, ctx).astype(jnp.float32)
-                so = so * jax.nn.sigmoid(sg)
-            out = out + so
-
-        out = out.reshape(shape[:-1] + (h,))
-        if self.out_dtype is not None:
-            out = out.astype(self.out_dtype)
-        else:
-            out = out.astype(x.dtype)
-        return out
+        return jnp.einsum("eth,te->th", y, weights)

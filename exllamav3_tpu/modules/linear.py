@@ -13,8 +13,13 @@ TPU-native runtime representations for EXL3 tensors ("linear_mode"):
   * "int8": decode once at load, requantize per-output-channel to int8 —
     1 byte/weight with negligible extra error below the trellis noise floor.
     Matmul runs through the fused Pallas dequant kernel (ops/q_matmul.py).
+  * "int4": decode once at load, requantize to grouped int4 (per-64-row
+    scales, two weights per byte) — 0.5 byte/weight, the format's own HBM
+    budget at 4 bpw, with an in-kernel ~3.5-VPU-op/weight unpack
+    (ops/q_matmul.py int4_matmul) — the SERVING mode for 4-bpw models.
   * "fused": keep packed trellis, Pallas kernel decodes 16x16 tiles in VMEM
-    and feeds the MXU directly (ops/exl3_gemm.py) — 0.5 byte/weight at 4 bpw.
+    and feeds the MXU directly (ops/exl3_gemm.py) — 0.5 byte/weight at any
+    bpw but ~14 VPU ops/weight (capacity mode).
 
 The EXL3 *file format* is identical to the reference; the runtime
 representation is chosen per deployment (HBM budget vs decode cost), which is
@@ -130,7 +135,7 @@ class Linear(Module):
                 dtype=jnp.bfloat16,
             )
             p["weight"] = w
-        elif mode == "int8":
+        elif mode in ("int8", "int4"):
             w = reconstruct_full_jnp(
                 jnp.asarray(np.ascontiguousarray(trellis)),
                 jnp.asarray(suh),
@@ -139,10 +144,20 @@ class Linear(Module):
                 self.cb,
                 dtype=jnp.float32,
             )
-            scale = jnp.max(jnp.abs(w), axis=0) / 127.0 + 1e-12
-            q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
-            p["weight_q"] = q
-            p["scale"] = scale.astype(jnp.float32)
+            from ..ops.q_matmul import INT4_GROUP, int4_pack_jnp
+
+            if mode == "int4" and w.shape[0] % (2 * INT4_GROUP) == 0:
+                packed, scale4 = int4_pack_jnp(w)
+                p["weight_q4"] = packed
+                p["scale4"] = scale4
+            else:
+                # int8, or layers whose in_features don't tile the int4
+                # groups (tiny heads): per-output-channel int8
+                scale = jnp.max(jnp.abs(w), axis=0) / 127.0 + 1e-12
+                q = jnp.clip(jnp.round(w / scale[None, :]),
+                             -127, 127).astype(jnp.int8)
+                p["weight_q"] = q
+                p["scale"] = scale.astype(jnp.float32)
         else:
             raise ValueError(f"unknown linear_mode {mode}")
         if bias is not None:
@@ -187,6 +202,10 @@ class Linear(Module):
                 x, p["trellis"], p["suh"], p["svh"], self.K, self.cb,
                 bias=bias, out_dtype=jnp.float32,
             )
+        elif "weight_q4" in p:
+            from ..ops.q_matmul import int4_matmul
+
+            y = int4_matmul(x, p["weight_q4"], p["scale4"], bias=bias)
         elif "weight_q" in p:
             from ..ops.q_matmul import int8_matmul
 
@@ -233,6 +252,11 @@ class Linear(Module):
                 p["trellis"], p["suh"], p["svh"], self.K, self.cb, dtype=jnp.float32
             )
             return np.asarray(jax.device_get(w))
+        if "weight_q4" in p:
+            from ..ops.q_matmul import int4_unpack_jnp
+
+            return np.asarray(
+                jax.device_get(int4_unpack_jnp(p["weight_q4"], p["scale4"])))
         if "weight_q" in p:
             return np.asarray(
                 jax.device_get(p["weight_q"].astype(jnp.float32) * p["scale"][None, :])

@@ -124,3 +124,180 @@ def int8_matmul(x, w_q, scale, bias=None, use_pallas: bool | None = None):
     if bias is not None:
         y = y + bias
     return y.reshape(shape[:-1] + (n,))
+
+
+# -- packed int4: 0.5 byte/weight serving mode --------------------------------
+#
+# The reference's headline property is fused trellis decode at memory-bound
+# speed (README.md:174, exllamav3_ext/quant/exl3_gemm.cu:23-37). On v5e the
+# trellis decode costs ~14 VPU ops/weight (capacity mode, 5% of roofline) and
+# the int8 mode pays 2x the format's bytes. This mode sits between them: at
+# load the decoded trellis requantizes to grouped int4 (per-64-row scales,
+# noise well below the 4-bpw trellis floor), packed two weights per byte
+# along k — byte r of column n holds k-row r (low nibble, biased +8) and
+# k-row r + k/2 (high nibble, two's complement). The Pallas kernel unpacks
+# in VMEM with ~3.5 VPU ops/weight (mask/shift/sub + bf16 scale multiply,
+# scale expansion rides the idle MXU as an E @ s matmul) and feeds bf16
+# dots — HBM traffic stays at 0.5 byte/weight + 1/32 scale overhead.
+
+INT4_GROUP = 64
+
+
+def int4_pack_jnp(w, group: int = INT4_GROUP):
+    """f32 (k, n) -> (packed (k/2, n) int8, scales (k/group, n) bf16).
+    Device-side (jnp) so load time stays off the host. Requires
+    k % (2*group) == 0 (callers fall back to int8 otherwise)."""
+    k, n = w.shape
+    assert k % (2 * group) == 0, (k, group)
+    g = k // group
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf.reshape(g, group, n)), axis=1)      # (g, n)
+    scale = amax / 7.0 + 1e-12
+    q = jnp.clip(jnp.round(wf / jnp.repeat(scale, group, axis=0)), -8, 7)
+    q = q.astype(jnp.int32)
+    lo = q[: k // 2] + 8                       # biased: low nibble in [0,15]
+    hi = q[k // 2:]
+    packed = (((hi & 15) << 4) | lo).astype(jnp.int8)
+    return packed, scale.astype(jnp.bfloat16)
+
+
+def int4_unpack_jnp(packed, scales, group: int = INT4_GROUP):
+    """Reference unpack: (k/2, n) int8 + (k/group, n) -> (k, n) f32."""
+    bi = packed.astype(jnp.int32)
+    lo = (bi & 15) - 8
+    hi = bi >> 4                               # arithmetic: signed nibble
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    return q * jnp.repeat(scales.astype(jnp.float32), group, axis=0)
+
+
+def int4_matmul_ref(x, packed, scales, bias=None, group: int = INT4_GROUP):
+    w = int4_unpack_jnp(packed, scales, group)
+    y = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def _int4_expand_mat(bkh: int, group: int) -> np.ndarray:
+    """(bkh, bkh//group) f32: E @ scales expands per-group rows to per-k-row
+    scales on the MXU (the VPU-side alternative, a sublane-repeat, has no
+    cheap TPU lowering)."""
+    ng = bkh // group
+    E = np.zeros((bkh, ng), np.float32)
+    for p in range(bkh):
+        E[p, p // group] = 1.0
+    return E
+
+
+def _int4_matmul_kernel(x_lo_ref, x_hi_ref, b_ref, s_lo_ref, s_hi_ref,
+                        emat_ref, out_ref, acc_ref):
+    import jax.experimental.pallas as pl
+
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    bi = b_ref[:].astype(jnp.int32)                       # (bkh, bn)
+    # per-k-row scales via the (idle during decode) MXU
+    se_lo = jnp.dot(emat_ref[:], s_lo_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    se_hi = jnp.dot(emat_ref[:], s_hi_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    w_lo = ((bi & 15) - 8).astype(jnp.bfloat16) * se_lo
+    w_hi = (bi >> 4).astype(jnp.bfloat16) * se_hi
+    acc_ref[:] += jnp.dot(x_lo_ref[:], w_lo,
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_hi_ref[:], w_hi,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "block_m", "block_n",
+                                              "block_kh", "interpret"))
+def int4_matmul_pallas(x, packed, scales, group: int = INT4_GROUP,
+                       block_m: int = 256, block_n: int = 512,
+                       block_kh: int = 512, interpret: bool = False):
+    """x (m, k) bf16; packed (k/2, n) int8; scales (k/group, n) bf16
+    -> (m, n) f32. m must be a multiple of 16 (bf16 sublane tile)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    kh, n = packed.shape
+    assert k == 2 * kh
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    while kh % block_kh or block_kh % group:
+        block_kh //= 2
+        assert block_kh >= group, (kh, group)
+    ng = block_kh // group
+    nkb = kh // block_kh
+    grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), nkb)
+    emat = jnp.asarray(_int4_expand_mat(block_kh, group))
+    x = x.astype(jnp.bfloat16)
+    return pl.pallas_call(
+        _int4_matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_kh), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_kh),
+                         lambda i, j, kk, _n=nkb: (i, kk + _n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kh, block_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, block_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, block_n),
+                         lambda i, j, kk, _n=nkb: (kk + _n, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kh, ng), lambda i, j, kk: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, x, packed, scales, scales, emat)
+
+
+def int4_matmul(x, packed, scales, bias=None, group: int = INT4_GROUP,
+                use_pallas: bool | None = None):
+    """Dispatcher: Pallas kernel on TPU (EXL3TPU_INT4_PALLAS=0 forces the
+    jnp unpack path), jnp reference elsewhere."""
+    import os
+
+    shape = x.shape
+    k = shape[-1]
+    n = packed.shape[1]
+    x2 = x.reshape(-1, k)
+    if use_pallas is None:
+        env = os.environ.get("EXL3TPU_INT4_PALLAS")
+        if env is not None:
+            use_pallas = env not in ("0", "false")
+        else:
+            use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        m = x2.shape[0]
+        m_pad = -m % 16  # bf16 sublane alignment for tiny decode batches
+        if m_pad:
+            x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+        y = int4_matmul_pallas(x2, packed, scales, group=group)
+        if m_pad:
+            y = y[:m]
+    else:
+        y = int4_matmul_ref(x2, packed, scales, group=group)
+    if bias is not None:
+        y = y + bias
+    return y.reshape(shape[:-1] + (n,))

@@ -49,3 +49,20 @@ def attn_backend(k_bits: int = 0, v_bits: int = 0) -> str:
     import jax
 
     return "flash" if jax.default_backend() not in ("cpu",) else "dense"
+
+
+def moe_backend() -> str:
+    """Resolve the MoE decode implementation.
+
+    EXL3_TPU_MOE = auto (default: selected-expert Pallas kernel on TPU,
+    dense-all on CPU) | selected (force kernel) | interpret (kernel in
+    interpret mode — CPU testing) | dense (force the einsum-all-experts
+    path; required under expert-parallel GSPMD sharding, where the stacked
+    weights are split across the mesh and XLA partitions the einsum).
+    """
+    mode = env_str("EXL3_TPU_MOE", "auto")
+    if mode in ("selected", "interpret", "dense"):
+        return mode
+    import jax
+
+    return "selected" if jax.default_backend() not in ("cpu",) else "dense"

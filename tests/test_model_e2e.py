@@ -35,16 +35,19 @@ def _load(ckpt, mode):
 def test_runtime_modes_agree(ckpt):
     ids = np.array([[1, 5, 9, 13, 200, 37, 4, 2]], dtype=np.int32)
     logits = {}
-    for mode in ("reconstruct", "bf16", "int8", "fused"):
+    for mode in ("reconstruct", "bf16", "int8", "int4", "fused"):
         model = _load(ckpt, mode)
         logits[mode] = np.asarray(model.forward_simple(ids))
     ref = logits["reconstruct"]
     assert np.isfinite(ref).all()
-    for mode in ("bf16", "int8", "fused"):
-        # bf16/int8 reps add bounded rounding noise on top of identical math
+    for mode in ("bf16", "int8", "int4", "fused"):
+        # bf16/int8 reps add bounded rounding noise on top of identical
+        # math; int4's grouped requant adds a larger (still sub-trellis-
+        # floor) delta
         err = np.abs(logits[mode] - ref)
         scale = np.abs(ref).max()
-        assert err.max() < 0.05 * scale, (mode, err.max(), scale)
+        bound = 0.12 if mode == "int4" else 0.05
+        assert err.max() < bound * scale, (mode, err.max(), scale)
 
 
 def test_cache_decode_matches_full_forward(ckpt):

@@ -21,3 +21,39 @@ def test_int8_pallas_matches_ref():
                                block_m=16, block_n=128, block_k=128)
         )
     np.testing.assert_allclose(got, ref, rtol=1e-2, atol=1e-3)
+
+
+def test_int4_pack_roundtrip():
+    """pack -> unpack reproduces the grouped-quantized weight exactly."""
+    from exllamav3_tpu.ops.q_matmul import (
+        int4_pack_jnp, int4_unpack_jnp, INT4_GROUP)
+
+    rng = np.random.default_rng(1)
+    k, n = 256, 128
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    packed, scales = int4_pack_jnp(jnp.asarray(w))
+    assert packed.dtype == jnp.int8 and packed.shape == (k // 2, n)
+    assert scales.shape == (k // INT4_GROUP, n)
+    w2 = np.asarray(int4_unpack_jnp(packed, scales))
+    # quantization error bounded by half a step per group
+    step = np.repeat(np.asarray(scales, np.float32), INT4_GROUP, axis=0)
+    # half step + bf16 scale rounding
+    assert np.all(np.abs(w2 - w) <= step * 0.55 + 1e-6)
+
+
+def test_int4_pallas_matches_ref():
+    from exllamav3_tpu.ops.q_matmul import (
+        int4_pack_jnp, int4_matmul_ref, int4_matmul_pallas)
+
+    rng = np.random.default_rng(2)
+    m, k, n = 16, 512, 256
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    packed, scales = int4_pack_jnp(jnp.asarray(w))
+
+    ref = np.asarray(int4_matmul_ref(jnp.asarray(x), packed, scales))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(int4_matmul_pallas(
+            jnp.asarray(x, dtype=jnp.bfloat16), packed, scales,
+            block_m=16, block_n=128, block_kh=128))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
