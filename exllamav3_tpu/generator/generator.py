@@ -58,6 +58,7 @@ class Generator:
         cpu_cache_bytes: int = 0,
         sp_mesh=None,
         sp_axis: str = "sp",
+        mh_broadcast: bool = False,
     ):
         self.model = model
         self.cache = cache
@@ -70,6 +71,10 @@ class Generator:
         # the mesh's sp axis; attention merges per-device stats (parallel/sp.py)
         self.sp_mesh = sp_mesh
         self.sp_axis = sp_axis
+        # multi-host serving: route sampled tokens through a host-0
+        # broadcast so every process feeds identical next-step inputs
+        # (parallel/multihost.py discipline)
+        self.mh_broadcast = mh_broadcast
         if sp_mesh is not None:
             from ..parallel.sp import shard_cache_state
 
@@ -844,6 +849,10 @@ class Generator:
             toks, tok_p, self.cache.state, self.token_counts = out
             lp_vals = lp_ids = None
         toks = np.asarray(toks)
+        if self.mh_broadcast:
+            from ..parallel.multihost import broadcast_from_host0
+
+            toks = np.asarray(broadcast_from_host0(toks))
         # adaptive-p feedback: the sampled probability adapts next step's
         # per-row target (reference SS_AdaptiveP running decayed average)
         adaptive = [(i, st) for i, (j, neg) in enumerate(rows) if not neg

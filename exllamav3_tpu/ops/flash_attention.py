@@ -19,12 +19,13 @@ quantized-cache `qc` variants) and exllamav3_ext/cache/q_cache.cu (2-8 bit
   * prefill (large S): KV heads move to the grid, q-blocks of QT tokens x G
     GQA heads give (QT*G, D) score matmuls per page — K re-reads scale as
     S/QT like any flash prefill.
-  * quantized caches (2/4/8 bits) are dequantized IN-KERNEL from the packed
+  * quantized caches (2-8 bits) are dequantized IN-KERNEL from the packed
     int32 words: J=32/bits lane-parallel shift+mask passes concatenated
     along lanes yield the channels in a static permutation (see
     channel_perm); q is pre-permuted and the output unpermuted outside, so
     the kernel never materializes a dequantized cache. Odd bit-widths
-    (3/5/6/7 straddle word boundaries) use the jnp fallback path.
+    (3/5/6/7) store as power-of-2 BIT PLANES (kv_quant.ODD_PLANES) and
+    unpack with one pass per plane — every width 2-8 runs in-kernel.
   * MLA absorbed decode AND prefill: Hk=1, V = leading `v_from_k` channels
     of K (the latent), so V is never fetched separately; the quantized-
     latent layout ([packed latent | bf16 rope-key]) rides an extra input
@@ -53,7 +54,10 @@ from ..constants import PAGE_SIZE
 
 NEG_INF = -1e30
 
-FAST_BITS = (0, 2, 4, 8)  # in-kernel dequant needs word-aligned fields
+# in-kernel dequant: word-aligned widths unpack in one repeat+shift pass;
+# odd widths (3/5/6/7) decompose into power-of-2 bit planes (ops/kv_quant.py
+# ODD_PLANES) and unpack in one pass per plane
+FAST_BITS = (0, 2, 3, 4, 5, 6, 7, 8)
 
 
 # -- quantized-channel permutation helpers -----------------------------------
@@ -70,16 +74,20 @@ def channel_perm(D: int, bits: int) -> tuple:
     field p//gw with one variable shift, so lane position
     p = j*gw + group*bits + w holds channel 32*group + w*J + j.
     Returns (perm, inv_perm) as numpy arrays: x_kernel = x[..., perm];
-    x = x_kernel[..., inv_perm].
+    x = x_kernel[..., inv_perm]. Odd bit-widths use the layout of their
+    LARGEST bit plane (kv_quant packs the other planes to match).
     """
-    assert bits in (2, 4, 8) and D % 32 == 0
-    J = 32 // bits
+    from .kv_quant import plane_max
+
+    pb = plane_max(bits)
+    assert pb in (1, 2, 4, 8) and D % 32 == 0
+    J = 32 // pb
     g = D // 32
     perm = np.empty((D,), np.int32)
     p = 0
     for j in range(J):
         for group in range(g):
-            for w in range(bits):
+            for w in range(pb):
                 perm[p] = 32 * group + w * J + j
                 p += 1
     inv = np.empty_like(perm)
@@ -90,22 +98,32 @@ def channel_perm(D: int, bits: int) -> tuple:
 @functools.lru_cache(maxsize=None)
 def _scale_expand_mat(D: int, bits: int, factor: float = 1.0) -> np.ndarray:
     """(g, D) f32 matrix: scales (T, g) @ E -> per-lane scale*factor in the
-    kernel's permuted channel order (lane p -> group (p %% (g*bits)) //
-    bits). A (T,4)x(4,128) matmul per head-page — measured ~2 us total per
-    decode step, not worth restructuring away."""
+    kernel's permuted channel order (lane p -> group (p %% (g*pb)) // pb,
+    pb = the layout plane width). A (T,4)x(4,128) matmul per head-page —
+    measured ~2 us total per decode step, not worth restructuring away."""
+    from .kv_quant import plane_max
+
+    pb = plane_max(bits)
     g = D // 32
     E = np.zeros((g, D), np.float32)
     for p in range(D):
-        E[(p % (g * bits)) // bits, p] = factor
+        E[(p % (g * pb)) // pb, p] = factor
     return E
 
 
 @functools.lru_cache(maxsize=None)
 def _field_shifts(D: int, bits: int) -> np.ndarray:
-    """(1, D) uint32 per-lane shift amounts for the repeat-widened unpack:
-    lane p extracts field p // gw of word p %% gw."""
-    gw = (D // 32) * bits
-    return ((np.arange(D, dtype=np.uint32) // gw) * bits).reshape(1, D)
+    """(nplanes, D) uint32 per-lane shift amounts for the repeat-widened
+    unpack — one row per bit plane (a single row for word-aligned widths):
+    lane p extracts field p // gw_p of word p %% gw_p."""
+    from .kv_quant import ODD_PLANES
+
+    g = D // 32
+    rows = []
+    for pb in ODD_PLANES.get(bits, (bits,)):
+        gw = g * pb
+        rows.append((np.arange(D, dtype=np.uint32) // gw) * pb)
+    return np.stack(rows, axis=0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -160,14 +178,32 @@ def _dequant_rows(words, scales, bits: int, exp_mat, shvec, compand_a: float):
     matmul. The midpoint grid's 2/N factor folds into the activation-side
     transforms (zero in-kernel cost)."""
     from jax.experimental.pallas import tpu as pltpu
+    from .kv_quant import ODD_PLANES
 
-    J = 32 // bits
     N = 1 << bits
-    mask = jnp.uint32((1 << bits) - 1)
-    wwide = pltpu.repeat(words.astype(jnp.uint32), J, axis=1)   # (T, D)
-    # uint32->f32 casts are unsupported in Mosaic; fields are < 2^bits so
-    # the int32 detour is exact
-    q = ((wwide >> shvec) & mask).astype(jnp.int32).astype(jnp.float32)
+    if bits in ODD_PLANES:
+        # one repeat+shift+mask pass per bit plane; planes OR together into
+        # the full field (planes were packed in this lane order)
+        g = scales.shape[-1]
+        qacc = None
+        off = 0
+        shift = 0
+        for i, pb in enumerate(ODD_PLANES[bits]):
+            gw = g * pb
+            wide = pltpu.repeat(words[:, off:off + gw].astype(jnp.uint32),
+                                32 // pb, axis=1)           # (T, D)
+            f = (wide >> shvec[i:i + 1, :]) & jnp.uint32((1 << pb) - 1)
+            qacc = f if qacc is None else qacc | (f << shift)
+            off += gw
+            shift += pb
+        q = qacc.astype(jnp.int32).astype(jnp.float32)
+    else:
+        J = 32 // bits
+        mask = jnp.uint32((1 << bits) - 1)
+        wwide = pltpu.repeat(words.astype(jnp.uint32), J, axis=1)  # (T, D)
+        # uint32->f32 casts are unsupported in Mosaic; fields are < 2^bits
+        # so the int32 detour is exact
+        q = ((wwide >> shvec) & mask).astype(jnp.int32).astype(jnp.float32)
     se = jnp.dot(scales.astype(jnp.float32), exp_mat,
                  preferred_element_type=jnp.float32)
     if compand_a > 0.0:

@@ -34,6 +34,42 @@ import numpy as np
 GROUP = 32
 COMPAND_A = 0.65  # cubic coefficient when companding is enabled
 
+# Odd bit-widths decompose into power-of-2 BIT PLANES (largest first,
+# holding the value's LOW bits): each plane packs word-aligned on its own,
+# so the in-kernel repeat-widen + one-variable-shift unpack that serves
+# 2/4/8 bits extends to 3/5/6/7 with one pass per plane — the TPU answer
+# to the reference's two-word funnel-shift extraction for fields that
+# straddle word boundaries (q_cache_kernels.cuh). Planes store values in
+# the KERNEL'S lane order (channel_perm of the largest plane) so the
+# combined nibbles land aligned without any in-kernel permutation.
+ODD_PLANES = {3: (2, 1), 5: (4, 1), 6: (4, 2), 7: (4, 2, 1)}
+
+
+def plane_max(bits: int) -> int:
+    """Layout-defining plane width: bits itself when word-aligned."""
+    return ODD_PLANES[bits][0] if bits in ODD_PLANES else bits
+
+
+@functools.lru_cache(maxsize=None)
+def lane_perm(D: int, bits: int) -> tuple:
+    """(perm, inv): lane p of the kernel's unpack holds channel perm[p].
+    Derived from the repeat-widen pattern of the largest plane pb:
+    lane p = j*gw + group*pb + w  ->  channel 32*group + w*(32//pb) + j.
+    Matches ops/flash_attention.channel_perm for even bits."""
+    pb = plane_max(bits)
+    J = 32 // pb
+    g = D // 32
+    perm = np.empty((D,), np.int32)
+    p = 0
+    for j in range(J):
+        for group in range(g):
+            for w in range(pb):
+                perm[p] = 32 * group + w * J + j
+                p += 1
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(D, dtype=np.int32)
+    return perm, inv
+
 
 @functools.lru_cache(maxsize=None)
 def _h32n() -> np.ndarray:
@@ -94,18 +130,62 @@ def quantize_kv(x: jnp.ndarray, bits: int, compand_a: float = 0.0):
     else:
         qb = jnp.clip(jnp.floor(t * (N // 2) + (N // 2)),
                       0, N - 1).astype(jnp.uint32)
-    words = [jnp.zeros(x.shape[:-1] + (g,), dtype=jnp.uint32)
-             for _ in range(bits)]
-    for i in range(GROUP):
-        q = qb[..., i]
-        off = i * bits
-        w0, sh = off // 32, off % 32
-        words[w0] = words[w0] | (q << sh)
-        if sh + bits > 32:
-            words[w0 + 1] = words[w0 + 1] | (q >> (32 - sh))
-    packed = jnp.stack(words, axis=-1).astype(jnp.int32)  # (..., g, bits)
-    packed = packed.reshape(x.shape[:-1] + (D * bits // 32,))
+    if bits in ODD_PLANES:
+        packed = _pack_planes(qb.reshape(x.shape[:-1] + (D,)), bits, D)
+    else:
+        words = [jnp.zeros(x.shape[:-1] + (g,), dtype=jnp.uint32)
+                 for _ in range(bits)]
+        for i in range(GROUP):
+            q = qb[..., i]
+            off = i * bits
+            w0, sh = off // 32, off % 32
+            words[w0] = words[w0] | (q << sh)
+        packed = jnp.stack(words, axis=-1).astype(jnp.int32)  # (..., g, bits)
+        packed = packed.reshape(x.shape[:-1] + (D * bits // 32,))
     return packed, scale.reshape(x.shape[:-1] + (g,))
+
+
+def _unpack_planes(words, bits: int, D: int):
+    """Inverse of _pack_planes -> (..., D) uint32 values in TRUE channel
+    order."""
+    g = D // GROUP
+    _, inv = lane_perm(D, bits)
+    qlane = jnp.zeros(words.shape[:-1] + (D,), dtype=jnp.uint32)
+    off = 0
+    shift = 0
+    for pb in ODD_PLANES[bits]:
+        J = 32 // pb
+        gw = g * pb
+        w = words[..., off:off + gw].astype(jnp.uint32)
+        mask = jnp.uint32((1 << pb) - 1)
+        fields = jnp.stack([(w >> (j * pb)) & mask for j in range(J)],
+                           axis=-2)                       # (..., J, gw)
+        qlane = qlane | (fields.reshape(words.shape[:-1] + (D,)) << shift)
+        off += gw
+        shift += pb
+    return qlane[..., jnp.asarray(inv)]
+
+
+def _pack_planes(qflat, bits: int, D: int):
+    """Odd-bit plane packing: qflat (..., D) uint32 values in TRUE channel
+    order -> (..., D*bits/32) int32, planes concatenated largest-first,
+    each plane word-aligned in the kernel's lane order."""
+    g = D // GROUP
+    perm, _ = lane_perm(D, bits)
+    qlane = qflat[..., jnp.asarray(perm)]
+    words = []
+    shift = 0
+    for pb in ODD_PLANES[bits]:
+        J = 32 // pb
+        gw = g * pb
+        pv = (qlane >> shift) & jnp.uint32((1 << pb) - 1)
+        q2 = pv.reshape(pv.shape[:-1] + (J, gw))
+        word = jnp.zeros(pv.shape[:-1] + (gw,), dtype=jnp.uint32)
+        for j in range(J):
+            word = word | (q2[..., j, :] << (j * pb))
+        words.append(word)
+        shift += pb
+    return jnp.concatenate(words, axis=-1).astype(jnp.int32)
 
 
 def dequantize_kv(words: jnp.ndarray, scale: jnp.ndarray, bits: int,
@@ -115,17 +195,19 @@ def dequantize_kv(words: jnp.ndarray, scale: jnp.ndarray, bits: int,
     D = nwords * 32 // bits
     g = D // GROUP
     N = 1 << bits
-    w = words.astype(jnp.uint32).reshape(words.shape[:-1] + (g, bits))
-    mask = jnp.uint32((1 << bits) - 1)
-    fields = []
-    for i in range(GROUP):
-        off = i * bits
-        w0, sh = off // 32, off % 32
-        f = w[..., w0] >> sh
-        if sh + bits > 32:
-            f = f | (w[..., w0 + 1] << (32 - sh))
-        fields.append(f & mask)
-    q = jnp.stack(fields, axis=-1).astype(jnp.float32)
+    if bits in ODD_PLANES:
+        q = _unpack_planes(words, bits, D).reshape(
+            words.shape[:-1] + (g, GROUP)).astype(jnp.float32)
+    else:
+        w = words.astype(jnp.uint32).reshape(words.shape[:-1] + (g, bits))
+        mask = jnp.uint32((1 << bits) - 1)
+        fields = []
+        for i in range(GROUP):
+            off = i * bits
+            w0, sh = off // 32, off % 32
+            f = (w[..., w0] >> sh) & mask
+            fields.append(f)
+        q = jnp.stack(fields, axis=-1).astype(jnp.float32)
     if compand_a > 0.0:
         t = compand_decode(q, bits, compand_a)
     else:

@@ -32,9 +32,8 @@ def attn_backend(k_bits: int = 0, v_bits: int = 0) -> str:
     EXL3_TPU_ATTN = auto (default: Pallas kernel on TPU, jnp dense on CPU) |
     flash (force compiled kernel) | interpret (force kernel in interpret
     mode — CPU testing) | dense (force the jnp reference path).
-    Returns "flash" | "interpret" | "dense". Quantized caches with odd
-    bit-widths (3/5/6/7) always take the dense path (in-kernel dequant needs
-    word-aligned fields).
+    Returns "flash" | "interpret" | "dense". All quantized-cache widths
+    (2-8 bits) run in-kernel (odd widths via bit-plane decomposition).
     """
     mode = env_str("EXL3_TPU_ATTN", "auto")
     if mode == "dense":

@@ -84,7 +84,9 @@ def test_paged_prefill_tall(S):
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("kb,vb", [(4, 4), (8, 8), (2, 2), (8, 4)])
+@pytest.mark.parametrize("kb,vb", [(4, 4), (8, 8), (2, 2), (8, 4),
+                                   (3, 3), (5, 5), (6, 6), (7, 7),
+                                   (5, 3), (7, 4)])
 def test_paged_quantized(kb, vb):
     """In-kernel dequant must match jnp dequantize-then-attend exactly."""
     rng = np.random.default_rng(3)
@@ -112,7 +114,7 @@ def test_paged_quantized(kb, vb):
 
 
 def test_channel_perm_roundtrip():
-    for bits in (2, 4, 8):
+    for bits in (2, 3, 4, 5, 6, 7, 8):
         perm, inv = channel_perm(128, bits)
         assert (perm[inv] == np.arange(128)).all()
         assert (np.sort(perm) == np.arange(128)).all()
