@@ -48,13 +48,17 @@ def synthetic_rows(n: int, vocab: int = 500) -> list:
     return rows
 
 
-def score_questions(model, tokenizer, rows, fewshot_prefix: str = "",
+def score_questions(model, tokenizer, rows, fewshot_prefix="",
                     batch: int = 8) -> list:
     """-> list of (row, predicted_index). Exact letter-logprob comparison at
-    the final prompt position."""
+    the final prompt position. fewshot_prefix: one shared string, or a
+    per-row list (in-subject shots)."""
     letter_ids = [tokenizer.encode(" " + L)[-1] for L in LETTERS]
-    prompts = [np.asarray(tokenizer.encode(fewshot_prefix + format_question(r)),
-                          dtype=np.int32) for r in rows]
+    if isinstance(fewshot_prefix, str):
+        fewshot_prefix = [fewshot_prefix] * len(rows)
+    prompts = [np.asarray(tokenizer.encode(pre + format_question(r)),
+                          dtype=np.int32)
+               for pre, r in zip(fewshot_prefix, rows)]
     preds = []
     for i in range(0, len(prompts), batch):
         chunk = prompts[i : i + batch]
@@ -79,6 +83,12 @@ def main():
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--fewshot", type=int, default=0,
                    help="N in-subject examples prepended (dev-split style)")
+    p.add_argument("--dev_dataset",
+                   help="JSONL supplying the few-shot examples (dev split). "
+                        "Without it, shots are sampled per-subject from the "
+                        "test rows (and removed from scoring) — NOT "
+                        "comparable to standard MMLU few-shot; a warning is "
+                        "printed.")
     p.add_argument("--limit", type=int, default=0)
     args = p.parse_args()
 
@@ -97,9 +107,33 @@ def main():
 
     prefix = ""
     if args.fewshot:
-        shots = rows[: args.fewshot]
-        rows = rows[args.fewshot:]
-        prefix = "".join(format_question(r, with_answer=True) for r in shots)
+        # shots must match each question's subject (dev-split style)
+        if args.dev_dataset:
+            with open(args.dev_dataset) as f:
+                dev_rows = [json.loads(l) for l in f if l.strip()]
+        else:
+            print("warning: no --dev_dataset; sampling shots per-subject "
+                  "from the test rows (removed from scoring) — accuracy is "
+                  "not comparable to standard MMLU few-shot",
+                  file=sys.stderr)
+            by_subj = defaultdict(list)
+            for r in rows:
+                by_subj[r.get("subject", "all")].append(r)
+            dev_rows = [r for rs in by_subj.values()
+                        for r in rs[: args.fewshot]]
+            drop = {id(r) for r in dev_rows}
+            rows = [r for r in rows if id(r) not in drop]
+        dev_by_subj = defaultdict(list)
+        for r in dev_rows:
+            dev_by_subj[r.get("subject", "all")].append(r)
+        all_dev = dev_rows
+
+        def shots_for(r):
+            pool = dev_by_subj.get(r.get("subject", "all")) or all_dev
+            return "".join(format_question(x, with_answer=True)
+                           for x in pool[: args.fewshot])
+
+        prefix = [shots_for(r) for r in rows]
 
     preds = score_questions(model, tokenizer, rows, prefix)
     per_subject = defaultdict(lambda: [0, 0])

@@ -325,6 +325,18 @@ class Attention(Module):
                     interpret=(backend == "interpret"),
                 ).astype(dt)
             else:
+                if S == 1 and backend != "dense":
+                    # the ring kernel declined (ring K+V exceed the VMEM
+                    # budget) — log once so a silent slow path is visible
+                    if not getattr(self, "_ring_fallback_logged", False):
+                        self._ring_fallback_logged = True
+                        from ..util.debug import log as _dlog
+
+                        _dlog("attn",
+                              f"{self.key}: SWA ring W={W} Hk="
+                              f"{self.num_kv_heads} D={self.head_dim} "
+                              f"exceeds the ring-kernel VMEM budget; "
+                              f"decode uses the dense path")
                 # prior entries must be strictly older than the chunk start
                 # — stale speculative slots could otherwise duplicate chunk
                 # keys

@@ -24,6 +24,7 @@ costs for GPU throughput; f32 only improves the search).
 """
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from functools import lru_cache, partial
@@ -192,13 +193,31 @@ def viterbi_quantize_tiles_jnp(tiles: jnp.ndarray, K: int, cb: int = CB_3INST):
     return vals, codes
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_viterbi_fn(K: int, cb: int, ndev: int):
+    """jitted tile-batch Viterbi with the T dim sharded over all devices —
+    the GSPMD analogue of the reference's quantize_tiles_multigpu
+    (reference quantize.py:113-170 AutoSplit; each device independently
+    runs the DP over its slice of the tile batch, no collectives)."""
+    import jax as _jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(_jax.devices()[:ndev]), axis_names=("d",))
+    sh = NamedSharding(mesh, P("d"))
+    return _jax.jit(
+        functools.partial(viterbi_quantize_tiles_jnp, K=K, cb=cb),
+        in_shardings=sh, out_shardings=(sh, sh))
+
+
 def quantize_tiles(tiles: np.ndarray, K: int, cb: int = CB_3INST, backend: str = "auto",
                    batch: int = 64):
     """Quantize tiles with the best available backend. tiles: (T, 256) f32.
 
     backend: "np" | "jax" | "native" | "auto". Returns (vals f32, codes uint16).
     "native" = multicore C++ host encoder; "auto" prefers the jnp/TPU path
-    (host cores stay free for the rest of the conversion pipeline).
+    (host cores stay free for the rest of the conversion pipeline). With
+    more than one device visible, the tile batch shards across all of them
+    (each tile's Viterbi DP is independent — linear speedup in chips).
     """
     T = tiles.shape[0]
     if backend == "native":
@@ -210,6 +229,11 @@ def quantize_tiles(tiles: np.ndarray, K: int, cb: int = CB_3INST, backend: str =
         backend = "auto"
     if backend == "np" or (backend == "auto" and T <= 2):
         return viterbi_quantize_tiles_np(tiles, K, cb)
+    ndev = jax.device_count()
+    sharded = ndev > 1 and T >= batch * ndev
+    if sharded:
+        batch = batch * ndev
+        fn = _sharded_viterbi_fn(K, cb, ndev)
     vals = np.empty((T, 256), dtype=np.float32)
     codes = np.empty((T, 256), dtype=np.uint16)
     for i in range(0, T, batch):
@@ -217,13 +241,13 @@ def quantize_tiles(tiles: np.ndarray, K: int, cb: int = CB_3INST, backend: str =
         chunk = tiles[i:j]
         if chunk.shape[0] < batch and T > batch:
             pad = np.zeros((batch - chunk.shape[0], 256), dtype=np.float32)
-            v, c = viterbi_quantize_tiles_jnp(jnp.asarray(np.concatenate([chunk, pad])), K, cb)
-            v, c = np.asarray(v)[: j - i], np.asarray(c)[: j - i]
+            chunk = np.concatenate([chunk, pad])
+        if sharded:
+            v, c = fn(jnp.asarray(chunk))
         else:
             v, c = viterbi_quantize_tiles_jnp(jnp.asarray(chunk), K, cb)
-            v, c = np.asarray(v), np.asarray(c)
-        vals[i:j] = v
-        codes[i:j] = c.astype(np.uint16)
+        vals[i:j] = np.asarray(v)[: j - i]
+        codes[i:j] = np.asarray(c)[: j - i].astype(np.uint16)
     return vals, codes
 
 

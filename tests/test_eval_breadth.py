@@ -105,3 +105,11 @@ def test_humaneval_synthetic_pipeline(model_dir, tmp_path):
     with open(out_file) as f:
         lines = [json.loads(l) for l in f]
     assert len(lines) == 2 and all("completion" in l for l in lines)
+
+
+def test_mmlu_fewshot_in_subject(model_dir):
+    """Few-shot shots are selected in-subject (dev-split style); without a
+    --dev_dataset the shots come out of the test rows with a warning."""
+    res = _run_eval("mmlu", model_dir, "--synthetic", "8", "--fewshot", "2")
+    assert res["metric"] == "mmlu_acc"
+    assert res["n"] == 6  # 2 per-subject shots removed from scoring

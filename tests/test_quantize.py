@@ -100,3 +100,21 @@ def test_quantize_no_hessian_fallback():
     out, proxy_err, wq = quantize_exl3_np(w, None, K=4, seed=1, return_weight_q=True)
     nmse = float(np.mean((wq - w) ** 2) / np.mean(w ** 2))
     assert nmse < 0.05, nmse
+
+
+def test_sharded_viterbi_matches_single():
+    """Tile batches shard over all (virtual) devices — results must equal
+    the single-device jnp backend exactly (each tile's DP is independent)."""
+    import jax
+    import jax.numpy as jnp
+    from exllamav3_tpu.quant.quantize import (
+        quantize_tiles, viterbi_quantize_tiles_jnp)
+
+    assert jax.device_count() >= 8  # conftest forces 8 virtual CPU devices
+    rng = np.random.default_rng(9)
+    T = 8 * 8 + 8  # forces the sharded path (batch=8*ndev) + a padded tail
+    tiles = rng.standard_normal((T, 256)).astype(np.float32)
+    vals, codes = quantize_tiles(tiles, K=2, batch=8)
+    v_ref, c_ref = viterbi_quantize_tiles_jnp(jnp.asarray(tiles), 2)
+    np.testing.assert_array_equal(codes, np.asarray(c_ref).astype(np.uint16))
+    np.testing.assert_allclose(vals, np.asarray(v_ref), rtol=1e-6, atol=1e-6)
