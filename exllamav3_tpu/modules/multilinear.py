@@ -27,6 +27,8 @@ def try_fuse(params: dict, parent_key: str, name: str, linears: list) -> bool:
             groups.append(("weight", p))
         elif "weight_q" in p and "scale" in p and len(p) == 2:
             groups.append(("int8", p))
+        elif "weight_q4" in p and "scale4" in p and len(p) == 2:
+            groups.append(("int4", p))
         else:
             return False
     kinds = {k for k, _ in groups}
@@ -37,6 +39,13 @@ def try_fuse(params: dict, parent_key: str, name: str, linears: list) -> bool:
     if kind == "weight":
         parent[name + "_w"] = jnp.concatenate(
             [p["weight"] for _, p in groups], axis=1)
+    elif kind == "int4":
+        # weight_q4 (k/2, n) and scale4 (k/group, n) both concatenate
+        # along the output dim — the packed-pair/group structure lives on k
+        parent[name + "_q4"] = jnp.concatenate(
+            [p["weight_q4"] for _, p in groups], axis=1)
+        parent[name + "_s4"] = jnp.concatenate(
+            [p["scale4"] for _, p in groups], axis=1)
     else:
         parent[name + "_q"] = jnp.concatenate(
             [p["weight_q"] for _, p in groups], axis=1)
@@ -59,6 +68,11 @@ def unfuse(params: dict, parent_key: str, name: str, linears: list,
         w = parent.pop(name + "_w")
         for lin, a, b in zip(linears, offs, offs[1:]):
             params[lin.key] = {"weight": w[:, a:b]}
+    elif name + "_q4" in parent:
+        q = parent.pop(name + "_q4")
+        s = parent.pop(name + "_s4")
+        for lin, a, b in zip(linears, offs, offs[1:]):
+            params[lin.key] = {"weight_q4": q[:, a:b], "scale4": s[:, a:b]}
     elif name + "_q" in parent:
         q = parent.pop(name + "_q")
         s = parent.pop(name + "_scale")
@@ -73,6 +87,10 @@ def fused_forward(params: dict, parent_key: str, name: str, x,
     if name + "_w" in p:
         y = jnp.dot(x.astype(jnp.bfloat16), p[name + "_w"],
                     preferred_element_type=jnp.float32)
+    elif name + "_q4" in p:
+        from ..ops.q_matmul import int4_matmul
+
+        y = int4_matmul(x, p[name + "_q4"], p[name + "_s4"])
     else:
         from ..ops.q_matmul import int8_matmul
 

@@ -132,15 +132,22 @@ def int8_matmul(x, w_q, scale, bias=None, use_pallas: bool | None = None):
 # speed (README.md:174, exllamav3_ext/quant/exl3_gemm.cu:23-37). On v5e the
 # trellis decode costs ~14 VPU ops/weight (capacity mode, 5% of roofline) and
 # the int8 mode pays 2x the format's bytes. This mode sits between them: at
-# load the decoded trellis requantizes to grouped int4 (per-64-row scales,
-# noise well below the 4-bpw trellis floor), packed two weights per byte
-# along k — byte r of column n holds k-row r (low nibble, biased +8) and
-# k-row r + k/2 (high nibble, two's complement). The Pallas kernel unpacks
-# in VMEM with ~3.5 VPU ops/weight (mask/shift/sub + bf16 scale multiply,
-# scale expansion rides the idle MXU as an E @ s matmul) and feeds bf16
-# dots — HBM traffic stays at 0.5 byte/weight + 1/32 scale overhead.
+# load the decoded trellis requantizes to grouped int4 (per-32-row scales,
+# Lloyd-refined — alternating round / least-squares scale steps cut the
+# requant noise from 0.108 to 0.093 of weight rms on Gaussian weights),
+# packed two weights per byte along k — byte r of column n holds k-row r
+# (low nibble, biased +8) and k-row r + k/2 (high nibble, two's complement).
+# The Pallas kernel unpacks in VMEM with ~3.5 VPU ops/weight (mask/shift/sub
+# + bf16 scale multiply, scale expansion rides the idle MXU as an E @ s
+# matmul) and feeds bf16 dots — HBM traffic stays at 0.5 byte/weight +
+# 1/16 scale overhead (0.5625 B/weight, 1.78x less than int8). Scalar int4
+# is a fundamentally coarser quantizer than the trellis (~0.09 vs ~0.07
+# weight-rms noise at the same nominal 4 bits): the mode trades a measured
+# KLD delta (eval/model_diff.py, doc/performance.md) for serving at near
+# the format's byte footprint.
 
-INT4_GROUP = 64
+INT4_GROUP = 32
+INT4_LLOYD_ITERS = 4
 
 
 def int4_pack_jnp(w, group: int = INT4_GROUP):
@@ -151,8 +158,17 @@ def int4_pack_jnp(w, group: int = INT4_GROUP):
     assert k % (2 * group) == 0, (k, group)
     g = k // group
     wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf.reshape(g, group, n)), axis=1)      # (g, n)
+    wr = wf.reshape(g, group, n)
+    amax = jnp.max(jnp.abs(wr), axis=1)                           # (g, n)
     scale = amax / 7.0 + 1e-12
+    # Lloyd alternation: round at the current scale, then the least-squares
+    # optimal scale for that rounding (<w,q>/<q,q>) — each step is monotone
+    # in group MSE, so a few iterations land near the per-group optimum
+    for _ in range(INT4_LLOYD_ITERS):
+        qr = jnp.clip(jnp.round(wr / scale[:, None, :]), -8, 7)
+        num = jnp.sum(wr * qr, axis=1)
+        den = jnp.sum(qr * qr, axis=1) + 1e-12
+        scale = jnp.maximum(num / den, 1e-12)
     q = jnp.clip(jnp.round(wf / jnp.repeat(scale, group, axis=0)), -8, 7)
     q = q.astype(jnp.int32)
     lo = q[: k // 2] + 8                       # biased: low nibble in [0,15]

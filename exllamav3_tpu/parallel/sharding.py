@@ -66,7 +66,8 @@ def param_spec(module_key: str, name: str):
     if name in _MLA_ABSORB:
         return P(None, "tp", None)
     # fused projections (multilinear.py): (in, sum_out) column-style
-    if name in ("qkv_w", "gate_up_w", "qkv_q", "gate_up_q"):
+    if name in ("qkv_w", "gate_up_w", "qkv_q", "gate_up_q",
+                "qkv_q4", "gate_up_q4", "qkv_s4", "gate_up_s4"):
         return P(None, "tp")
     if name in ("qkv_scale", "gate_up_scale"):
         return P("tp")

@@ -40,14 +40,40 @@ def test_runtime_modes_agree(ckpt):
         logits[mode] = np.asarray(model.forward_simple(ids))
     ref = logits["reconstruct"]
     assert np.isfinite(ref).all()
-    for mode in ("bf16", "int8", "int4", "fused"):
-        # bf16/int8 reps add bounded rounding noise on top of identical
-        # math; int4's grouped requant adds a larger (still sub-trellis-
-        # floor) delta
+    for mode in ("bf16", "int8", "fused"):
+        # bf16/int8 reps add bounded rounding noise on top of identical math
         err = np.abs(logits[mode] - ref)
         scale = np.abs(ref).max()
-        bound = 0.12 if mode == "int4" else 0.05
-        assert err.max() < bound * scale, (mode, err.max(), scale)
+        assert err.max() < 0.05 * scale, (mode, err.max(), scale)
+    # int4 requant is a genuinely coarser representation (~0.093 weight-rms
+    # noise, the scalar-int4 floor — per-layer check below). On this
+    # UNTRAINED random checkpoint the per-layer noise compounds through
+    # every block with no trained signal to dominate it: measured logit
+    # rel-rms ~0.36. Bound at 0.5 so the check still catches wiring bugs
+    # (swapped nibbles / wrong scales blow past 1.0) without asserting a
+    # quality this representation does not have on random weights.
+    rel = np.sqrt(((logits["int4"] - ref) ** 2).mean() / (ref**2).mean())
+    assert rel < 0.5, ("int4", rel)
+
+
+def test_int4_per_layer_weight_noise(ckpt):
+    """The load-time trellis->int4 requant must sit at the scalar-int4
+    noise floor (~0.093 of weight rms for Lloyd-refined group-32); anything
+    materially above that is a packing/scale wiring bug."""
+    from exllamav3_tpu.ops.q_matmul import int4_unpack_jnp
+
+    mref = _load(ckpt, "bf16")
+    m4 = _load(ckpt, "int4")
+    checked = 0
+    for key, p in m4.params.items():
+        if "weight_q4" not in p:
+            continue
+        w4 = np.asarray(int4_unpack_jnp(p["weight_q4"], p["scale4"]))
+        wr = np.asarray(mref.params[key]["weight"]).astype(np.float32)
+        rel = np.sqrt(((w4 - wr) ** 2).mean() / (wr**2).mean())
+        assert rel < 0.11, (key, rel)
+        checked += 1
+    assert checked >= 3
 
 
 def test_cache_decode_matches_full_forward(ckpt):
