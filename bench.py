@@ -37,12 +37,17 @@ HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5p": 2765.0,
             "TPU v6 lite": 1640.0}
 
 
+_WEIGHT_NAMES = ("weight", "weight_q", "weight_q4", "scale", "scale4",
+                 "trellis", "qkv_w", "qkv_q", "qkv_q4", "qkv_scale", "qkv_s4",
+                 "gate_up_w", "gate_up_q", "gate_up_q4", "gate_up_scale",
+                 "gate_up_s4", "words")
+
+
 def _weight_bytes(model) -> int:
     wb = 0
     for key, grp in model.params.items():
         for name, arr in grp.items():
-            if name in ("weight", "weight_q", "trellis", "qkv_w", "qkv_q",
-                        "gate_up_w", "gate_up_q", "words"):
+            if name in _WEIGHT_NAMES:
                 wb += arr.size * arr.dtype.itemsize
     return wb
 
@@ -231,9 +236,34 @@ def main():
                                   "iteration; on-host serving does not pay "
                                   "rtt_ms per step")
 
-        # -- capacity mode: fused trellis decode ------------------------------
+        # -- serving at format bytes: packed int4 -----------------------------
+        # load-time trellis->grouped-int4 requant (0.5625 B/weight incl
+        # scales) with in-kernel unpack: the mode that serves a 4-bpw model
+        # at ~the format's byte footprint (reference README.md:174 headline)
         del gen, cache_g, cache_p, model
         gc.collect()
+        try:
+            t0 = time.time()
+            config_4 = Config.from_directory(
+                d, infer_params=InferParams(linear_mode="int4"))
+            model_4 = Model.from_config(config_4)
+            model_4.load()
+            detail["load_s_int4"] = round(time.time() - t0, 1)
+            wb_4 = _weight_bytes(model_4)
+            roof_4 = hbm_gbps * 1e9 / max(wb_4, 1)
+            detail["weight_bytes_int4"] = wb_4
+            detail["roofline_tok_s_int4"] = round(roof_4, 2)
+            tok_s_4 = measure_decode(model_4, 1, decode_steps)
+            detail["int4_decode_tok_s"] = round(tok_s_4, 2)
+            detail["int4_vs_roofline"] = round(tok_s_4 / roof_4, 4)
+            detail["batch8_int4_decode_tok_s"] = round(
+                8 * measure_decode(model_4, 8, decode_steps), 2)
+            del model_4
+            gc.collect()
+        except Exception as e:
+            detail["int4_error"] = f"{type(e).__name__}: {e}"[:200]
+
+        # -- capacity mode: fused trellis decode ------------------------------
         try:
             t0 = time.time()
             config_f = Config.from_directory(
@@ -295,6 +325,59 @@ def main():
             gc.collect()
         except Exception as e:
             detail["mla_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if on_tpu:
+        # Qwen3-MoE-class decode: selected-expert Pallas kernel reads only
+        # the k routed experts' bytes, so the roofline counts non-expert
+        # weights in full and expert weights at k/E (reference exl3_moe.cu
+        # semantics; BASELINE config 4)
+        try:
+            from exllamav3_tpu.conversion.synth import write_synth_dense_for_arch
+            from exllamav3_tpu.modules.block_sparse_mlp import BlockSparseMLP
+
+            E, topk = 32, 4
+            moe_cfg = dict(
+                architectures=["Qwen3MoeForCausalLM"], bos_token_id=1,
+                eos_token_id=2, vocab_size=32768, hidden_size=1536,
+                intermediate_size=4096, max_position_embeddings=8192,
+                num_attention_heads=12, num_key_value_heads=4, head_dim=128,
+                num_hidden_layers=12, rms_norm_eps=1e-5, rope_theta=10000.0,
+                torch_dtype="bfloat16", hidden_act="silu",
+                num_experts=E, num_experts_per_tok=topk,
+                norm_topk_prob=True, moe_intermediate_size=512,
+            )
+            dq = os.path.join(tempfile.gettempdir(), "exl3tpu_bench_moe")
+            if not os.path.exists(os.path.join(dq, "config.json")):
+                write_synth_dense_for_arch(dq, moe_cfg, seed=7)
+            t0 = time.time()
+            model_q = Model.from_config(Config.from_directory(dq))
+            model_q.load()
+            detail["load_s_moe"] = round(time.time() - t0, 1)
+
+            expert_b = 0
+            for m in model_q.root.walk():
+                if isinstance(m, BlockSparseMLP):
+                    p = model_q.params[m.key]
+                    for kk in m.keys_gud:
+                        if "w_" + kk in p:
+                            expert_b += (p["w_" + kk].size
+                                         * p["w_" + kk].dtype.itemsize)
+            total_b = _weight_bytes(model_q)
+            per_tok_b = (total_b - expert_b) + expert_b * topk / E
+            detail["moe_expert_bytes"] = expert_b
+            detail["moe_weight_bytes"] = total_b
+            roof_q = hbm_gbps * 1e9 / max(per_tok_b, 1)
+            detail["moe_roofline_tok_s"] = round(roof_q, 2)
+            saved_vocab = cfg["vocab_size"]
+            cfg["vocab_size"] = moe_cfg["vocab_size"]
+            tok_q = measure_decode(model_q, 1, decode_steps)
+            cfg["vocab_size"] = saved_vocab
+            detail["moe_decode_tok_s"] = round(tok_q, 2)
+            detail["moe_vs_roofline"] = round(tok_q / roof_q, 4)
+            del model_q
+            gc.collect()
+        except Exception as e:
+            detail["moe_error"] = f"{type(e).__name__}: {e}"[:200]
 
     detail["total_bench_s"] = round(time.time() - t_start, 1)
     print(json.dumps({

@@ -6,6 +6,7 @@ kernels: activation.cu).
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 import jax
 
@@ -115,6 +116,25 @@ class GatedMLP(Module):
         self._fused_gu = False
 
     def forward(self, x, params: dict, ctx: ForwardCtx):
+        from ..util.env import mlp_backend
+
+        backend = mlp_backend()
+        if backend in ("fused", "interpret"):
+            from ..ops.fused_mlp import fused_mlp_eligible, fused_mlp_int8
+
+            T = int(np.prod(x.shape[:-1]))
+            if fused_mlp_eligible(self, params, T):
+                p = params[self.key]
+                pd = params[self.down.key]
+                y = fused_mlp_int8(
+                    x, p["gate_up_q"], p["gate_up_scale"], pd["weight_q"],
+                    pd["scale"], d_bias=pd.get("bias"),
+                    activation=self.activation, act_clamp=self.act_clamp,
+                    interpret=(backend == "interpret"),
+                )
+                if self.out_dtype is not None:
+                    y = y.astype(self.out_dtype)
+                return y
         if getattr(self, "_fused_gu", False):
             from .multilinear import fused_forward
 

@@ -50,6 +50,20 @@ def attn_backend(k_bits: int = 0, v_bits: int = 0) -> str:
     return "flash" if jax.default_backend() not in ("cpu",) else "dense"
 
 
+def mlp_backend() -> str:
+    """Resolve the decode-MLP implementation.
+
+    EXL3_TPU_MLP = auto (default: currently the XLA three-dot path; the
+    single-launch fused kernel flips to default once it beats XLA on the
+    TPU bench) | fused (force ops/fused_mlp.py single-launch kernel) |
+    interpret (kernel in interpret mode — CPU testing) | xla (three dots).
+    """
+    mode = env_str("EXL3_TPU_MLP", "auto")
+    if mode in ("fused", "interpret", "xla"):
+        return mode
+    return "xla"
+
+
 def moe_backend() -> str:
     """Resolve the MoE decode implementation.
 
