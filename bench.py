@@ -52,6 +52,15 @@ def _weight_bytes(model) -> int:
     return wb
 
 
+def _want(section: str) -> bool:
+    """EXL3TPU_BENCH_MODE=int4,moe restricts the optional sections (the
+    primary int8 decode metric always runs); empty/unset runs everything."""
+    spec = os.environ.get("EXL3TPU_BENCH_MODE", "").strip()
+    if not spec:
+        return True
+    return section in {s.strip() for s in spec.split(",")}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -171,10 +180,11 @@ def main():
     tok_s = measure_decode(model, 1, decode_steps)
     detail["runtime_mode"] = "int8"
 
-    if on_tpu:
+    if on_tpu and _want("batch8"):
         detail["batch8_decode_tok_s"] = round(
             8 * measure_decode(model, 8, decode_steps), 2)
 
+    if on_tpu and _want("prefill"):
         # prefill 2048 (flash prefill kernel, linear layout)
         Sp = 2048
         cache_p = Cache(model, CacheSpec(layout="linear", batch_size=1,
@@ -194,7 +204,10 @@ def main():
             if r:  # first call compiles
                 best = min(best, time.time() - t0)
         detail["prefill_tok_s_2048"] = round(Sp / max(best - rtt, 1e-6), 2)
+        del cache_p
+        gc.collect()
 
+    if on_tpu and _want("serving"):
         # -- serving: continuous batching, paged cache, mixed load ------------
         from exllamav3_tpu.generator import Generator, Job, GreedySampler
 
@@ -235,13 +248,18 @@ def main():
         detail["serving_note"] = ("host loop crosses the axon tunnel every "
                                   "iteration; on-host serving does not pay "
                                   "rtt_ms per step")
+        del gen, cache_g
+        gc.collect()
 
+    if on_tpu:
+        model = None  # free the int8 weights before the remaining sections
+        gc.collect()
+
+    if on_tpu and _want("int4"):
         # -- serving at format bytes: packed int4 -----------------------------
         # load-time trellis->grouped-int4 requant (0.5625 B/weight incl
         # scales) with in-kernel unpack: the mode that serves a 4-bpw model
         # at ~the format's byte footprint (reference README.md:174 headline)
-        del gen, cache_g, cache_p, model
-        gc.collect()
         try:
             t0 = time.time()
             config_4 = Config.from_directory(
@@ -263,6 +281,7 @@ def main():
         except Exception as e:
             detail["int4_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    if on_tpu and _want("fused"):
         # -- capacity mode: fused trellis decode ------------------------------
         try:
             t0 = time.time()
@@ -284,7 +303,7 @@ def main():
         except Exception as e:  # keep the primary metric on any failure
             detail["fused_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    if on_tpu:
+    if on_tpu and _want("mla"):
         # DeepSeek-family decode: absorbed-MLA latent attention through the
         # Pallas kernel (Hk=1, V = latent prefix of K)
         try:
@@ -326,7 +345,7 @@ def main():
         except Exception as e:
             detail["mla_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    if on_tpu:
+    if on_tpu and _want("moe"):
         # Qwen3-MoE-class decode: selected-expert Pallas kernel reads only
         # the k routed experts' bytes, so the roofline counts non-expert
         # weights in full and expert weights at k/E (reference exl3_moe.cu
