@@ -288,11 +288,129 @@ def int4_matmul_pallas(x, packed, scales, group: int = INT4_GROUP,
     )(x, x, packed, scales, scales, emat)
 
 
+def _int4_a8_kernel(xlo_ref, xhi_ref, b_ref, slo_ref, shi_ref,
+                    out_ref, acc_ref, *, group: int):
+    """W4A8 body: int8 nibble weights feed int8xint8->int32 MXU dots per
+    scale group; the group scale lands on the (m, bn) dot result (m/group
+    VPU ops per weight instead of a per-weight multiply). VPU cost/weight:
+    and+sub (lo) or shift (hi) in int8 — no bf16 convert — which is what
+    lets the kernel chase the 0.5 B/weight HBM roofline instead of the
+    bf16 MXU weight-load ceiling."""
+    import jax.experimental.pallas as pl
+
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ng = slo_ref.shape[0]
+
+    def body(g, acc):
+        xg_lo = xlo_ref[:, pl.ds(g * group, group)]
+        xg_hi = xhi_ref[:, pl.ds(g * group, group)]
+        bg = b_ref[pl.ds(g * group, group), :]     # (group, bn) int8
+        wl = ((bg & 15) - 8).astype(jnp.int8)
+        wh = (bg >> 4).astype(jnp.int8)
+        dlo = jnp.dot(xg_lo, wl, preferred_element_type=jnp.int32)
+        dhi = jnp.dot(xg_hi, wh, preferred_element_type=jnp.int32)
+        sl = slo_ref[g, :].astype(jnp.float32)
+        sh = shi_ref[g, :].astype(jnp.float32)
+        return acc + dlo.astype(jnp.float32) * sl[None, :] \
+                   + dhi.astype(jnp.float32) * sh[None, :]
+
+    acc_ref[:] = jax.lax.fori_loop(0, ng, body, acc_ref[:])
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "block_m", "block_n",
+                                              "block_kh", "interpret"))
+def int4_matmul_pallas_a8(x_q, packed, scales, group: int = INT4_GROUP,
+                          block_m: int = 256, block_n: int = 512,
+                          block_kh: int = 512, interpret: bool = False):
+    """W4A8 variant: x_q (m, k) int8 (caller row-quantized; apply the
+    per-row scale to the output), packed (k/2, n) int8, scales (k/group, n)
+    bf16 -> (m, n) f32 missing the x row scales."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x_q.shape
+    kh, n = packed.shape
+    assert k == 2 * kh
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    while kh % block_kh or block_kh % group:
+        block_kh //= 2
+        assert block_kh >= group, (kh, group)
+    ng = block_kh // group
+    nkb = kh // block_kh
+    grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), nkb)
+    kern = functools.partial(_int4_a8_kernel, group=group)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_kh), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_kh),
+                         lambda i, j, kk, _n=nkb: (i, kk + _n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kh, block_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, block_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, block_n),
+                         lambda i, j, kk, _n=nkb: (kk + _n, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_q, x_q, packed, scales, scales)
+
+
+def int4_matmul_a8(x, packed, scales, bias=None, group: int = INT4_GROUP,
+                   interpret: bool = False):
+    """Row-quantize activations to int8 and run the W4A8 kernel."""
+    shape = x.shape
+    k = shape[-1]
+    n = packed.shape[1]
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    m = x2.shape[0]
+    xs = jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / 127.0 + 1e-12
+    x_q = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
+    m_pad = -m % 32  # int8 sublane tile
+    if m_pad:
+        x_q = jnp.pad(x_q, ((0, m_pad), (0, 0)))
+    y = int4_matmul_pallas_a8(x_q, packed, scales, group=group,
+                              interpret=interpret)
+    if m_pad:
+        y = y[:m]
+    y = y * xs
+    if bias is not None:
+        y = y + bias
+    return y.reshape(shape[:-1] + (n,))
+
+
 def int4_matmul(x, packed, scales, bias=None, group: int = INT4_GROUP,
                 use_pallas: bool | None = None):
     """Dispatcher: Pallas kernel on TPU (EXL3TPU_INT4_PALLAS=0 forces the
-    jnp unpack path), jnp reference elsewhere."""
+    jnp unpack path; EXL3TPU_INT4_A8=1 selects the W4A8 int8-MXU kernel),
+    jnp reference elsewhere."""
     import os
+
+    if os.environ.get("EXL3TPU_INT4_A8", "") not in ("", "0", "false"):
+        return int4_matmul_a8(
+            x, packed, scales, bias=bias, group=group,
+            interpret=jax.default_backend() in ("cpu",))
 
     shape = x.shape
     k = shape[-1]

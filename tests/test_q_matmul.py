@@ -49,6 +49,26 @@ def test_int4_pack_roundtrip():
     assert ((w2 - w) ** 2).mean() <= ((w0 - w) ** 2).mean() * 1.02
 
 
+def test_int4_a8_matches_ref():
+    """W4A8 kernel (int8 activations, int8 MXU dots, per-group output
+    scaling) vs the f32 unpack reference: only the ~0.8% activation
+    row-quant noise separates them."""
+    from exllamav3_tpu.ops.q_matmul import (
+        int4_pack_jnp, int4_matmul_ref, int4_matmul_a8)
+
+    rng = np.random.default_rng(3)
+    m, k, n = 16, 512, 256
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    packed, scales = int4_pack_jnp(jnp.asarray(w))
+
+    ref = np.asarray(int4_matmul_ref(jnp.asarray(x), packed, scales))
+    got = np.asarray(int4_matmul_a8(jnp.asarray(x), packed, scales,
+                                    interpret=True))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 3e-2, rel
+
+
 def test_int4_pallas_matches_ref():
     from exllamav3_tpu.ops.q_matmul import (
         int4_pack_jnp, int4_matmul_ref, int4_matmul_pallas)
