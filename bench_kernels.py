@@ -1,7 +1,8 @@
 """Kernel microbenchmarks on the real TPU: fused trellis GEMM vs int8 vs
-bf16 matmul at decode and prefill shapes. Amortizes the axon-tunnel dispatch
-latency by iterating inside one jit (lax.scan over REPS iterations).
-Run manually to guide kernel tuning; not the driver bench."""
+int4 vs bf16 matmul at decode and prefill shapes, plus the single-launch
+fused MLP kernel vs the three-dot XLA MLP. Amortizes the axon-tunnel
+dispatch latency by iterating inside one jit (lax.scan over REPS
+iterations). Run manually to guide kernel tuning; not the driver bench."""
 from __future__ import annotations
 
 import functools
@@ -22,6 +23,9 @@ def main():
         exl3_gemm_core,
     )
 
+    from exllamav3_tpu.ops.q_matmul import (
+        int4_pack_jnp, int4_matmul_pallas, int4_matmul_a8)
+
     rng = np.random.default_rng(0)
     k, n, K = 4096, 4096, 4
     trellis = rng.integers(-32768, 32768, size=(k // 16, n // 16, 16 * K)).astype(np.int16)
@@ -29,6 +33,10 @@ def main():
     w_bf16 = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32), dtype=jnp.bfloat16)
     w_i8 = jnp.asarray(rng.integers(-127, 128, size=(k, n)).astype(np.int8))
     scale = jnp.asarray((rng.random(n) * 0.01).astype(np.float32))
+    w_i4, s_i4 = int4_pack_jnp(
+        jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02))
+    w_i4 = jax.device_put(w_i4)
+    s_i4 = jax.device_put(s_i4)
 
     # each variant: scan REPS times over the core op, xor-ing a cheap update
     # into x so the compiler can't hoist the matmul out of the loop
@@ -37,6 +45,10 @@ def main():
         def body(carry, _):
             if which == "fused":
                 y = exl3_gemm_core(carry, w, 4, 0, block_m=bm)
+            elif which == "int4":
+                y = int4_matmul_pallas(carry, w, s_i4)
+            elif which == "int4a8":
+                y = int4_matmul_a8(carry, w, s_i4)
             elif which == "int8":
                 yw = jnp.dot(carry, w.astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
@@ -68,9 +80,12 @@ def main():
         return max(run(4 * REPS) - run(REPS), 1e-9) / (3 * REPS)
 
     hbm_gbps = 819.0
-    wbytes = {"fused": k * n * K // 8, "int8": k * n, "bf16": k * n * 2}
+    wbytes = {"fused": k * n * K // 8, "int8": k * n, "bf16": k * n * 2,
+              "int4": w_i4.size + 2 * s_i4.size}
+    wbytes["int4a8"] = wbytes["int4"]
     for m in (16, 128, 512):
-        for which, w in (("fused", words), ("int8", w_i8), ("bf16", w_bf16)):
+        for which, w in (("fused", words), ("int4", w_i4), ("int4a8", w_i4),
+                         ("int8", w_i8), ("bf16", w_bf16)):
             bm = min(m, 128)
             x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32),
                             dtype=jnp.bfloat16)
@@ -79,6 +94,56 @@ def main():
             print(f"m={m:4d} {which:6s} {dt*1e6:9.1f} us  roofline {roof*1e6:7.1f} us "
                   f"({100*roof/max(dt,1e-12):5.1f}% of HBM peak)", flush=True)
         print(flush=True)
+
+    # -- fused MLP (one launch) vs three XLA dots at decode shape ------------
+    from exllamav3_tpu.ops.fused_mlp import fused_mlp_int8_pallas
+
+    h, inter = 4096, 14336
+    gu_q = jnp.asarray(rng.integers(-127, 128, size=(h, 2 * inter)).astype(np.int8))
+    gu_s = jnp.asarray((rng.random(2 * inter) * 0.01).astype(np.float32))
+    d_q = jnp.asarray(rng.integers(-127, 128, size=(inter, h)).astype(np.int8))
+    d_s = jnp.asarray((rng.random(h) * 0.01).astype(np.float32))
+    mlp_bytes = h * 2 * inter + inter * h
+
+    @functools.partial(jax.jit, static_argnames=("which", "reps"))
+    def mlp_loop(x, which, reps):
+        def body(carry, _):
+            if which == "fmlp":
+                y = fused_mlp_int8_pallas(carry, gu_q, gu_s, d_q)
+                y = y * d_s[None, :]
+            else:
+                gu = jnp.dot(carry, gu_q.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32) * gu_s[None, :]
+                g, u = gu[:, :inter], gu[:, inter:]
+                a = (g * jax.nn.sigmoid(g) * u).astype(jnp.bfloat16)
+                y = jnp.dot(a, d_q.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) * d_s[None, :]
+            dep = jnp.max(jnp.abs(y)) * 1e-12
+            return carry + dep.astype(carry.dtype), ()
+
+        out, _ = jax.lax.scan(body, x, None, length=reps)
+        return out
+
+    def mlp_time(which):
+        x = jnp.asarray(rng.standard_normal((16, h)).astype(np.float32),
+                        dtype=jnp.bfloat16)
+
+        def run(reps):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(mlp_loop(x, which, reps)[0, :8])
+                best = min(best, time.time() - t0)
+            return best
+
+        run(REPS); run(4 * REPS)
+        return max(run(4 * REPS) - run(REPS), 1e-9) / (3 * REPS)
+
+    roof = mlp_bytes / (hbm_gbps * 1e9)
+    for which in ("xla3", "fmlp"):
+        dt = mlp_time(which)
+        print(f"mlp m=16 {which:5s} {dt*1e6:9.1f} us  roofline {roof*1e6:7.1f} us "
+              f"({100*roof/max(dt,1e-12):5.1f}% of HBM peak)", flush=True)
 
 
 if __name__ == "__main__":
