@@ -18,6 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    # the axon sitecustomize pins jax_platforms at import; honor an explicit
+    # JAX_PLATFORMS=cpu request (CPU validation runs)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def token_kld(logits_p: np.ndarray, logits_q: np.ndarray) -> np.ndarray:
     """Per-token KL(P||Q); logits (..., V) -> (...)."""
@@ -58,18 +65,27 @@ def main():
     p.add_argument("-r", "--rows", type=int, default=16)
     p.add_argument("-l", "--length", type=int, default=1024)
     p.add_argument("-t", "--text", help="evaluation text file")
+    p.add_argument("--mode_a", default="auto",
+                   help="runtime linear_mode for model A (reconstruct/bf16/"
+                        "int8/int4/fused)")
+    p.add_argument("--mode_b", default="auto",
+                   help="runtime linear_mode for model B — e.g. measure the "
+                        "int4 requant KLD cost against --mode_b reconstruct "
+                        "on the same checkpoint")
     args = p.parse_args()
 
-    from exllamav3_tpu.model import Config, Model
+    from exllamav3_tpu.model import Config, Model, InferParams
     from exllamav3_tpu.tokenizer import Tokenizer
     from exllamav3_tpu.conversion.calibration import get_calibration
 
-    def load(d):
-        m = Model.from_config(Config.from_directory(d))
+    def load(d, mode):
+        m = Model.from_config(Config.from_directory(
+            d, infer_params=InferParams(linear_mode=mode)))
         m.load()
         return m
 
-    ma, mb = load(args.model_a), load(args.model_b)
+    ma = load(args.model_a, args.mode_a)
+    mb = load(args.model_b, args.mode_b)
     tokenizer = None
     try:
         tokenizer = Tokenizer(args.model_a)
