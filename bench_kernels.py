@@ -24,7 +24,7 @@ def main():
     )
 
     from exllamav3_tpu.ops.q_matmul import (
-        int4_pack_jnp, int4_matmul_pallas, int4_matmul_a8)
+        int4_pack_jnp, int4_matmul_pallas, int4_matmul_a8, int8_matmul_actq)
 
     rng = np.random.default_rng(0)
     k, n, K = 4096, 4096, 4
@@ -53,6 +53,8 @@ def main():
                 yw = jnp.dot(carry, w.astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
                 y = yw * scale[None, :]
+            elif which == "int8a8":
+                y = int8_matmul_actq(carry, w, scale)
             else:
                 y = jnp.dot(carry, w, preferred_element_type=jnp.float32)
             # nonlinear full-output dependency so no part of the matmul can
@@ -83,9 +85,10 @@ def main():
     wbytes = {"fused": k * n * K // 8, "int8": k * n, "bf16": k * n * 2,
               "int4": w_i4.size + 2 * s_i4.size}
     wbytes["int4a8"] = wbytes["int4"]
+    wbytes["int8a8"] = wbytes["int8"]
     for m in (16, 128, 512):
         for which, w in (("fused", words), ("int4", w_i4), ("int4a8", w_i4),
-                         ("int8", w_i8), ("bf16", w_bf16)):
+                         ("int8", w_i8), ("int8a8", w_i8), ("bf16", w_bf16)):
             bm = min(m, 128)
             x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32),
                             dtype=jnp.bfloat16)
