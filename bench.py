@@ -37,10 +37,12 @@ HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5p": 2765.0,
             "TPU v6 lite": 1640.0}
 
 
-_WEIGHT_NAMES = ("weight", "weight_q", "weight_q4", "scale", "scale4",
-                 "trellis", "qkv_w", "qkv_q", "qkv_q4", "qkv_scale", "qkv_s4",
-                 "gate_up_w", "gate_up_q", "gate_up_q4", "gate_up_scale",
-                 "gate_up_s4", "words")
+_WEIGHT_NAMES = ("weight", "weight_q", "weight_q4", "weight_qb",
+                 "scale", "scale4", "scale_qb",
+                 "trellis", "qkv_w", "qkv_q", "qkv_q4", "qkv_qb",
+                 "qkv_scale", "qkv_s4", "qkv_sb",
+                 "gate_up_w", "gate_up_q", "gate_up_q4", "gate_up_qb",
+                 "gate_up_scale", "gate_up_s4", "gate_up_sb", "words")
 
 
 def _weight_bytes(model) -> int:
@@ -280,6 +282,28 @@ def main():
             gc.collect()
         except Exception as e:
             detail["int4_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if on_tpu and _want("int6"):
+        # -- balanced mode: packed int6 planes (0.81 B/weight, KLD noise-
+        # level vs golden — doc/performance.md runtime-mode table) ----------
+        try:
+            t0 = time.time()
+            config_6 = Config.from_directory(
+                d, infer_params=InferParams(linear_mode="int6"))
+            model_6 = Model.from_config(config_6)
+            model_6.load()
+            detail["load_s_int6"] = round(time.time() - t0, 1)
+            wb_6 = _weight_bytes(model_6)
+            roof_6 = hbm_gbps * 1e9 / max(wb_6, 1)
+            detail["weight_bytes_int6"] = wb_6
+            detail["roofline_tok_s_int6"] = round(roof_6, 2)
+            tok_s_6 = measure_decode(model_6, 1, decode_steps)
+            detail["int6_decode_tok_s"] = round(tok_s_6, 2)
+            detail["int6_vs_roofline"] = round(tok_s_6 / roof_6, 4)
+            del model_6
+            gc.collect()
+        except Exception as e:
+            detail["int6_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if on_tpu and _want("fused"):
         # -- capacity mode: fused trellis decode ------------------------------

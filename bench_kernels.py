@@ -24,7 +24,8 @@ def main():
     )
 
     from exllamav3_tpu.ops.q_matmul import (
-        int4_pack_jnp, int4_matmul_pallas, int4_matmul_a8, int8_matmul_actq)
+        int4_pack_jnp, int4_matmul_pallas, int4_matmul_a8, int8_matmul_actq,
+        intb_pack_jnp, intb_matmul_pallas, intb_geometry)
 
     rng = np.random.default_rng(0)
     k, n, K = 4096, 4096, 4
@@ -37,6 +38,13 @@ def main():
         jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02))
     w_i4 = jax.device_put(w_i4)
     s_i4 = jax.device_put(s_i4)
+    intb = {}
+    for bits in (5, 6):
+        wb, sb = intb_pack_jnp(
+            jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02),
+            bits)
+        intb[bits] = (jax.device_put(wb), jax.device_put(sb),
+                      intb_geometry(k, bits)[2])
 
     # each variant: scan REPS times over the core op, xor-ing a cheap update
     # into x so the compiler can't hoist the matmul out of the loop
@@ -55,6 +63,11 @@ def main():
                 y = yw * scale[None, :]
             elif which == "int8a8":
                 y = int8_matmul_actq(carry, w, scale)
+            elif which in ("int5", "int6"):
+                bits = int(which[3])
+                wb, sb, k_pad = intb[bits]
+                xp = jnp.pad(carry, ((0, 0), (0, k_pad - k)))
+                y = intb_matmul_pallas(xp, wb, sb, bits)
             else:
                 y = jnp.dot(carry, w, preferred_element_type=jnp.float32)
             # nonlinear full-output dependency so no part of the matmul can
@@ -86,8 +99,12 @@ def main():
               "int4": w_i4.size + 2 * s_i4.size}
     wbytes["int4a8"] = wbytes["int4"]
     wbytes["int8a8"] = wbytes["int8"]
+    for bits in (5, 6):
+        wb, sb, _ = intb[bits]
+        wbytes[f"int{bits}"] = 4 * wb.size + 2 * sb.size
     for m in (16, 128, 512):
         for which, w in (("fused", words), ("int4", w_i4), ("int4a8", w_i4),
+                         ("int5", intb[5][0]), ("int6", intb[6][0]),
                          ("int8", w_i8), ("int8a8", w_i8), ("bf16", w_bf16)):
             bm = min(m, 128)
             x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32),

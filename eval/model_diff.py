@@ -67,7 +67,7 @@ def main():
     p.add_argument("-t", "--text", help="evaluation text file")
     p.add_argument("--mode_a", default="auto",
                    help="runtime linear_mode for model A (reconstruct/bf16/"
-                        "int8/int4/fused)")
+                        "int8/int4/int3/int5/int6/fused)")
     p.add_argument("--mode_b", default="auto",
                    help="runtime linear_mode for model B — e.g. measure the "
                         "int4 requant KLD cost against --mode_b reconstruct "

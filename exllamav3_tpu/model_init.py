@@ -11,7 +11,8 @@ import argparse
 def add_args(p: argparse.ArgumentParser, cache: bool = True, draft: bool = True):
     p.add_argument("-m", "--model_dir", required=True, help="model directory")
     p.add_argument("--linear_mode", default="auto",
-                   choices=["auto", "fused", "int4", "int8", "bf16", "reconstruct"],
+                   choices=["auto", "fused", "int3", "int4", "int5", "int6",
+                            "int8", "bf16", "reconstruct"],
                    help="EXL3 runtime representation")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel ways (mesh)")
     p.add_argument("--dp", type=int, default=1, help="data-parallel ways (mesh)")

@@ -17,6 +17,10 @@ TPU-native runtime representations for EXL3 tensors ("linear_mode"):
     scales, two weights per byte) — 0.5 byte/weight, the format's own HBM
     budget at 4 bpw, with an in-kernel ~3.5-VPU-op/weight unpack
     (ops/q_matmul.py int4_matmul) — the SERVING mode for 4-bpw models.
+  * "int3"/"int5"/"int6": packed int-B planes in int32 words (0.4/0.69/0.81
+    byte/weight incl. group scales) — the quality-vs-bytes Pareto between
+    int4 and int8 (int4 requant measurably costs quality at 4 bpw; int6 is
+    near-lossless at 19% fewer bytes than int8). ops/q_matmul.py intb_*.
   * "fused": keep packed trellis, Pallas kernel decodes 16x16 tiles in VMEM
     and feeds the MXU directly (ops/exl3_gemm.py) — 0.5 byte/weight at any
     bpw but ~14 VPU ops/weight (capacity mode).
@@ -135,7 +139,7 @@ class Linear(Module):
                 dtype=jnp.bfloat16,
             )
             p["weight"] = w
-        elif mode in ("int8", "int4"):
+        elif mode in ("int8", "int4", "int3", "int5", "int6"):
             w = reconstruct_full_jnp(
                 jnp.asarray(np.ascontiguousarray(trellis)),
                 jnp.asarray(suh),
@@ -144,12 +148,24 @@ class Linear(Module):
                 self.cb,
                 dtype=jnp.float32,
             )
-            from ..ops.q_matmul import INT4_GROUP, int4_pack_jnp
+            from ..ops.q_matmul import (INT4_GROUP, INTB_GROUP, int4_pack_jnp,
+                                        intb_pack_jnp)
 
             if mode == "int4" and w.shape[0] % (2 * INT4_GROUP) == 0:
                 packed, scale4 = int4_pack_jnp(w)
                 p["weight_q4"] = packed
                 p["scale4"] = scale4
+            elif (mode in ("int3", "int5", "int6")
+                  # tiny layers are a rounding error in total bytes and the
+                  # k-pad overhead dominates (W*group-1 rows worst case):
+                  # they go int8 instead. EXL3TPU_INTB_MIN_K lowers the gate
+                  # (quality evals on small synthetic models).
+                  and w.shape[0] >= _intb_min_k()):
+                bits = int(mode[3:])
+                packed, scaleb = intb_pack_jnp(w, bits)
+                p["weight_qb"] = packed
+                p["scale_qb"] = scaleb
+                self.qbits = bits
             else:
                 # int8, or layers whose in_features don't tile the int4
                 # groups (tiny heads): per-output-channel int8
@@ -206,6 +222,11 @@ class Linear(Module):
             from ..ops.q_matmul import int4_matmul
 
             y = int4_matmul(x, p["weight_q4"], p["scale4"], bias=bias)
+        elif "weight_qb" in p:
+            from ..ops.q_matmul import intb_matmul
+
+            y = intb_matmul(x, p["weight_qb"], p["scale_qb"],
+                            bits=getattr(self, "qbits", None), bias=bias)
         elif "weight_q" in p:
             from ..ops.q_matmul import int8_matmul
 
@@ -257,11 +278,24 @@ class Linear(Module):
 
             return np.asarray(
                 jax.device_get(int4_unpack_jnp(p["weight_q4"], p["scale4"])))
+        if "weight_qb" in p:
+            from ..ops.q_matmul import intb_bits_from_shapes, intb_unpack_jnp
+
+            bits = getattr(self, "qbits", None) or intb_bits_from_shapes(
+                p["weight_qb"].shape[0], p["scale_qb"].shape[0])
+            return np.asarray(jax.device_get(intb_unpack_jnp(
+                p["weight_qb"], p["scale_qb"], bits, self.in_features)))
         if "weight_q" in p:
             return np.asarray(
                 jax.device_get(p["weight_q"].astype(jnp.float32) * p["scale"][None, :])
             )
         return np.asarray(jax.device_get(p["weight"].astype(jnp.float32)))
+
+
+def _intb_min_k() -> int:
+    from ..util.env import env_int
+
+    return env_int("EXL3TPU_INTB_MIN_K", 512)
 
 
 def read_dense_weight(stc, key: str) -> np.ndarray:

@@ -29,6 +29,8 @@ def try_fuse(params: dict, parent_key: str, name: str, linears: list) -> bool:
             groups.append(("int8", p))
         elif "weight_q4" in p and "scale4" in p and len(p) == 2:
             groups.append(("int4", p))
+        elif "weight_qb" in p and "scale_qb" in p and len(p) == 2:
+            groups.append(("intb", p))
         else:
             return False
     kinds = {k for k, _ in groups}
@@ -46,6 +48,13 @@ def try_fuse(params: dict, parent_key: str, name: str, linears: list) -> bool:
             [p["weight_q4"] for _, p in groups], axis=1)
         parent[name + "_s4"] = jnp.concatenate(
             [p["scale4"] for _, p in groups], axis=1)
+    elif kind == "intb":
+        if len({p["weight_qb"].shape[0] for _, p in groups}) != 1:
+            return False  # mixed k paddings can't share one packed array
+        parent[name + "_qb"] = jnp.concatenate(
+            [p["weight_qb"] for _, p in groups], axis=1)
+        parent[name + "_sb"] = jnp.concatenate(
+            [p["scale_qb"] for _, p in groups], axis=1)
     else:
         parent[name + "_q"] = jnp.concatenate(
             [p["weight_q"] for _, p in groups], axis=1)
@@ -73,6 +82,11 @@ def unfuse(params: dict, parent_key: str, name: str, linears: list,
         s = parent.pop(name + "_s4")
         for lin, a, b in zip(linears, offs, offs[1:]):
             params[lin.key] = {"weight_q4": q[:, a:b], "scale4": s[:, a:b]}
+    elif name + "_qb" in parent:
+        q = parent.pop(name + "_qb")
+        s = parent.pop(name + "_sb")
+        for lin, a, b in zip(linears, offs, offs[1:]):
+            params[lin.key] = {"weight_qb": q[:, a:b], "scale_qb": s[:, a:b]}
     elif name + "_q" in parent:
         q = parent.pop(name + "_q")
         s = parent.pop(name + "_scale")
@@ -91,6 +105,10 @@ def fused_forward(params: dict, parent_key: str, name: str, x,
         from ..ops.q_matmul import int4_matmul
 
         y = int4_matmul(x, p[name + "_q4"], p[name + "_s4"])
+    elif name + "_qb" in p:
+        from ..ops.q_matmul import intb_matmul
+
+        y = intb_matmul(x, p[name + "_qb"], p[name + "_sb"])
     else:
         from ..ops.q_matmul import int8_matmul
 

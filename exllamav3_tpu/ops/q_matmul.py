@@ -400,6 +400,331 @@ def int4_matmul_a8(x, packed, scales, bias=None, group: int = INT4_GROUP,
     return y.reshape(shape[:-1] + (n,))
 
 
+# -- packed int-B (B = 3/5/6): the bytes-vs-quality Pareto between int4
+#    and int8 ------------------------------------------------------------------
+#
+# Measured at 4.0 bpw (doc/performance.md): the load-time int4 requant is NOT
+# free — uniform 16-level groups add ~1x the trellis's own distortion. One
+# extra bit (int5) cuts the requant MSE ~4x and 2 extra (int6) ~16x, at 0.69
+# and 0.81 bytes/weight — still 31%/19% under int8. Layout: int32 words along
+# k, each holding W = 32//B weights PLANE-major (weight row r = plane
+# r // kp, word r % kp, kp = padded-k/W) so the kernel's W x-slices and the
+# per-plane scale rows are contiguous blocks, exactly generalizing the int4
+# lo/hi halves. k pads up to W*group alignment with zero rows (zero-padded
+# activations make the pad contribute nothing).
+
+INTB_GROUP = 32
+_INTB_BITS = (3, 5, 6)
+
+
+def intb_geometry(k: int, bits: int, group: int = INTB_GROUP):
+    """(W weights/word, kp words per column, k_pad) for a k-row column."""
+    W = 32 // bits
+    kp = -(-k // (W * group)) * group
+    return W, kp, W * kp
+
+
+def intb_pack_jnp(w, bits: int, group: int = INTB_GROUP):
+    """f32 (k, n) -> (packed (kp, n) int32, scales (W*kp/group, n) bf16).
+    Lloyd-refined per-group scales (same alternation as int4_pack_jnp)."""
+    assert bits in _INTB_BITS, bits
+    k, n = w.shape
+    W, kp, k_pad = intb_geometry(k, bits, group)
+    wf = w.astype(jnp.float32)
+    if k_pad != k:
+        wf = jnp.pad(wf, ((0, k_pad - k), (0, 0)))
+    g = k_pad // group
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    wr = wf.reshape(g, group, n)
+    amax = jnp.max(jnp.abs(wr), axis=1)
+    scale = amax / hi + 1e-12
+    for _ in range(INT4_LLOYD_ITERS):
+        qr = jnp.clip(jnp.round(wr / scale[:, None, :]), lo, hi)
+        num = jnp.sum(wr * qr, axis=1)
+        den = jnp.sum(qr * qr, axis=1) + 1e-12
+        scale = jnp.maximum(num / den, 1e-12)
+    q = jnp.clip(jnp.round(wf / jnp.repeat(scale, group, axis=0)), lo, hi)
+    qb = (q.astype(jnp.int32) - lo).reshape(W, kp, n)     # biased [0, 2^B)
+    word = jnp.zeros((kp, n), jnp.int32)
+    for j in range(W):
+        word = word | (qb[j] << (bits * j))
+    return word, scale.astype(jnp.bfloat16)
+
+
+def intb_unpack_jnp(packed, scales, bits: int, k: int, group: int = INTB_GROUP):
+    """Reference unpack -> (k, n) f32 (drops the zero pad rows)."""
+    W, kp, k_pad = intb_geometry(k, bits, group)
+    assert packed.shape[0] == kp, (packed.shape, kp)
+    mask = (1 << bits) - 1
+    bias = 1 << (bits - 1)
+    planes = [((packed >> (bits * j)) & mask) - bias for j in range(W)]
+    q = jnp.concatenate(planes, axis=0).astype(jnp.float32)
+    w = q * jnp.repeat(scales.astype(jnp.float32), group, axis=0)
+    return w[:k]
+
+
+def intb_bits_from_shapes(kp: int, scale_rows: int,
+                          group: int = INTB_GROUP) -> int:
+    """Infer B from the packed/scales shapes: scales carry one row per
+    group of the PADDED k = W*kp, so W = scale_rows*group/kp exactly."""
+    W = scale_rows * group // kp
+    assert W * kp == scale_rows * group and 32 // W in _INTB_BITS, (
+        kp, scale_rows, group)
+    return 32 // W
+
+
+def _intb_matmul_kernel(*refs, bits: int, W: int):
+    import jax.experimental.pallas as pl
+
+    xs = refs[:W]
+    b_ref = refs[W]
+    ss = refs[W + 1:2 * W + 1]
+    emat_ref = refs[2 * W + 1]
+    out_ref = refs[2 * W + 2]
+    acc_ref = refs[2 * W + 3]
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    word = b_ref[:]
+    mask = (1 << bits) - 1
+    bias = 1 << (bits - 1)
+    for j in range(W):
+        se = jnp.dot(emat_ref[:], ss[j][:].astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        qj = ((word >> (bits * j)) & mask) - bias
+        acc_ref[:] += jnp.dot(xs[j][:], qj.astype(jnp.bfloat16) * se,
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group", "block_m",
+                                              "block_n", "block_kp",
+                                              "interpret"))
+def intb_matmul_pallas(x, packed, scales, bits: int, group: int = INTB_GROUP,
+                       block_m: int = 256, block_n: int = 512,
+                       block_kp: int = 512, interpret: bool = False):
+    """x (m, k_pad) bf16 (caller zero-pads k); packed (kp, n) int32;
+    scales (W*kp/group, n) bf16 -> (m, n) f32. m % 16 == 0."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = 32 // bits
+    m, k_pad = x.shape
+    kp, n = packed.shape
+    assert k_pad == W * kp, (k_pad, W, kp)
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    while kp % block_kp or block_kp % group:
+        block_kp //= 2
+        assert block_kp >= group, (kp, group)
+    ng = block_kp // group
+    nkb = kp // block_kp
+    grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), nkb)
+    emat = jnp.asarray(_int4_expand_mat(block_kp, group))
+    x = x.astype(jnp.bfloat16)
+    x_specs = [
+        pl.BlockSpec((block_m, block_kp),
+                     functools.partial(lambda i, jj, kk, _j, _n: (i, kk + _j * _n),
+                                       _j=j, _n=nkb),
+                     memory_space=pltpu.VMEM)
+        for j in range(W)
+    ]
+    s_specs = [
+        pl.BlockSpec((ng, block_n),
+                     functools.partial(lambda i, jj, kk, _j, _n: (kk + _j * _n, jj),
+                                       _j=j, _n=nkb),
+                     memory_space=pltpu.VMEM)
+        for j in range(W)
+    ]
+    kern = functools.partial(_intb_matmul_kernel, bits=bits, W=W)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=x_specs + [
+            pl.BlockSpec((block_kp, block_n), lambda i, jj, kk: (kk, jj),
+                         memory_space=pltpu.VMEM),
+        ] + s_specs + [
+            pl.BlockSpec((block_kp, ng), lambda i, jj, kk: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, jj, kk: (i, jj),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*([x] * W), packed, *([scales] * W), emat)
+
+
+def _intb_a8_kernel(*refs, bits: int, W: int, group: int):
+    """W·A8 body: per scale group, extract each plane's B-bit field to int8
+    and run int8xint8->int32 MXU dots; group scales land on the dot results
+    (1/group VPU ops per weight) — the int4 _int4_a8_kernel generalized."""
+    import jax.experimental.pallas as pl
+
+    xs = refs[:W]
+    b_ref = refs[W]
+    ss = refs[W + 1:2 * W + 1]
+    out_ref = refs[2 * W + 1]
+    acc_ref = refs[2 * W + 2]
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ng = ss[0].shape[0]
+    mask = (1 << bits) - 1
+    bias = 1 << (bits - 1)
+
+    def body(g, acc):
+        bg = b_ref[pl.ds(g * group, group), :]          # (group, bn) int32
+        for j in range(W):
+            wq = (((bg >> (bits * j)) & mask) - bias).astype(jnp.int8)
+            d = jnp.dot(xs[j][:, pl.ds(g * group, group)], wq,
+                        preferred_element_type=jnp.int32)
+            sj = ss[j][g, :].astype(jnp.float32)
+            acc = acc + d.astype(jnp.float32) * sj[None, :]
+        return acc
+
+    acc_ref[:] = jax.lax.fori_loop(0, ng, body, acc_ref[:])
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group", "block_m",
+                                              "block_n", "block_kp",
+                                              "interpret"))
+def intb_matmul_pallas_a8(x_q, packed, scales, bits: int,
+                          group: int = INTB_GROUP, block_m: int = 256,
+                          block_n: int = 512, block_kp: int = 512,
+                          interpret: bool = False):
+    """x_q (m, k_pad) int8 (row-quantized, zero-padded); output misses the
+    x row scales (caller applies them)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = 32 // bits
+    m, k_pad = x_q.shape
+    kp, n = packed.shape
+    assert k_pad == W * kp, (k_pad, W, kp)
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    while kp % block_kp or block_kp % group:
+        block_kp //= 2
+        assert block_kp >= group, (kp, group)
+    ng = block_kp // group
+    nkb = kp // block_kp
+    grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), nkb)
+    x_specs = [
+        pl.BlockSpec((block_m, block_kp),
+                     functools.partial(lambda i, jj, kk, _j, _n: (i, kk + _j * _n),
+                                       _j=j, _n=nkb),
+                     memory_space=pltpu.VMEM)
+        for j in range(W)
+    ]
+    s_specs = [
+        pl.BlockSpec((ng, block_n),
+                     functools.partial(lambda i, jj, kk, _j, _n: (kk + _j * _n, jj),
+                                       _j=j, _n=nkb),
+                     memory_space=pltpu.VMEM)
+        for j in range(W)
+    ]
+    kern = functools.partial(_intb_a8_kernel, bits=bits, W=W, group=group)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=x_specs + [
+            pl.BlockSpec((block_kp, block_n), lambda i, jj, kk: (kk, jj),
+                         memory_space=pltpu.VMEM),
+        ] + s_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, jj, kk: (i, jj),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*([x_q] * W), packed, *([scales] * W))
+
+
+def intb_matmul_ref(x, packed, scales, bits: int, bias=None,
+                    group: int = INTB_GROUP):
+    w = intb_unpack_jnp(packed, scales, bits, x.shape[-1], group)
+    y = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def intb_matmul(x, packed, scales, bits: int | None = None, bias=None,
+                group: int = INTB_GROUP, use_pallas: bool | None = None):
+    """Dispatcher mirroring int4_matmul: Pallas on TPU (EXL3TPU_INTB_A8=1
+    selects the W·A8 int8-MXU kernel, EXL3TPU_INTB_PALLAS=0 the jnp unpack
+    path), jnp reference elsewhere. bits inferred from shapes when None."""
+    import os
+
+    shape = x.shape
+    k = shape[-1]
+    kp, n = packed.shape
+    if bits is None:
+        bits = intb_bits_from_shapes(kp, scales.shape[0], group)
+    W, kp2, k_pad = intb_geometry(k, bits, group)
+    assert kp == kp2, (kp, kp2, bits)
+    x2 = x.reshape(-1, k)
+    if use_pallas is None:
+        env = os.environ.get("EXL3TPU_INTB_PALLAS")
+        if env is not None:
+            use_pallas = env not in ("0", "false")
+        else:
+            use_pallas = jax.default_backend() not in ("cpu",)
+    interpret = jax.default_backend() in ("cpu",)
+    if os.environ.get("EXL3TPU_INTB_A8", "") not in ("", "0", "false"):
+        m = x2.shape[0]
+        xf = x2.astype(jnp.float32)
+        xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + 1e-12
+        x_q = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        if k_pad != k:
+            x_q = jnp.pad(x_q, ((0, 0), (0, k_pad - k)))
+        m_pad = -m % 32
+        if m_pad:
+            x_q = jnp.pad(x_q, ((0, m_pad), (0, 0)))
+        y = intb_matmul_pallas_a8(x_q, packed, scales, bits, group=group,
+                                  interpret=interpret)
+        if m_pad:
+            y = y[:m]
+        y = y * xs
+    elif use_pallas:
+        m = x2.shape[0]
+        xb = x2.astype(jnp.bfloat16)
+        if k_pad != k:
+            xb = jnp.pad(xb, ((0, 0), (0, k_pad - k)))
+        m_pad = -m % 16
+        if m_pad:
+            xb = jnp.pad(xb, ((0, m_pad), (0, 0)))
+        y = intb_matmul_pallas(xb, packed, scales, bits, group=group,
+                               interpret=interpret)
+        if m_pad:
+            y = y[:m]
+    else:
+        y = intb_matmul_ref(x2, packed, scales, bits, group=group)
+    if bias is not None:
+        y = y + bias
+    return y.reshape(shape[:-1] + (n,))
+
+
 def int4_matmul(x, packed, scales, bias=None, group: int = INT4_GROUP,
                 use_pallas: bool | None = None):
     """Dispatcher: Pallas kernel on TPU (EXL3TPU_INT4_PALLAS=0 forces the
