@@ -37,12 +37,13 @@ HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5p": 2765.0,
             "TPU v6 lite": 1640.0}
 
 
-_WEIGHT_NAMES = ("weight", "weight_q", "weight_q4", "weight_qb",
-                 "scale", "scale4", "scale_qb",
-                 "trellis", "qkv_w", "qkv_q", "qkv_q4", "qkv_qb",
-                 "qkv_scale", "qkv_s4", "qkv_sb",
+_WEIGHT_NAMES = ("weight", "weight_q", "weight_q4", "weight_qb", "weight_sq",
+                 "scale", "scale4", "scale_qb", "scale_sq",
+                 "trellis", "qkv_w", "qkv_q", "qkv_q4", "qkv_qb", "qkv_sq",
+                 "qkv_scale", "qkv_s4", "qkv_sb", "qkv_sqs",
                  "gate_up_w", "gate_up_q", "gate_up_q4", "gate_up_qb",
-                 "gate_up_scale", "gate_up_s4", "gate_up_sb", "words")
+                 "gate_up_sq", "gate_up_scale", "gate_up_s4", "gate_up_sb",
+                 "gate_up_sqs", "words")
 
 
 def _weight_bytes(model) -> int:

@@ -27,6 +27,11 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hq", action="store_true",
                    help="boost sensitive layers (down/o/v) one bit above base")
+    p.add_argument("--serving_bits", type=int, default=None,
+                   choices=[3, 4, 5, 6],
+                   help="also emit Hessian-aware packed int-B serving "
+                        "tensors (<key>.sq) usable by the intN runtime "
+                        "modes at low-bit HBM bytes")
     p.add_argument("--mtp_bits", type=int, default=None,
                    help="bits for MTP-head linears (aux target)")
     p.add_argument("--no_resume", action="store_true", help="ignore existing job state")
@@ -51,6 +56,7 @@ def main():
         verbose=not args.quiet,
         hq=args.hq,
         mtp_bits=args.mtp_bits,
+        serving_bits=args.serving_bits,
     )
 
 

@@ -25,7 +25,8 @@ _TOKENIZER_FILES = (
 )
 
 
-def compile_model(in_dir: str, out_dir: str, bpw: float, head_bits: int):
+def compile_model(in_dir: str, out_dir: str, bpw: float, head_bits: int,
+                  serving_bits: int | None = None):
     qdir = os.path.join(out_dir, "qtensors")
     q_stc = SafetensorsCollection(qdir)
     src_stc = SafetensorsCollection(in_dir)
@@ -84,6 +85,8 @@ def compile_model(in_dir: str, out_dir: str, bpw: float, head_bits: int):
         "head_bits": head_bits,
         "producer": "exllamav3_tpu",
     }
+    if serving_bits:
+        cfg["quantization_config"]["serving_bits"] = serving_bits
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(cfg, f, indent=2)
 

@@ -51,6 +51,8 @@ def convert_model(
     strategy: dict | None = None,  # per-linear-key K overrides (optimize.py)
     hq: bool = False,              # clamp sensitive groups >= base+1 bits
     mtp_bits: int | None = None,   # auxiliary target for MTP-head linears
+    serving_bits: int | None = None,  # emit Hessian-aware int-B serving
+                                      # tensors (<key>.sq) alongside, 3-6
 ):
     os.makedirs(out_dir, exist_ok=True)
     qdir = os.path.join(out_dir, "qtensors")
@@ -172,6 +174,17 @@ def convert_model(
                         print(f" -- {lin.key}: K={K} proxy_err={proxy_err:.6f} "
                               f"({time.time()-t0:.1f}s)")
                     job["proxy_err"][lin.key] = proxy_err
+                    if serving_bits:
+                        # independent GPTQ-grade uniform int-B codes of the
+                        # SAME dense weight in the shared-rotated basis —
+                        # serving at low-bit bytes without the load-time
+                        # round-to-nearest cliff (doc/performance.md)
+                        from ..quant.quantize import quantize_serving_intb_np
+
+                        sq = quantize_serving_intb_np(w, hd, serving_bits)
+                        if sq is not None:
+                            shard[f"{lin.key}.sq"] = sq[0]
+                            shard[f"{lin.key}.sq_scale"] = sq[1]
                     for name, arr in out.items():
                         shard[f"{lin.key}.{name}"] = arr
                     _swap_linear_to_exl3(lin, params, out, K, cb)
@@ -213,7 +226,8 @@ def convert_model(
 
     if verbose:
         print(f" -- quantization done in {time.time()-t_start:.0f}s; compiling")
-    compile_model(in_dir, out_dir, bpw=bpw, head_bits=head_bits)
+    compile_model(in_dir, out_dir, bpw=bpw, head_bits=head_bits,
+                  serving_bits=serving_bits)
     return job
 
 

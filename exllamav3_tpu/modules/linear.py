@@ -140,6 +140,27 @@ class Linear(Module):
             )
             p["weight"] = w
         elif mode in ("int8", "int4", "int3", "int5", "int6"):
+            # conversion-time serving tensors (Hessian-aware LDLQ codes in
+            # the shared-rotated basis, convert.py --serving_bits) beat any
+            # load-time round-to-nearest requant — prefer them when present
+            # at the requested width (EXL3TPU_SQ=0 disables)
+            if mode != "int8" and _use_sq():
+                sq = stc.get_tensor(key + ".sq", optional=True)
+                if sq is not None:
+                    from ..ops.q_matmul import INTB_GROUP, intb_bits_from_shapes
+
+                    sqs = stc.get_tensor(key + ".sq_scale", optional=True)
+                    bits = intb_bits_from_shapes(sq.shape[0], sqs.shape[0])
+                    if bits == int(mode[3:]):
+                        p["weight_sq"] = jnp.asarray(
+                            np.ascontiguousarray(sq))
+                        p["scale_sq"] = jnp.asarray(
+                            sqs.astype(np.float32), dtype=jnp.bfloat16)
+                        self.qbits = bits
+                        if bias is not None:
+                            p["bias"] = jnp.asarray(bias.astype(np.float32))
+                        params[self.key] = p
+                        return
             w = reconstruct_full_jnp(
                 jnp.asarray(np.ascontiguousarray(trellis)),
                 jnp.asarray(suh),
@@ -227,6 +248,15 @@ class Linear(Module):
 
             y = intb_matmul(x, p["weight_qb"], p["scale_qb"],
                             bits=getattr(self, "qbits", None), bias=bias)
+        elif "weight_sq" in p:
+            from ..ops.q_matmul import intb_matmul
+
+            # serving tensors live in the shared-rotated basis: rotate the
+            # activations (one 128-block Hadamard, ~k*128 MACs/row) and the
+            # packed codes reconstruct H128-W directly — no output transform
+            xr = had_right_jnp(x)
+            y = intb_matmul(xr, p["weight_sq"], p["scale_sq"],
+                            bits=getattr(self, "qbits", None), bias=bias)
         elif "weight_q" in p:
             from ..ops.q_matmul import int8_matmul
 
@@ -285,6 +315,15 @@ class Linear(Module):
                 p["weight_qb"].shape[0], p["scale_qb"].shape[0])
             return np.asarray(jax.device_get(intb_unpack_jnp(
                 p["weight_qb"], p["scale_qb"], bits, self.in_features)))
+        if "weight_sq" in p:
+            from ..ops.q_matmul import intb_bits_from_shapes, intb_unpack_jnp
+            from ..quant.hadamard import had_left_np
+
+            bits = getattr(self, "qbits", None) or intb_bits_from_shapes(
+                p["weight_sq"].shape[0], p["scale_sq"].shape[0])
+            w_rot = np.asarray(jax.device_get(intb_unpack_jnp(
+                p["weight_sq"], p["scale_sq"], bits, self.in_features)))
+            return had_left_np(w_rot)  # H128 is symmetric orthonormal
         if "weight_q" in p:
             return np.asarray(
                 jax.device_get(p["weight_q"].astype(jnp.float32) * p["scale"][None, :])
@@ -296,6 +335,12 @@ def _intb_min_k() -> int:
     from ..util.env import env_int
 
     return env_int("EXL3TPU_INTB_MIN_K", 512)
+
+
+def _use_sq() -> bool:
+    from ..util.env import env_bool
+
+    return env_bool("EXL3TPU_SQ", True)
 
 
 def read_dense_weight(stc, key: str) -> np.ndarray:

@@ -31,6 +31,8 @@ def try_fuse(params: dict, parent_key: str, name: str, linears: list) -> bool:
             groups.append(("int4", p))
         elif "weight_qb" in p and "scale_qb" in p and len(p) == 2:
             groups.append(("intb", p))
+        elif "weight_sq" in p and "scale_sq" in p and len(p) == 2:
+            groups.append(("sq", p))
         else:
             return False
     kinds = {k for k, _ in groups}
@@ -55,6 +57,16 @@ def try_fuse(params: dict, parent_key: str, name: str, linears: list) -> bool:
             [p["weight_qb"] for _, p in groups], axis=1)
         parent[name + "_sb"] = jnp.concatenate(
             [p["scale_qb"] for _, p in groups], axis=1)
+    elif kind == "sq":
+        # serving tensors share ONE activation-side Hadamard (no per-linear
+        # sign vectors by design — quant/quantize.py finalize_hessian_rot),
+        # so sibling projections concatenate like any other representation
+        if len({p["weight_sq"].shape[0] for _, p in groups}) != 1:
+            return False
+        parent[name + "_sq"] = jnp.concatenate(
+            [p["weight_sq"] for _, p in groups], axis=1)
+        parent[name + "_sqs"] = jnp.concatenate(
+            [p["scale_sq"] for _, p in groups], axis=1)
     else:
         parent[name + "_q"] = jnp.concatenate(
             [p["weight_q"] for _, p in groups], axis=1)
@@ -87,6 +99,11 @@ def unfuse(params: dict, parent_key: str, name: str, linears: list,
         s = parent.pop(name + "_sb")
         for lin, a, b in zip(linears, offs, offs[1:]):
             params[lin.key] = {"weight_qb": q[:, a:b], "scale_qb": s[:, a:b]}
+    elif name + "_sq" in parent:
+        q = parent.pop(name + "_sq")
+        s = parent.pop(name + "_sqs")
+        for lin, a, b in zip(linears, offs, offs[1:]):
+            params[lin.key] = {"weight_sq": q[:, a:b], "scale_sq": s[:, a:b]}
     elif name + "_q" in parent:
         q = parent.pop(name + "_q")
         s = parent.pop(name + "_scale")
@@ -109,6 +126,11 @@ def fused_forward(params: dict, parent_key: str, name: str, x,
         from ..ops.q_matmul import intb_matmul
 
         y = intb_matmul(x, p[name + "_qb"], p[name + "_sb"])
+    elif name + "_sq" in p:
+        from ..ops.q_matmul import intb_matmul
+        from ..quant.hadamard import had_right_jnp
+
+        y = intb_matmul(had_right_jnp(x), p[name + "_sq"], p[name + "_sqs"])
     else:
         from ..ops.q_matmul import int8_matmul
 

@@ -414,7 +414,9 @@ def int4_matmul_a8(x, packed, scales, bias=None, group: int = INT4_GROUP,
 # activations make the pad contribute nothing).
 
 INTB_GROUP = 32
-_INTB_BITS = (3, 5, 6)
+# 4 appears here for the conversion-time serving tensors (plane layout,
+# W=8); the load-time "int4" requant mode keeps its own packed-pair layout
+_INTB_BITS = (3, 4, 5, 6)
 
 
 def intb_geometry(k: int, bits: int, group: int = INTB_GROUP):
@@ -449,6 +451,28 @@ def intb_pack_jnp(w, bits: int, group: int = INTB_GROUP):
     for j in range(W):
         word = word | (qb[j] << (bits * j))
     return word, scale.astype(jnp.bfloat16)
+
+
+def intb_pack_from_q_np(q, scales, bits: int, group: int = INTB_GROUP):
+    """Pack precomputed integer codes (numpy, conversion host side):
+    q (k, n) int in [-2^(B-1), 2^(B-1)-1], scales (k/group, n) f32 ->
+    (packed (kp, n) int32, scales (W*kp/group, n) f32) in the same plane
+    layout as intb_pack_jnp (pad rows hold q=0, pad scale rows 1.0)."""
+    q = np.asarray(q)
+    scales = np.asarray(scales, dtype=np.float32)
+    k, n = q.shape
+    W, kp, k_pad = intb_geometry(k, bits, group)
+    if k_pad != k:
+        q = np.concatenate([q, np.zeros((k_pad - k, n), q.dtype)], axis=0)
+        pad_g = (W * kp - k) // group
+        scales = np.concatenate(
+            [scales, np.ones((pad_g, n), np.float32)], axis=0)
+    assert scales.shape[0] == W * kp // group, (scales.shape, W, kp, group)
+    qb = (q.astype(np.int64) + (1 << (bits - 1))).reshape(W, kp, n)
+    word = np.zeros((kp, n), np.int64)
+    for j in range(W):
+        word |= qb[j] << (bits * j)
+    return word.astype(np.int32), scales
 
 
 def intb_unpack_jnp(packed, scales, bits: int, k: int, group: int = INTB_GROUP):

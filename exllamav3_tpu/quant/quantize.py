@@ -479,6 +479,7 @@ class HessianData:
     count: int = 0
     su_signs: np.ndarray | None = None
     finalized: dict | None = None
+    finalized_rot: dict | None = None  # shared-Hadamard basis L (serving int-B)
 
     def accumulate(self, x: np.ndarray):
         x2 = x.reshape(-1, self.k).astype(np.float32)
@@ -526,6 +527,102 @@ def finalize_hessian(
         q_fallback=q_fallback, H=H.astype(np.float32), L=L, su_signs=su_signs, diag=diag
     )
     return q_fallback, hd.finalized["H"], L, su_signs, diag
+
+
+def finalize_hessian_rot(hd: HessianData, sigma_reg: float = SIGMA_REG_DEFAULT):
+    """L for the SHARED-Hadamard basis (no per-linear su signs): the serving
+    int-B emission quantizes W_rot = H128·W so sibling projections keep one
+    activation-side rotation and stay fusable (modules/multilinear.py).
+    H_rot = had^T H had blockwise; returns None when no H was captured."""
+    if hd.finalized_rot is not None:
+        return hd.finalized_rot["L"]
+    if hd.H is None or hd.count == 0:
+        hd.finalized_rot = dict(L=None)
+        return None
+    k = hd.k
+    H = (hd.H / hd.count).astype(np.float64)
+    diag_mean = float(np.mean(np.diag(H)))
+    if (not math.isfinite(diag_mean)) or diag_mean < 1e-20:
+        hd.finalized_rot = dict(L=None)
+        return None
+    H[np.diag_indices(k)] += sigma_reg * diag_mean
+    had = hadamard_np(128).astype(np.float64) / math.sqrt(128.0)
+    H = (H.reshape(k, k // 128, 128) @ had).reshape(k, k)
+    H = (had.T @ H.reshape(k // 128, 128, k)).reshape(k, k)
+    L = block_ldl_np(H, 16, sigma_reg)
+    L[np.diag_indices(k)] = 0.0
+    hd.finalized_rot = dict(L=L)
+    return L
+
+
+def lloyd_group_scales_np(w: np.ndarray, bits: int, group: int = 32,
+                          iters: int = 4) -> np.ndarray:
+    """Per-group uniform-grid scales with round/least-squares alternation
+    (numpy twin of q_matmul.intb_pack_jnp's scale refinement)."""
+    k, n = w.shape
+    assert k % group == 0
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    wr = w.astype(np.float64).reshape(k // group, group, n)
+    scale = np.max(np.abs(wr), axis=1) / hi + 1e-12
+    for _ in range(iters):
+        qr = np.clip(np.round(wr / scale[:, None, :]), lo, hi)
+        num = np.sum(wr * qr, axis=1)
+        den = np.sum(qr * qr, axis=1) + 1e-12
+        scale = np.maximum(num / den, 1e-12)
+    return scale.astype(np.float32)
+
+
+def ldlq_uniform_np(weight: np.ndarray, L: np.ndarray | None, bits: int,
+                    group: int = 32):
+    """GPTQ-style error-feedback quantization onto a uniform B-bit grid with
+    per-group scales (the serving analogue of ldlq_np: same back-to-front
+    16-row block loop and L feedback, scalar rounding instead of Viterbi —
+    reference ldlq, quantize.py:488).
+
+    Returns (q int32 (k, n) in [-2^(B-1), 2^(B-1)-1], scales (k/group, n)
+    f32, weight_q f32)."""
+    k, n = weight.shape
+    assert k % 16 == 0 and k % group == 0, (k, group)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    scales = lloyd_group_scales_np(weight, bits, group)
+    srep = np.repeat(scales, group, axis=0)
+    weight_q = np.zeros_like(weight, dtype=np.float32)
+    q = np.zeros(weight.shape, dtype=np.int32)
+    for bj in range(k, 0, -16):
+        bi = bj - 16
+        if L is not None:
+            err = weight[bj:] - weight_q[bj:]
+            comp = L[bj:, bi:bj].T @ err
+        else:
+            comp = 0.0
+        rows = weight[bi:bj] + comp
+        qb = np.clip(np.round(rows / srep[bi:bj]), lo, hi)
+        q[bi:bj] = qb.astype(np.int32)
+        weight_q[bi:bj] = qb * srep[bi:bj]
+    return q, scales, weight_q
+
+
+def quantize_serving_intb_np(weight: np.ndarray, hd: HessianData | None,
+                             bits: int, group: int = 32,
+                             sigma_reg: float = SIGMA_REG_DEFAULT):
+    """Conversion-time serving tensors: Hessian-aware uniform int-B codes of
+    the SHARED-rotated weight W_rot = H128·W (incoherence processing makes
+    the scalar grid near-optimal; per-group scales absorb column norms).
+    Runtime computes y = had_right(x) @ dequant(packed) — see
+    modules/linear.py "weight_sq". Returns (packed (kp, n) int32, scales
+    (W·kp/group, n) f16) in the ops/q_matmul.py int-B plane layout, or None
+    when k isn't a multiple of the 128 rotation block."""
+    from .hadamard import had_left_np
+    from ..ops.q_matmul import intb_pack_from_q_np
+
+    k, n = weight.shape
+    if k % 128 or k % group:
+        return None
+    w_rot = had_left_np(weight.astype(np.float32))
+    L = finalize_hessian_rot(hd, sigma_reg) if hd is not None else None
+    q, scales, _ = ldlq_uniform_np(w_rot, L, bits, group)
+    packed, scales_p = intb_pack_from_q_np(q, scales, bits, group)
+    return packed, scales_p.astype(np.float16)
 
 
 # -- Top-level ----------------------------------------------------------------
