@@ -211,10 +211,25 @@ class MLAttention(Module):
             layer = ctx.cache[self.key]
             layer = self._cache_update(layer, kv_tok, ctx)
             ctx.cache[self.key] = layer
+            sp = ctx.extras.get("sp") if ctx.attn_mode == "paged" else None
             backend = attn_backend(ctx.k_bits, ctx.v_bits)
             lin_ok = (ctx.attn_mode == "paged"
                       or layer[next(iter(layer))].shape[1] % 8 == 0)
-            if backend != "dense" and lin_ok:
+            if sp is not None:
+                # sequence-parallel serving: latent pages sharded over the
+                # sp axis, per-shard absorbed kernel + stat merge
+                # (parallel/sp.py sp_latent_attend)
+                from ..parallel.sp import sp_latent_attend
+                from .attn import _total_lens
+
+                mesh, axis = sp
+                o_lat = sp_latent_attend(
+                    q_eff.astype(jnp.float32), layer, ctx.block_tables,
+                    ctx.positions, _total_lens(ctx, B, S), mesh, axis,
+                    scale=self.sm_scale, latent=c, k_bits=ctx.k_bits,
+                    compand_a=ctx.compand_a,
+                ).astype(jnp.bfloat16)
+            elif backend != "dense" and lin_ok:
                 # absorbed decode / SD-verify / PREFILL via the Pallas
                 # kernel: Hk=1, V = leading `c` channels of the latent row
                 # (never fetched separately). Prefill re-reads the latent

@@ -21,10 +21,12 @@ order) and runs the SAME Pallas flash kernel as single-device serving with
 — per-step DMA and compute scale with RESIDENT pages, not context length.
 A dense jnp body remains as the EXL3_TPU_ATTN=dense fallback.
 
-Supported cache layouts: plain paged GQA K/V, dense or 2/4/8-bit packed.
-MLA latents, DSV4 pools and recurrent-state layers do not implement the
-sp attend path yet — Generator(sp_mesh=...) rejects them up front
-(doc/parallelism.md lists the supported set).
+Supported cache layouts: plain paged GQA K/V (dense or 2/4/8-bit packed)
+and MLA latent pages (dense or quantized-latent [kv_q|kv_s|k_pe]) via
+sp_latent_attend — the absorbed-decode kernel runs per shard with
+return_stats and the same merge. DSV4 pools and recurrent-state layers
+do not implement the sp attend path — Generator(sp_mesh=...) rejects
+them up front (doc/parallelism.md lists the supported set).
 """
 from __future__ import annotations
 
@@ -39,10 +41,10 @@ from ..constants import PAGE_SIZE
 NEG_INF = -1e30
 
 # layer-state entries whose leading dim is the page pool -> shardable over sp
-SP_PAGED_NAMES = ("k", "v", "k_q", "k_s", "v_q", "v_s")
+SP_PAGED_NAMES = ("k", "v", "k_q", "k_s", "v_q", "v_s",
+                  "kv", "kv_q", "kv_s", "k_pe")  # MLA latent pages
 # paged layouts that exist in the cache but have no sp attend path yet
-SP_UNSUPPORTED_NAMES = ("kv", "kv_q", "kv_s", "k_pe", "mkv", "pg_pool",
-                        "pg_ipool")
+SP_UNSUPPORTED_NAMES = ("mkv", "pg_pool", "pg_ipool")
 
 
 def _merge_stats(acc, m, l, axis, sinks):
@@ -211,11 +213,76 @@ def sp_paged_attend(q, layer_state, block_tables, positions, total_lens,
     return f(q, positions, total_lens, block_tables, *kv_arrays)
 
 
+def _sp_body_latent(q, positions, total_lens, bt, *kv_arrays, axis, scale,
+                    latent, n_local, k_bits, compand_a, interpret):
+    """Per-shard MLA absorbed attend: the latent flash kernel (Hk=1, V =
+    leading `latent` channels) over the compacted local table, then the
+    same stat merge as GQA sp."""
+    from ..ops.flash_attention import flash_attention
+
+    d = jax.lax.axis_index(axis)
+    bt_local, pidx = _local_tables(bt, d, n_local)
+    if k_bits:
+        layer = {"kv_q": kv_arrays[0], "kv_s": kv_arrays[1],
+                 "k_pe": kv_arrays[2]}
+    else:
+        layer = {"kv": kv_arrays[0]}
+    acc, m, l = flash_attention(
+        q, layer, positions, total_lens, block_tables=bt_local,
+        page_indices=pidx, scale=scale, latent=latent, k_bits=k_bits,
+        compand_a=compand_a, return_stats=True, interpret=interpret,
+    )
+    return _merge_stats(acc, m, l, axis, None)
+
+
+def sp_latent_attend(q_eff, layer_state, block_tables, positions, total_lens,
+                     mesh, axis: str = "sp", scale: float = 1.0,
+                     latent: int = 0, k_bits: int = 0,
+                     compand_a: float = 0.0, backend: str | None = None):
+    """Sequence-parallel MLA absorbed attention: latent pages (dim 0)
+    sharded over `axis`, effective queries replicated; returns the
+    (B, S, Hq, latent) attended latent, replicated. The per-shard body is
+    the identical single-device kernel spec (modules/mla_attn.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    if backend is None:
+        from ..util.env import attn_backend
+
+        backend = attn_backend(k_bits, 0)
+    if k_bits:
+        kv_arrays = (layer_state["kv_q"], layer_state["kv_s"],
+                     layer_state["k_pe"])
+    else:
+        kv_arrays = (layer_state["kv"],)
+    n = mesh.shape[axis]
+    P_total = kv_arrays[0].shape[0]
+    assert P_total % n == 0
+    body = partial(_sp_body_latent, axis=axis, scale=scale, latent=latent,
+                   n_local=P_total // n, k_bits=k_bits,
+                   compand_a=compand_a,
+                   interpret=(backend != "flash"))
+    rep = P()
+    specs = tuple(P(axis, *([None] * (a.ndim - 1))) for a in kv_arrays)
+    kw = dict(mesh=mesh, in_specs=(rep, rep, rep, rep) + specs,
+              out_specs=rep)
+    try:  # jax>=0.8 renamed check_rep -> check_vma
+        f = shard_map(body, check_vma=False, **kw)
+    except TypeError:  # pragma: no cover
+        f = shard_map(body, check_rep=False, **kw)
+    return f(q_eff, positions, total_lens, block_tables, *kv_arrays)
+
+
 def shard_cache_state(state: dict, mesh, axis: str = "sp") -> dict:
-    """Place plain paged K/V page dims on the sp axis; everything slot-keyed
-    replicates. Raises for cache layouts (MLA latent, DSV4 pools, recurrent
-    rings) that have no sp attend path — sharding them would at best force a
-    full cache all-gather every step, defeating the capacity scaling."""
+    """Place paged K/V (GQA) and latent (MLA) page dims on the sp axis;
+    everything slot-keyed replicates. Raises for cache layouts (DSV4 pools,
+    recurrent rings) that have no sp attend path — sharding them would at
+    best force a full cache all-gather every step, defeating the capacity
+    scaling."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape[axis]
@@ -225,11 +292,10 @@ def shard_cache_state(state: dict, mesh, axis: str = "sp") -> dict:
                or nm.startswith("pg_")]
         if bad:
             raise ValueError(
-                f"Generator(sp_mesh=...) supports plain paged GQA K/V "
-                f"caches only; layer {key!r} carries {sorted(bad)} "
-                f"(MLA latent / DSV4 pool / recurrent layouts have no "
-                f"sequence-parallel attend path yet — see "
-                f"doc/parallelism.md)")
+                f"Generator(sp_mesh=...) supports paged GQA K/V and MLA "
+                f"latent caches; layer {key!r} carries {sorted(bad)} "
+                f"(DSV4 pool / recurrent layouts have no sequence-parallel "
+                f"attend path yet — see doc/parallelism.md)")
         is_ring = "pos" in layer  # SWA ring: slot-keyed, replicates
         new_layer = {}
         for name, arr in layer.items():

@@ -133,12 +133,66 @@ def test_sp_generate_kernel_matches_single(model, monkeypatch):
 
 
 def test_sp_rejects_unsupported_layouts():
-    """MLA/DSV4-style cache layouts must be rejected up front, not silently
-    all-gathered every step."""
+    """DSV4-pool-style cache layouts must be rejected up front, not silently
+    all-gathered every step (MLA latents are supported as of round 3)."""
     from exllamav3_tpu.parallel.sp import shard_cache_state
 
     mesh = _sp_mesh()
-    state = {"l0": {"kv": jnp.zeros((16, PAGE_SIZE, 64)),
-                    "k_pe": jnp.zeros((16, PAGE_SIZE, 16))}}
+    state = {"l0": {"pg_pool": jnp.zeros((16, PAGE_SIZE, 64)),
+                    "cb_kv": jnp.zeros((4, 8, 64))}}
     with pytest.raises(ValueError, match="sp_mesh"):
         shard_cache_state(state, mesh, "sp")
+
+
+# -- MLA latent sequence parallelism ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mla_model(tmp_path_factory):
+    from exllamav3_tpu.conversion.synth import write_synth_dense_for_arch
+
+    d = str(tmp_path_factory.mktemp("spmla"))
+    cfg = dict(
+        architectures=["DeepseekV3ForCausalLM"], bos_token_id=1,
+        eos_token_id=2, vocab_size=512, hidden_size=256,
+        intermediate_size=512, max_position_embeddings=2048,
+        num_attention_heads=4, num_hidden_layers=2, rms_norm_eps=1e-5,
+        rope_theta=10000.0, torch_dtype="bfloat16", hidden_act="silu",
+        kv_lora_rank=128, qk_nope_head_dim=64, qk_rope_head_dim=32,
+        v_head_dim=64,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        moe_intermediate_size=64, first_k_dense_replace=2, n_group=2,
+        topk_group=1, norm_topk_prob=True, routed_scaling_factor=1.0,
+        scoring_func="sigmoid",
+    )
+    write_synth_dense_for_arch(d, cfg, seed=23)
+    m = Model.from_config(Config.from_directory(d))
+    m.load()
+    return m
+
+
+def _generate_mla(model, sp_mesh, prompt, k_bits=0):
+    spec = CacheSpec(layout="paged", num_pages=16, k_bits=k_bits,
+                     v_bits=k_bits)
+    cache = Cache(model, spec)
+    gen = Generator(model, cache, sp_mesh=sp_mesh, max_batch_size=4)
+    return gen.generate(np.asarray(prompt), max_new_tokens=12,
+                        sampler=GreedySampler(), decode_text=False)
+
+
+def test_sp_mla_generate_matches_single(mla_model, monkeypatch):
+    """MLA latent pages sharded over sp decode the same tokens as the
+    single-device absorbed path (kernel in interpret mode per shard)."""
+    monkeypatch.setenv("EXL3_TPU_ATTN", "interpret")
+    prompt = (np.arange(40) % 300 + 5).tolist()
+    plain = _generate_mla(mla_model, None, prompt)
+    sp = _generate_mla(mla_model, _sp_mesh(), prompt)
+    assert sp == plain
+
+
+def test_sp_mla_quantized_latent(mla_model, monkeypatch):
+    monkeypatch.setenv("EXL3_TPU_ATTN", "interpret")
+    prompt = (np.arange(32) % 300 + 5).tolist()
+    plain = _generate_mla(mla_model, None, prompt, k_bits=8)
+    sp = _generate_mla(mla_model, _sp_mesh(), prompt, k_bits=8)
+    assert sp == plain
