@@ -33,6 +33,7 @@ is_recurrent; the generator disables reuse/rewind like for GDN/Mamba).
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import jax
@@ -483,16 +484,10 @@ class DSV4Attention(Module):
             win_k = kv.astype(jnp.float32)
             win_pos = positions
             win_ok = valid
-        dlt = qp[:, :, None] - win_pos[:, None, :]
-        mask_win = win_ok[:, None, :] & (dlt >= 0) & (dlt < W)
-
-        qf = q.astype(jnp.float32)
-        s_win = jnp.einsum("bshd,btd->bhst", qf, win_k) * self.sm_scale
-        s_win = jnp.where(mask_win[:, None], s_win, NEG_INF)
-        parts = [s_win]
-        vals = [win_k]
-
-        # -- pool phase ---------------------------------------------------------
+        # key-side context is fixed across query rows; the per-row work maps
+        # over query blocks so the (B, H, S, T) score tensors never
+        # materialize for a full prefill chunk at long context (peak memory
+        # is (B, H, QB, T) per block — EXL3_TPU_DSV4_QBLOCK, default 256)
         if pool_entries is not None:
             T = pool_entries.shape[1]
             if layer is None:
@@ -500,35 +495,67 @@ class DSV4Attention(Module):
             else:
                 ent_ids = jnp.broadcast_to(
                     jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-            bound = (qp + 1) // m                              # (B, S)
-            mask_pool = ent_ids[:, None, :] < bound[:, :, None]
-            if layer is None:
-                mask_pool &= emit[:, None, :]
             pf = pool_entries.astype(jnp.float32)
-            s_pool = jnp.einsum("bshd,btd->bhst", qf, pf) * self.sm_scale
-
-            if self.indexer is not None:
-                iscores = self._indexer_scores(
-                    x, q_res, ipool_entries, positions, params, ctx,
-                    mask_pool)
-                T_all = iscores.shape[-1]
-                k = min(self.index_topk, T_all)
-                thr = jax.lax.top_k(iscores, k)[0][..., -1:]
-                sel = iscores >= thr
-                mask_pool &= sel
-            s_pool = jnp.where(mask_pool[:, None], s_pool, NEG_INF)
-            parts.append(s_pool)
-            vals.append(pf)
-
-        # -- softmax over [window ++ pool (++ sink)] -----------------------------
+            vals = [win_k, pf]
+        else:
+            ent_ids = pf = None
+            vals = [win_k]
         sinks = params[self.key]["sinks"]                     # (H,)
-        scores = jnp.concatenate(parts, axis=-1)
-        sink_col = jnp.broadcast_to(sinks[None, :, None, None],
-                                    (B, H, S, 1))
-        scores = jnp.concatenate([scores, sink_col], axis=-1)
-        p = jax.nn.softmax(scores, axis=-1)[..., :-1]
         v_all = jnp.concatenate(vals, axis=1)
-        o = jnp.einsum("bhst,btd->bshd", p, v_all)
+
+        def _attend_rows(qf_b, qp_b, x_b, qres_b):
+            """(B, QB, ...) query rows -> (B, QB, H, D) attended output."""
+            QB = qf_b.shape[1]
+            dlt = qp_b[:, :, None] - win_pos[:, None, :]
+            mask_win = win_ok[:, None, :] & (dlt >= 0) & (dlt < W)
+            s_win = jnp.einsum("bshd,btd->bhst", qf_b, win_k) * self.sm_scale
+            s_win = jnp.where(mask_win[:, None], s_win, NEG_INF)
+            parts = [s_win]
+            if pool_entries is not None:
+                bound = (qp_b + 1) // m                       # (B, QB)
+                mask_pool = ent_ids[:, None, :] < bound[:, :, None]
+                if layer is None:
+                    mask_pool &= emit[:, None, :]
+                s_pool = jnp.einsum("bshd,btd->bhst", qf_b, pf) \
+                    * self.sm_scale
+                if self.indexer is not None:
+                    iscores = self._indexer_scores(
+                        x_b, qres_b, ipool_entries, qp_b, params, ctx,
+                        mask_pool)
+                    T_all = iscores.shape[-1]
+                    k = min(self.index_topk, T_all)
+                    thr = jax.lax.top_k(iscores, k)[0][..., -1:]
+                    mask_pool &= iscores >= thr
+                s_pool = jnp.where(mask_pool[:, None], s_pool, NEG_INF)
+                parts.append(s_pool)
+            scores = jnp.concatenate(parts, axis=-1)
+            sink_col = jnp.broadcast_to(sinks[None, :, None, None],
+                                        (B, H, QB, 1))
+            scores = jnp.concatenate([scores, sink_col], axis=-1)
+            p = jax.nn.softmax(scores, axis=-1)[..., :-1]
+            return jnp.einsum("bhst,btd->bshd", p, v_all)
+
+        qf = q.astype(jnp.float32)
+        QB = int(os.environ.get("EXL3_TPU_DSV4_QBLOCK", "256"))
+        if S > QB:
+            pad = (-S) % QB
+            qf_p = jnp.pad(qf, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            qp_p = jnp.pad(qp, ((0, 0), (0, pad)), constant_values=-1)
+            x_p = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            qres_p = jnp.pad(q_res, ((0, 0), (0, pad), (0, 0)))
+            nb = (S + pad) // QB
+
+            def to_blocks(a):
+                return jnp.moveaxis(
+                    a.reshape(a.shape[0], nb, QB, *a.shape[2:]), 1, 0)
+
+            o = jax.lax.map(
+                lambda t: _attend_rows(*t),
+                (to_blocks(qf_p), to_blocks(qp_p), to_blocks(x_p),
+                 to_blocks(qres_p)))
+            o = jnp.moveaxis(o, 0, 1).reshape(B, S + pad, H, D)[:, :S]
+        else:
+            o = _attend_rows(qf, qp, x, q_res)
 
         # eq. 26 output de-rotation at the query position
         o = gptj_rope_trailing(o, table, positions, neg=True)

@@ -176,3 +176,17 @@ def test_dsv4_decode_kernel_matches_dense(model):
     kern = gen_tokens("interpret")
     agree = np.mean([a == b for a, b in zip(kern, dense)])
     assert agree >= 0.9, (kern, dense)
+
+
+def test_dsv4_qblock_chunking_exact(model, monkeypatch):
+    """Long prefill chunks map over query blocks (bounded score tensors);
+    the blocked path must be bit-exact vs one unblocked pass."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 256, size=(1, 300)).astype(np.int32))
+    monkeypatch.setenv("EXL3_TPU_DSV4_QBLOCK", "4096")
+    l_full = np.asarray(model.forward_simple(ids))
+    monkeypatch.setenv("EXL3_TPU_DSV4_QBLOCK", "64")
+    l_blk = np.asarray(model.forward_simple(ids))
+    np.testing.assert_array_equal(l_full, l_blk)
