@@ -35,6 +35,20 @@ def build_needle_prompt(tokenizer, length: int, depth: float, needle: str,
     return np.concatenate([body[:pos], ids_needle, body[pos:], ids_q])
 
 
+_NEEDLE_IDS = [101, 103, 107, 109]
+
+
+def build_needle_ids(vocab: int, length: int, depth: float) -> np.ndarray:
+    """Tokenizer-less needle prompt: repeating filler ids with a distinct
+    4-id needle planted at `depth` and echoed as the trailing question."""
+    filler = (np.arange(32, dtype=np.int64) % 24) + 5
+    reps = length // len(filler) + 1
+    body = np.tile(filler, reps)[: max(length - 8, 8)]
+    pos = int(len(body) * depth)
+    needle = np.asarray(_NEEDLE_IDS, dtype=np.int64)
+    return np.concatenate([body[:pos], needle, body[pos:], needle[:2]])
+
+
 def main():
     p = argparse.ArgumentParser()
     from exllamav3_tpu import model_init
@@ -49,7 +63,6 @@ def main():
     from exllamav3_tpu.generator.sampler import GreedySampler
 
     model, config, cache, tokenizer, gen_kwargs = model_init.init(args)
-    assert tokenizer is not None, "longctx needs a tokenizer"
     gen = Generator(model, cache, tokenizer, **gen_kwargs)
 
     needle_value = "7492"
@@ -62,13 +75,25 @@ def main():
     total = hits = 0
     for L in lengths:
         for d in depths:
-            ids = build_needle_prompt(tokenizer, L, d, needle, question)
-            job = Job(ids, max_new_tokens=args.max_new, sampler=GreedySampler())
+            if tokenizer is not None:
+                ids = build_needle_prompt(tokenizer, L, d, needle, question)
+            else:
+                # id-level needle for tokenizer-less (synthetic) checkpoints:
+                # accuracy is meaningless on a random model, but the run
+                # still drives long-context paged attention (and --sp
+                # page-sharded serving) end to end
+                ids = build_needle_ids(config.vocab_size, L, d)
+            job = Job(ids, max_new_tokens=args.max_new,
+                      sampler=GreedySampler())
             gen.enqueue(job)
             while gen.num_remaining_jobs():
                 gen.iterate()
-            text = job.emitted_text + job.held_text
-            hit = needle_value in text
+            if tokenizer is not None:
+                text = job.emitted_text + job.held_text
+                hit = needle_value in text
+            else:
+                text = str(job.new_tokens[: args.max_new])
+                hit = _NEEDLE_IDS[0] in job.new_tokens
             hits += hit
             total += 1
             print(f"{L:>8} {d:>6.2f} {'Y' if hit else 'n':>4}  {text[:60]!r}")

@@ -16,6 +16,10 @@ def add_args(p: argparse.ArgumentParser, cache: bool = True, draft: bool = True)
                    help="EXL3 runtime representation")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel ways (mesh)")
     p.add_argument("--dp", type=int, default=1, help="data-parallel ways (mesh)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel ways: the generator's paged cache "
+                        "shards its page dim over this many devices "
+                        "(doc/parallelism.md; GQA K/V and MLA latents)")
     if cache:
         p.add_argument("-cs", "--cache_size", type=int, default=16384,
                        help="total KV cache tokens")
@@ -82,6 +86,13 @@ def init(args, load: bool = True):
         ))
         gen_kwargs.update(k_bits=args.cache_k_bits, v_bits=args.cache_v_bits,
                           max_batch_size=args.max_batch)
+        if getattr(args, "sp", 1) > 1:
+            import jax
+            from jax.sharding import Mesh
+            import numpy as np
+
+            gen_kwargs.update(sp_mesh=Mesh(
+                np.asarray(jax.devices()[: args.sp]), axis_names=("sp",)))
     if getattr(args, "cpu_cache_gb", 0):
         gen_kwargs.update(cpu_cache_bytes=int(args.cpu_cache_gb * (1 << 30)))
     if getattr(args, "mtp", False) and "mtp" in config.model_classes:
