@@ -59,12 +59,20 @@ class Generator:
         sp_mesh=None,
         sp_axis: str = "sp",
         mh_broadcast: bool = False,
+        decode_burst: int = 8,
     ):
         self.model = model
         self.cache = cache
         self.tokenizer = tokenizer
         self.max_batch_size = max_batch_size
         self.max_chunk_size = max_chunk_size
+        # multi-step decode: scan up to N plain decode steps per dispatch
+        # (one host/tunnel round-trip per N tokens); _burst_n gates it to
+        # output-identical situations. EXL3TPU_DECODE_BURST overrides.
+        from ..util.env import env_int
+
+        self.decode_burst = max(1, env_int("EXL3TPU_DECODE_BURST",
+                                           decode_burst))
         # cache quantization defaults come from the cache's own spec; the
         # explicit args remain as an override
         # sequence-parallel serving: shard the paged cache's page dim over
@@ -759,12 +767,88 @@ class Generator:
             self._decode_fns[key] = jax.jit(fn, donate_argnums=(2, 7))
         return self._decode_fns[key]
 
+    def _get_burst_fn(self, logprobs: bool = False):
+        """N decode steps in one dispatch: the sampled token feeds back
+        device-side (lax.scan), so the host pays ONE dispatch round-trip per
+        N tokens. Jobs that stop mid-burst keep stepping on device; the host
+        truncates at the stop and reverses the discarded tokens' penalty
+        counts — output-identical to single-step decode (gated in _burst_n
+        to shapes where that holds)."""
+        key = ("burst", logprobs)
+        if key not in self._decode_fns:
+            model_step = self.model.step_fn(
+                "paged", k_bits=self.k_bits, compand_a=self.compand_a,
+                sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
+                v_bits=self.v_bits,
+            )
+
+            def fn(params, ids, cache_state, positions, seqlens, block_tables,
+                   sp, counts_full, slot_ids, rng, feed, cfg_pair, cfg_mix,
+                   mrope, n_steps):
+                def body(carry, sub):
+                    ids, state, counts_full, pos, sl, mr = carry
+                    logits, state = model_step(params, ids, state, pos, sl,
+                                               block_tables, slot_ids, None,
+                                               mr)
+                    last = logits[:, -1].astype(jnp.float32)
+                    if cfg_pair is not None:
+                        l_neg = last[cfg_pair]
+                        last = l_neg + cfg_mix[:, None] * (last - l_neg)
+                    counts = counts_full[slot_ids]
+                    toks, tok_p = batch_sample(last, sp, counts, sub,
+                                               return_probs=True)
+                    counts_full2 = counts_full.at[slot_ids, toks].add(1)
+                    out = (toks, tok_p)
+                    if logprobs:
+                        lsm = jax.nn.log_softmax(last, axis=-1)
+                        out = out + tuple(jax.lax.top_k(lsm, 8))
+                    nxt = toks[feed][:, None]
+                    mr2 = None if mr is None else mr + 1
+                    return (nxt, state, counts_full2, pos + 1, sl + 1, mr2), out
+
+                subs = jax.random.split(rng, n_steps)
+                carry = (ids, cache_state, counts_full, positions, seqlens,
+                         mrope)
+                (ids, state, counts_full, *_), outs = jax.lax.scan(
+                    body, carry, subs)
+                return outs, state, counts_full
+
+            self._decode_fns[key] = jax.jit(
+                fn, donate_argnums=(2, 7), static_argnames=("n_steps",))
+        return self._decode_fns[key]
+
+    def _burst_n(self, jobs: list) -> int:
+        """Decode-burst length for this iteration: >1 only when a multi-step
+        device scan is output-identical to stepping — no constrained
+        decoding (filter masks are host-computed per step), no banned-string
+        rewinds, no prefill work waiting on the host loop."""
+        n = self.decode_burst
+        if n <= 1 or self.pending:
+            return 1
+        for job in self.active:
+            if job.status == "prefill":
+                return 1  # keep TTFT: prefill advances every host iteration
+        remaining = n
+        for job in jobs:
+            if (job.filters or job.banned_strings or job.pos_bans
+                    or job.return_logits
+                    or (job.healing_prefix and not job.new_tokens)):
+                return 1
+            remaining = min(remaining,
+                            job.max_new_tokens - len(job.new_tokens))
+        return max(1, remaining)
+
     def _decode_batch(self, jobs: list, results: list):
-        # grow pages for jobs crossing a boundary (CFG negatives too)
+        n_burst = self._burst_n(jobs)
+        # grow pages for jobs crossing a boundary (CFG negatives too);
+        # a burst writes positions seq_len-1 .. seq_len+n-2, so pre-extend
+        extra = n_burst - 1
         for job in list(jobs):
-            seqs = [(job.pages_needed(), job.pages, job.page_hashes)]
+            seqs = [((job.seq_len + extra + PAGE_SIZE - 1) // PAGE_SIZE,
+                     job.pages, job.page_hashes)]
             if job.cfg_scale is not None:
-                seqs.append((job.pages_needed_neg(), job.pages_neg, None))
+                seqs.append(((job.seq_len_neg + extra + PAGE_SIZE - 1)
+                             // PAGE_SIZE, job.pages_neg, None))
             for need, pages, hashes in seqs:
                 while need > len(pages):
                     newp = self.pagetable.extend_sequence(pages)
@@ -835,6 +919,65 @@ class Generator:
             mrope = jnp.asarray(
                 pos[:, :, None].astype(np.int32) + deltas)
             mrope = jnp.broadcast_to(mrope, (B, 1, 3))
+        adaptive = [(i, st) for i, (j, neg) in enumerate(rows) if not neg
+                    for st in j.sampler.steps
+                    if isinstance(st, SS_AdaptiveP) and st.target < 1.0]
+
+        if n_burst > 1 and filter_mask is None:
+            # multi-step scan: tokens feed back device-side; CFG negative
+            # rows feed from their positive row's sample
+            feed = np.arange(B, dtype=np.int32)
+            for i, (job, is_neg) in enumerate(rows):
+                if not is_neg and job.cfg_scale is not None:
+                    feed[i + 1] = i  # the negative row follows the sample
+            step = self._get_burst_fn(logprobs=want_lp)
+            outs, self.cache.state, self.token_counts = step(
+                self.model.params, jnp.asarray(ids), self.cache.state,
+                jnp.asarray(pos), jnp.asarray(seqlens), jnp.asarray(bt),
+                sp, self.token_counts, jnp.asarray(slots), sub,
+                jnp.asarray(feed), jnp.asarray(pair), jnp.asarray(mix),
+                mrope, n_steps=n_burst,
+            )
+            if want_lp:
+                toks_all, tokp_all, lpv_all, lpi_all = outs
+                lpv_all, lpi_all = np.asarray(lpv_all), np.asarray(lpi_all)
+            else:
+                toks_all, tokp_all = outs
+                lpv_all = lpi_all = None
+            toks_all = np.asarray(toks_all)                    # (n, B)
+            if self.mh_broadcast:
+                from ..parallel.multihost import broadcast_from_host0
+
+                toks_all = np.asarray(broadcast_from_host0(toks_all))
+            tokp_np = np.asarray(tokp_all) if adaptive else None
+            dis_slots: list = []
+            dis_toks: list = []
+            for s in range(n_burst):
+                for i, (job, is_neg) in enumerate(rows):
+                    if is_neg:
+                        continue
+                    tok = int(toks_all[s, i])
+                    if job.status != "running":
+                        # finished at an earlier burst step: the device kept
+                        # stepping this row — reverse its penalty counts
+                        dis_slots.append(int(slots[i]))
+                        dis_toks.append(tok)
+                        continue
+                    if tokp_np is not None:
+                        for ii, st in adaptive:
+                            if ii == i:
+                                st.update(float(tokp_np[s, i]))
+                    lp = None
+                    if lpv_all is not None and job.return_top_logprobs:
+                        k = min(job.return_top_logprobs, lpv_all.shape[2])
+                        lp = {int(lpi_all[s, i, j]): float(lpv_all[s, i, j])
+                              for j in range(k)}
+                    self._receive_token(job, tok, results, top_logprobs=lp)
+            if dis_slots:
+                self.token_counts = self.token_counts.at[
+                    jnp.asarray(dis_slots), jnp.asarray(dis_toks)].add(-1)
+            return
+
         step = self._get_decode_fn(logprobs=want_lp)
         out = step(
             self.model.params, jnp.asarray(ids), self.cache.state,
@@ -855,9 +998,6 @@ class Generator:
             toks = np.asarray(broadcast_from_host0(toks))
         # adaptive-p feedback: the sampled probability adapts next step's
         # per-row target (reference SS_AdaptiveP running decayed average)
-        adaptive = [(i, st) for i, (j, neg) in enumerate(rows) if not neg
-                    for st in j.sampler.steps
-                    if isinstance(st, SS_AdaptiveP) and st.target < 1.0]
         if adaptive:
             tp = np.asarray(tok_p)
             for i, st in adaptive:
