@@ -1285,20 +1285,35 @@ class Generator:
                 jnp.asarray(pos), jnp.full(self.max_batch_size, done, np.int32),
                 None)
             done += chunk
-        drafts = []
-        tok = int(ids[-1])
-        t = job.seq_len - 1
-        for _ in range(k):
-            cids = np.zeros((self.max_batch_size, 1), np.int32)
-            cids[slot, 0] = tok
-            pos = np.full((self.max_batch_size, 1), 0, np.int32)
-            pos[slot, 0] = t
-            logits, self.draft_cache.state = step(
-                self.draft_model.params, jnp.asarray(cids), self.draft_cache.state,
-                jnp.asarray(pos), jnp.full(self.max_batch_size, t, np.int32), None)
-            tok = int(np.asarray(logits[slot, -1]).argmax())
-            drafts.append(tok)
-            t += 1
+        # k greedy draft steps scan device-side (argmax feeds back), so
+        # drafting costs ONE dispatch instead of k round-trips
+        dkey = ("draft_scan",)
+        if dkey not in self._decode_fns:
+            model_step = self.draft_model.step_fn("dense")
+            B = self.max_batch_size
+
+            def dscan(params, tok, state, t0, slot, k):
+                def body(carry, _):
+                    tok, state, t = carry
+                    cids = jnp.zeros((B, 1), jnp.int32).at[slot, 0].set(tok)
+                    pos = jnp.zeros((B, 1), jnp.int32).at[slot, 0].set(t)
+                    logits, state = model_step(
+                        params, cids, state, pos,
+                        jnp.full((B,), 0, jnp.int32).at[slot].set(t), None)
+                    nxt = jnp.argmax(logits[slot, -1]).astype(jnp.int32)
+                    return (nxt, state, t + 1), nxt
+
+                (_, state, _), toks = jax.lax.scan(
+                    body, (tok, state, t0), None, length=k)
+                return toks, state
+
+            self._decode_fns[dkey] = jax.jit(
+                dscan, static_argnames=("k",), donate_argnums=(2,))
+        toks, self.draft_cache.state = self._decode_fns[dkey](
+            self.draft_model.params, jnp.int32(ids[-1]),
+            self.draft_cache.state, jnp.int32(job.seq_len - 1),
+            jnp.int32(slot), k=k)
+        drafts = [int(x) for x in np.asarray(toks)]
         self._draft_done[job.identifier] = job.seq_len - 1
         return drafts
 
