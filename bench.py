@@ -248,9 +248,10 @@ def main():
         detail["serving_p50_ttft_s"] = round(float(np.percentile(ttfts, 50)), 3)
         detail["serving_p95_ttft_s"] = round(float(np.percentile(ttfts, 95)), 3)
         detail["serving_throughput_tok_s"] = round(total_new / t_serve, 2)
+        detail["serving_decode_burst"] = gen.decode_burst
         detail["serving_note"] = ("host loop crosses the axon tunnel every "
-                                  "iteration; on-host serving does not pay "
-                                  "rtt_ms per step")
+                                  "iteration; decode bursts amortize it "
+                                  "over N tokens once prefill drains")
         del gen, cache_g
         gc.collect()
 

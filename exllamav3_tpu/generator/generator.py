@@ -828,27 +828,25 @@ class Generator:
         for job in self.active:
             if job.status == "prefill":
                 return 1  # keep TTFT: prefill advances every host iteration
-        remaining = n
+        longest = 1
         for job in jobs:
             if (job.filters or job.banned_strings or job.pos_bans
                     or job.return_logits
                     or (job.healing_prefix and not job.new_tokens)):
                 return 1
-            remaining = min(remaining,
-                            job.max_new_tokens - len(job.new_tokens))
-        return max(1, remaining)
+            # jobs hitting max_new mid-burst just truncate (their row keeps
+            # stepping at no extra batch cost), so size the burst to the
+            # LONGEST remaining budget, not the shortest
+            longest = max(longest, job.max_new_tokens - len(job.new_tokens))
+        return min(n, longest)
 
     def _decode_batch(self, jobs: list, results: list):
         n_burst = self._burst_n(jobs)
-        # grow pages for jobs crossing a boundary (CFG negatives too);
-        # a burst writes positions seq_len-1 .. seq_len+n-2, so pre-extend
-        extra = n_burst - 1
+        # grow pages for jobs crossing a boundary (CFG negatives too)
         for job in list(jobs):
-            seqs = [((job.seq_len + extra + PAGE_SIZE - 1) // PAGE_SIZE,
-                     job.pages, job.page_hashes)]
+            seqs = [(job.pages_needed(), job.pages, job.page_hashes)]
             if job.cfg_scale is not None:
-                seqs.append(((job.seq_len_neg + extra + PAGE_SIZE - 1)
-                             // PAGE_SIZE, job.pages_neg, None))
+                seqs.append((job.pages_needed_neg(), job.pages_neg, None))
             for need, pages, hashes in seqs:
                 while need > len(pages):
                     newp = self.pagetable.extend_sequence(pages)
@@ -863,6 +861,38 @@ class Generator:
                         hashes.append(None)
         if not jobs:
             return
+
+        # a burst writes positions seq_len-1 .. seq_len+n-2; every row must
+        # own pages for the whole window (OOB page_slots clip into page 0 —
+        # never allowed to happen). Speculative extension is all-or-nothing:
+        # under page pressure drop back to single-step instead of killing
+        # jobs for pages they might not use.
+        if n_burst > 1:
+            extra = n_burst - 1
+            spec: list = []
+            ok = True
+            for job in jobs:
+                seqs = [((job.seq_len + extra + PAGE_SIZE - 1) // PAGE_SIZE,
+                         job.pages, job.page_hashes)]
+                if job.cfg_scale is not None:
+                    seqs.append(((job.seq_len_neg + extra + PAGE_SIZE - 1)
+                                 // PAGE_SIZE, job.pages_neg, None))
+                for need, pages, hashes in seqs:
+                    while ok and need > len(pages):
+                        newp = self.pagetable.extend_sequence(pages)
+                        if newp is None:
+                            ok = False
+                            break
+                        pages.append(newp)
+                        if hashes is not None:
+                            hashes.append(None)
+                        spec.append((pages, hashes))
+            if not ok:
+                for pages, hashes in reversed(spec):
+                    self.pagetable.release_sequence([pages.pop()])
+                    if hashes is not None:
+                        hashes.pop()
+                n_burst = 1
 
         # one row per sequence; CFG jobs contribute a negative row whose
         # logits mix into the main row's sample

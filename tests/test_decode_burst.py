@@ -92,3 +92,27 @@ def test_burst_cfg_pairs_match_single(model):
         return list(job.new_tokens)
 
     assert run(8) == run(1)
+
+
+def test_burst_degrades_under_page_pressure(model):
+    """When the speculative burst-window pages can't be allocated (another
+    job pins the free page), decode falls back to single-step instead of
+    finishing jobs early, and outputs match the single-step run exactly."""
+    pa = (np.arange(504) % 300 + 5).tolist()   # 2 pages, window needs a 3rd
+    pb = (np.arange(200) % 300 + 5).tolist()   # pins the 3rd page
+
+    def run(burst):
+        cache = Cache(model, CacheSpec(layout="paged", num_pages=3))
+        gen = Generator(model, cache, max_batch_size=2, decode_burst=burst)
+        ja = Job(np.asarray(pa), max_new_tokens=30, sampler=GreedySampler())
+        jb = Job(np.asarray(pb), max_new_tokens=30, sampler=GreedySampler())
+        gen.enqueue(ja)
+        gen.enqueue(jb)
+        while gen.num_remaining_jobs():
+            gen.iterate()
+        return (list(ja.new_tokens), ja.eos_reason,
+                list(jb.new_tokens), jb.eos_reason)
+
+    single = run(1)
+    burst = run(8)
+    assert burst == single
