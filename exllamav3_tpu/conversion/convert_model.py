@@ -276,5 +276,12 @@ def _apply_saved(module, params, shard_path, config, only_keys=None):
             _swap_linear_to_exl3(m, params, out, K, cb)
             for name, arr in out.items():
                 shard[f"{m.key}.{name}"] = np.asarray(arr)
+            # carry every other saved tensor of this linear (codebook
+            # markers, serving-int-B .sq codes, bias) so a mid-module
+            # resume's next shard rewrite doesn't drop them
+            for extra in ("mcg", "mul1", "sq", "sq_scale", "bias"):
+                a = stc.get_tensor(f"{m.key}.{extra}", optional=True)
+                if a is not None:
+                    shard[f"{m.key}.{extra}"] = np.asarray(a)
     stc.close()
     return shard

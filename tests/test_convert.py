@@ -117,3 +117,40 @@ def test_convert_bad_rows_abort(tmp_path):
     with pytest.raises(RuntimeError, match="non-finite"):
         convert_model(src, dst, bpw=3.0, head_bits=4, rows=4, length=32,
                       fast=True, verbose=False, seed=3, resume=False)
+
+
+def test_mid_module_resume_keeps_sq_tensors(tmp_path, monkeypatch):
+    """A mid-module resume's shard rewrite must carry previously saved
+    serving-int-B (.sq) tensors — they are emitted once per linear and the
+    resumed linears skip re-quantization."""
+    import json
+    from exllamav3_tpu.loader.safetensors import SafetensorsCollection
+
+    src = str(tmp_path / "dense")
+    dst = str(tmp_path / "exl3")
+    write_tiny_llama_dense(src, CFG, seed=11)
+    monkeypatch.setenv("EXL3_TPU_CKPT_INTERVAL", "0")
+
+    convert_model(src, dst, bpw=4.0, head_bits=4, rows=4, length=32,
+                  fast=True, verbose=False, seed=2, serving_bits=4)
+    sp = os.path.join(dst, "job_state.json")
+    with open(sp) as f:
+        st = json.load(f)
+    block_mi = st["completed"][1]
+    partial_keys = [k for k in st["proxy_err"]
+                    if "layers.0.self_attn" in k][:2]
+    st["completed"] = st["completed"][:1]
+    st["partial"] = {str(block_mi): partial_keys}
+    with open(sp, "w") as f:
+        json.dump(st, f)
+
+    convert_model(src, dst, bpw=4.0, head_bits=4, rows=4, length=32,
+                  fast=True, verbose=False, seed=2, resume=True,
+                  serving_bits=4)
+    stc = SafetensorsCollection(dst)
+    try:
+        for k in partial_keys:
+            assert stc.has_tensor(k + ".sq"), k
+            assert stc.has_tensor(k + ".sq_scale"), k
+    finally:
+        stc.close()
