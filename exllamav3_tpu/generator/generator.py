@@ -828,17 +828,16 @@ class Generator:
         for job in self.active:
             if job.status == "prefill":
                 return 1  # keep TTFT: prefill advances every host iteration
-        longest = 1
         for job in jobs:
             if (job.filters or job.banned_strings or job.pos_bans
                     or job.return_logits
                     or (job.healing_prefix and not job.new_tokens)):
                 return 1
-            # jobs hitting max_new mid-burst just truncate (their row keeps
-            # stepping at no extra batch cost), so size the burst to the
-            # LONGEST remaining budget, not the shortest
-            longest = max(longest, job.max_new_tokens - len(job.new_tokens))
-        return min(n, longest)
+        # always the FULL burst length: jobs hitting max_new mid-burst just
+        # truncate (their row keeps stepping at no extra batch cost), and a
+        # single static n_steps means ONE compiled scan per shape bucket
+        # instead of one per remaining-budget value
+        return n
 
     def _decode_batch(self, jobs: list, results: list):
         n_burst = self._burst_n(jobs)
