@@ -64,10 +64,39 @@ def _want(section: str) -> bool:
     return section in {s.strip() for s in spec.split(",")}
 
 
+def _probe_device(timeout_s: float = 180.0):
+    """First device contact in a worker thread: if the axon tunnel is down
+    the dispatch blocks forever — emit a parseable failure line and exit
+    instead of hanging the driver."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        np.asarray(jnp.zeros((2,)) + 1)
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "decode_tok_s", "value": 0.0, "unit": "tok/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"device unreachable after {timeout_s:.0f}s "
+                                f"(axon tunnel down?)"},
+        }))
+        os._exit(3)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    _probe_device()
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     dev = jax.devices()[0]
