@@ -64,7 +64,10 @@ def _want(section: str) -> bool:
     return section in {s.strip() for s in spec.split(",")}
 
 
-def _probe_device(timeout_s: float = 180.0):
+def _probe_device(timeout_s: float = 480.0):
+    # 480 s: a cold axon tunnel has been measured taking 105 s to compile a
+    # trivial matmul, and several minutes right after a terminal-side compile
+    # error; the probe exists to catch a DEAD tunnel, not a slow one.
     """First device contact in a worker thread: if the axon tunnel is down
     the dispatch blocks forever — emit a parseable failure line and exit
     instead of hanging the driver."""

@@ -9,13 +9,39 @@ the build environment has no egress to fetch real checkpoints.
 """
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
+import shutil
 
 import numpy as np
 
 from ..loader.safetensors import save_file, f32_to_bf16_u16
+
+
+def _atomic_checkpoint(write_fn):
+    """Run a checkpoint writer against a temp sibling directory, then move
+    its files into place with config.json LAST. Callers across the repo use
+    "config.json exists" as the checkpoint-cache marker (bench.py,
+    __graft_entry__.py), so a writer killed mid-flight must never leave a
+    marker over missing tensors. Files already in the target are kept."""
+
+    @functools.wraps(write_fn)
+    def wrapped(directory: str, *args, **kwargs):
+        tmp = f"{directory}.partial{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            write_fn(tmp, *args, **kwargs)
+            os.makedirs(directory, exist_ok=True)
+            names = [n for n in os.listdir(tmp) if n != "config.json"]
+            for n in names + ["config.json"]:
+                os.replace(os.path.join(tmp, n), os.path.join(directory, n))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return directory
+
+    return wrapped
 
 
 def tiny_llama_cfg(
@@ -67,6 +93,7 @@ def synth_exl3_linear(rng, in_features, out_features, K=4, out_std=0.02):
     return {"trellis": trellis, "suh": su, "svh": sv}
 
 
+@_atomic_checkpoint
 def write_tiny_llama_exl3(
     directory: str,
     cfg: dict | None = None,
@@ -125,6 +152,7 @@ def write_tiny_llama_exl3(
     return directory
 
 
+@_atomic_checkpoint
 def write_tiny_llama_dense(directory: str, cfg: dict | None = None, seed: int = 0,
                            weight_scale: float | None = None):
     """Write a synthetic DENSE (bf16) Llama-style checkpoint (for testing the
@@ -174,6 +202,7 @@ def write_tiny_llama_dense(directory: str, cfg: dict | None = None, seed: int = 
     return directory
 
 
+@_atomic_checkpoint
 def write_synth_dense_for_arch(directory: str, cfg: dict, seed: int = 0,
                                fused_phi3: bool = False):
     """Write a dense bf16 checkpoint for ANY registered architecture by

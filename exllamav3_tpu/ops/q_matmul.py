@@ -171,17 +171,20 @@ def int4_pack_jnp(w, group: int = INT4_GROUP):
         scale = jnp.maximum(num / den, 1e-12)
     q = jnp.clip(jnp.round(wf / jnp.repeat(scale, group, axis=0)), -8, 7)
     q = q.astype(jnp.int32)
-    lo = q[: k // 2] + 8                       # biased: low nibble in [0,15]
-    hi = q[k // 2:]
-    packed = (((hi & 15) << 4) | lo).astype(jnp.int8)
+    # BOTH nibbles biased +8 into [0,15]: Mosaic v5e legalizes only and/xor/
+    # convert on int8 vectors (no shift/sub), so the kernels mask-extract
+    # unsigned nibbles and fold the -8 bias into MXU-side corrections
+    lo = q[: k // 2] + 8
+    hi = q[k // 2:] + 8
+    packed = ((hi << 4) | lo).astype(jnp.int8)
     return packed, scale.astype(jnp.bfloat16)
 
 
 def int4_unpack_jnp(packed, scales, group: int = INT4_GROUP):
     """Reference unpack: (k/2, n) int8 + (k/group, n) -> (k, n) f32."""
-    bi = packed.astype(jnp.int32)
+    bi = packed.astype(jnp.int32) & 255        # unsigned byte, both nibbles biased
     lo = (bi & 15) - 8
-    hi = bi >> 4                               # arithmetic: signed nibble
+    hi = (bi >> 4) - 8
     q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
     return q * jnp.repeat(scales.astype(jnp.float32), group, axis=0)
 
@@ -209,7 +212,14 @@ def _int4_expand_mat(bkh: int, group: int) -> np.ndarray:
 
 def _int4_matmul_kernel(x_lo_ref, x_hi_ref, b_ref, s_lo_ref, s_hi_ref,
                         emat_ref, out_ref, acc_ref):
+    """Per-weight VPU work is the budget here (HBM roofline ~= 11.5 us at
+    m=16, 4096x4096): Mosaic v5e has no int8 shift/sub, and int32 widening
+    for the nibble math measured 28.5 us. So: bitcast the packed bytes to
+    int32 LANES, mask all four nibbles per word (2 int32 ops per 4 bytes),
+    bitcast back to int8 and convert — the biased +8 is corrected on the MXU
+    as -8 * (x @ E) @ s, two skinny matmuls instead of a per-weight sub."""
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     kk = pl.program_id(2)
 
@@ -217,18 +227,30 @@ def _int4_matmul_kernel(x_lo_ref, x_hi_ref, b_ref, s_lo_ref, s_hi_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    bi = b_ref[:].astype(jnp.int32)                       # (bkh, bn)
+    w32 = pltpu.bitcast(b_ref[:], jnp.int32)              # (bkh, bn/4)
+    lo_u = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)      # (bkh, bn) in [0,15]
+    hi_u = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+    s_lo = s_lo_ref[:].astype(jnp.float32)                # (ng, bn)
+    s_hi = s_hi_ref[:].astype(jnp.float32)
     # per-k-row scales via the (idle during decode) MXU
-    se_lo = jnp.dot(emat_ref[:], s_lo_ref[:].astype(jnp.float32),
+    emat = emat_ref[:]
+    se_lo = jnp.dot(emat, s_lo,
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    se_hi = jnp.dot(emat_ref[:], s_hi_ref[:].astype(jnp.float32),
+    se_hi = jnp.dot(emat, s_hi,
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    w_lo = ((bi & 15) - 8).astype(jnp.bfloat16) * se_lo
-    w_hi = (bi >> 4).astype(jnp.bfloat16) * se_hi
-    acc_ref[:] += jnp.dot(x_lo_ref[:], w_lo,
+    x_lo = x_lo_ref[:]
+    x_hi = x_hi_ref[:]
+    acc_ref[:] += jnp.dot(x_lo, lo_u.astype(jnp.bfloat16) * se_lo,
                           preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(x_hi_ref[:], w_hi,
+    acc_ref[:] += jnp.dot(x_hi, hi_u.astype(jnp.bfloat16) * se_hi,
                           preferred_element_type=jnp.float32)
+    # bias correction: -8 * x @ (E @ s) == -8 * (x @ E) @ s (skinny matmuls)
+    c_lo = jnp.dot(x_lo, emat.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)    # (bm, ng)
+    c_hi = jnp.dot(x_hi, emat.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    acc_ref[:] += -8.0 * (jnp.dot(c_lo, s_lo, preferred_element_type=jnp.float32)
+                          + jnp.dot(c_hi, s_hi, preferred_element_type=jnp.float32))
 
     @pl.when(kk == pl.num_programs(2) - 1)
     def _():
@@ -295,8 +317,15 @@ def _int4_a8_kernel(xlo_ref, xhi_ref, b_ref, slo_ref, shi_ref,
     VPU ops per weight instead of a per-weight multiply). VPU cost/weight:
     and+sub (lo) or shift (hi) in int8 — no bf16 convert — which is what
     lets the kernel chase the 0.5 B/weight HBM roofline instead of the
-    bf16 MXU weight-load ceiling."""
+    bf16 MXU weight-load ceiling.
+
+    Activations arrive pre-chunked as (groups, m, group): the per-group
+    access is a leading-dim index, because a dynamic LANE slice at 32-element
+    offsets cannot be proven 128-aligned by Mosaic (the straightforward
+    x[:, g*group:...] form fails to compile on real TPUs). The weight rows
+    slice on sublanes, where the int8 tile is 32 and g*32 is provable."""
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     kk = pl.program_id(2)
 
@@ -307,17 +336,25 @@ def _int4_a8_kernel(xlo_ref, xhi_ref, b_ref, slo_ref, shi_ref,
     ng = slo_ref.shape[0]
 
     def body(g, acc):
-        xg_lo = xlo_ref[:, pl.ds(g * group, group)]
-        xg_hi = xhi_ref[:, pl.ds(g * group, group)]
+        xg_lo = xlo_ref[g]                         # (m, group) int8
+        xg_hi = xhi_ref[g]
         bg = b_ref[pl.ds(g * group, group), :]     # (group, bn) int8
-        wl = ((bg & 15) - 8).astype(jnp.int8)
-        wh = (bg >> 4).astype(jnp.int8)
+        # biased nibbles via int32-lane bitcast (no int8 shift/sub on v5e)
+        b32 = pltpu.bitcast(bg, jnp.int32)
+        wl = pltpu.bitcast(b32 & 0x0F0F0F0F, jnp.int8)         # in [0,15]
+        wh = pltpu.bitcast((b32 >> 4) & 0x0F0F0F0F, jnp.int8)
         dlo = jnp.dot(xg_lo, wl, preferred_element_type=jnp.int32)
         dhi = jnp.dot(xg_hi, wh, preferred_element_type=jnp.int32)
-        sl = slo_ref[g, :].astype(jnp.float32)
-        sh = shi_ref[g, :].astype(jnp.float32)
-        return acc + dlo.astype(jnp.float32) * sl[None, :] \
-                   + dhi.astype(jnp.float32) * sh[None, :]
+        # the +8 bias folds into a per-group activation row-sum: the dot of
+        # x with a constant 8 column — (m, 1) int32, ~m/group VPU ops/weight
+        xsum_lo = jnp.sum(xg_lo.astype(jnp.int32), axis=1, keepdims=True)
+        xsum_hi = jnp.sum(xg_hi.astype(jnp.int32), axis=1, keepdims=True)
+        # scales are (ng, 1, bn): leading-dim group access for the same
+        # Mosaic alignment reason as the activations
+        sl = slo_ref[g].astype(jnp.float32)        # (1, bn)
+        sh = shi_ref[g].astype(jnp.float32)
+        return acc + (dlo - 8 * xsum_lo).astype(jnp.float32) * sl \
+                   + (dhi - 8 * xsum_hi).astype(jnp.float32) * sh
 
     acc_ref[:] = jax.lax.fori_loop(0, ng, body, acc_ref[:])
 
@@ -349,21 +386,25 @@ def int4_matmul_pallas_a8(x_q, packed, scales, group: int = INT4_GROUP,
     nkb = kh // block_kh
     grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), nkb)
     kern = functools.partial(_int4_a8_kernel, group=group)
+    # (m, k) -> (k/group, m, group): group becomes the full trailing dim and
+    # the per-group kernel access a leading-dim index (see kernel docstring);
+    # x is tiny next to the weights, so the transpose is off the hot path
+    xr = x_q.reshape(m, k // group, group).transpose(1, 0, 2)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, block_kh), lambda i, j, kk: (i, kk),
+            pl.BlockSpec((ng, block_m, group), lambda i, j, kk: (kk, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_kh),
-                         lambda i, j, kk, _n=nkb: (i, kk + _n),
+            pl.BlockSpec((ng, block_m, group),
+                         lambda i, j, kk, _n=nkb: (kk + _n, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_kh, block_n), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, block_n), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((ng, 1, block_n), lambda i, j, kk: (kk, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, block_n),
-                         lambda i, j, kk, _n=nkb: (kk + _n, j),
+            pl.BlockSpec((ng, 1, block_n),
+                         lambda i, j, kk, _n=nkb: (kk + _n, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
@@ -374,7 +415,7 @@ def int4_matmul_pallas_a8(x_q, packed, scales, group: int = INT4_GROUP,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x_q, x_q, packed, scales, scales)
+    )(xr, xr, packed, scales[:, None, :], scales[:, None, :])
 
 
 def int4_matmul_a8(x, packed, scales, bias=None, group: int = INT4_GROUP,
@@ -613,10 +654,12 @@ def _intb_a8_kernel(*refs, bits: int, W: int, group: int):
         bg = b_ref[pl.ds(g * group, group), :]          # (group, bn) int32
         for j in range(W):
             wq = (((bg >> (bits * j)) & mask) - bias).astype(jnp.int8)
-            d = jnp.dot(xs[j][:, pl.ds(g * group, group)], wq,
-                        preferred_element_type=jnp.int32)
-            sj = ss[j][g, :].astype(jnp.float32)
-            acc = acc + d.astype(jnp.float32) * sj[None, :]
+            # xs[j][g]: (m, group) int8 — leading-dim group access on the
+            # pre-chunked layout (a dynamic lane slice at group offsets is
+            # not 128-aligned and fails Mosaic; see _int4_a8_kernel)
+            d = jnp.dot(xs[j][g], wq, preferred_element_type=jnp.int32)
+            sj = ss[j][g].astype(jnp.float32)       # (1, bn): 3-D scale ref
+            acc = acc + d.astype(jnp.float32) * sj
         return acc
 
     acc_ref[:] = jax.lax.fori_loop(0, ng, body, acc_ref[:])
@@ -650,16 +693,20 @@ def intb_matmul_pallas_a8(x_q, packed, scales, bits: int,
     ng = block_kp // group
     nkb = kp // block_kp
     grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), nkb)
+    # (m, k_pad) -> (k_pad/group, m, group); per-plane, per-kk group ranges
+    # become leading-dim blocks (see _int4_a8_kernel on why lane slicing at
+    # group offsets cannot compile)
+    x_q = x_q.reshape(m, k_pad // group, group).transpose(1, 0, 2)
     x_specs = [
-        pl.BlockSpec((block_m, block_kp),
-                     functools.partial(lambda i, jj, kk, _j, _n: (i, kk + _j * _n),
+        pl.BlockSpec((ng, block_m, group),
+                     functools.partial(lambda i, jj, kk, _j, _n: (kk + _j * _n, i, 0),
                                        _j=j, _n=nkb),
                      memory_space=pltpu.VMEM)
         for j in range(W)
     ]
     s_specs = [
-        pl.BlockSpec((ng, block_n),
-                     functools.partial(lambda i, jj, kk, _j, _n: (kk + _j * _n, jj),
+        pl.BlockSpec((ng, 1, block_n),
+                     functools.partial(lambda i, jj, kk, _j, _n: (kk + _j * _n, 0, jj),
                                        _j=j, _n=nkb),
                      memory_space=pltpu.VMEM)
         for j in range(W)
@@ -680,7 +727,7 @@ def intb_matmul_pallas_a8(x_q, packed, scales, bits: int,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*([x_q] * W), packed, *([scales] * W))
+    )(*([x_q] * W), packed, *([scales[:, None, :]] * W))
 
 
 def intb_matmul_ref(x, packed, scales, bits: int, bias=None,
