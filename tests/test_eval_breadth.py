@@ -113,3 +113,28 @@ def test_mmlu_fewshot_in_subject(model_dir):
     res = _run_eval("mmlu", model_dir, "--synthetic", "8", "--fewshot", "2")
     assert res["metric"] == "mmlu_acc"
     assert res["n"] == 6  # 2 per-subject shots removed from scoring
+
+
+def test_diversity_token_mode(tmp_path):
+    """Token-sequence diversity harness: greedy is deterministic (score 0),
+    temperature sampling on a chaotic synth model is near-unique (score ~1)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "eval"))
+    import diversity as dv
+    from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3, tiny_llama_cfg
+    from exllamav3_tpu.model import Config, Model, InferParams
+
+    d = str(tmp_path / "m")
+    write_tiny_llama_exl3(
+        d, tiny_llama_cfg(vocab_size=512, hidden_size=128, intermediate_size=256,
+                          num_layers=2, num_q_heads=4, num_kv_heads=4),
+        K=4, seed=5)
+    m = Model.from_config(Config.from_directory(
+        d, infer_params=InferParams(linear_mode="bf16")))
+    m.load()
+    res = dv.token_mode(m, num_samples=5, temperature=1.0, max_tokens=12)
+    assert res["greedy"]["full_seq"] == 0.0
+    assert res["sampled"]["full_seq"] > 0.5
+    assert dv.diversity_score(["a"] * 9) == 0.0
+    assert dv.diversity_score(list(range(9))) == 1.0
