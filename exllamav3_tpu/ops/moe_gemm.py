@@ -58,22 +58,24 @@ def _moe_kernel(topi_ref, x_ref, topv_ref, *refs, T, k, bi, gated,
         bd_ref = refs[i]; i += 1         # (1, h)
     out_ref = refs[i]
 
-    t = pl.program_id(0)
     j = pl.program_id(1)
     ib = pl.program_id(2)
 
-    @pl.when((t == 0) & (j == 0) & (ib == 0))
+    # x/out/topv blocks are PER-T via their index maps (grid order keeps the
+    # out block VMEM-resident across the whole (j, ib) loop for each t) —
+    # in-kernel dynamic sublane indexing does not legalize on Mosaic
+    @pl.when((j == 0) & (ib == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x_row = x_ref[pl.ds(t, 1), :].astype(jnp.bfloat16)       # (1, h)
+    x_row = x_ref[0].astype(jnp.bfloat16)                     # (1, h)
     u = jnp.dot(x_row, wu_ref[0], preferred_element_type=jnp.float32)
     if has_gu_bias:
-        u = u + bu_ref[:]
+        u = u + bu_ref[0]
     if gated:
         g = jnp.dot(x_row, wg_ref[0], preferred_element_type=jnp.float32)
         if has_gu_bias:
-            g = g + bg_ref[:]
+            g = g + bg_ref[0]
         a = _act(activation, g, u, act_limit, act_clamp)
     else:
         from ..modules.mlp import ACT2FN
@@ -81,15 +83,15 @@ def _moe_kernel(topi_ref, x_ref, topv_ref, *refs, T, k, bi, gated,
         a = ACT2FN[activation](u)
     y = jnp.dot(a.astype(jnp.bfloat16), wd_ref[0],
                 preferred_element_type=jnp.float32)           # (1, h)
-    wv = topv_ref[pl.ds(t * k + j, 1), :]                     # (1, 1) f32
+    wv = topv_ref[0]                                          # (1, 1) f32
     if has_d_bias:
         # the per-expert down bias joins once per (t, j), on the first
         # i-block (it does not depend on the intermediate slice)
         @pl.when(ib == 0)
         def _():
-            out_ref[pl.ds(t, 1), :] += wv * bd_ref[:]
+            out_ref[:] += (wv * bd_ref[0])[None]
 
-    out_ref[pl.ds(t, 1), :] += wv * y
+    out_ref[:] += (wv * y)[None]
 
 
 def _pick_bi(h: int, i: int) -> int:
@@ -137,18 +139,19 @@ def selected_expert_mlp(x, topi, topv, wu, wd, wg=None, bg=None, bu=None,
         return (topi_s[t, j], ib, 0)
 
     def btile(t, j, ib, topi_s):
-        return (topi_s[t, j], ib)
+        return (topi_s[t, j], 0, ib)
 
     def dbias(t, j, ib, topi_s):
-        return (topi_s[t, j], 0)
+        return (topi_s[t, j], 0, 0)
 
     in_specs = [
-        pl.BlockSpec((T, h), lambda t, j, ib, s: (0, 0),
+        pl.BlockSpec((1, 1, h), lambda t, j, ib, s: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((T * k, 1), lambda t, j, ib, s: (0, 0),
+        pl.BlockSpec((1, 1, 1), lambda t, j, ib, s, _k=k: (t * _k + j, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    inputs = [x.astype(jnp.bfloat16), topv.astype(jnp.float32).reshape(-1, 1)]
+    inputs = [x.astype(jnp.bfloat16)[:, None, :],
+              topv.astype(jnp.float32).reshape(-1, 1, 1)]
     if gated:
         in_specs.append(pl.BlockSpec((1, h, bi), wtile,
                                      memory_space=pltpu.VMEM))
@@ -159,16 +162,16 @@ def selected_expert_mlp(x, topi, topv, wu, wd, wg=None, bg=None, bu=None,
     inputs.append(wd)
     if has_gu_bias:
         if gated:
-            in_specs.append(pl.BlockSpec((1, bi), btile,
+            in_specs.append(pl.BlockSpec((1, 1, bi), btile,
                                          memory_space=pltpu.VMEM))
-            inputs.append(bg.astype(jnp.float32))
-        in_specs.append(pl.BlockSpec((1, bi), btile,
+            inputs.append(bg.astype(jnp.float32)[:, None, :])
+        in_specs.append(pl.BlockSpec((1, 1, bi), btile,
                                      memory_space=pltpu.VMEM))
-        inputs.append(bu.astype(jnp.float32))
+        inputs.append(bu.astype(jnp.float32)[:, None, :])
     if has_d_bias:
-        in_specs.append(pl.BlockSpec((1, h), dbias,
+        in_specs.append(pl.BlockSpec((1, 1, h), dbias,
                                      memory_space=pltpu.VMEM))
-        inputs.append(bd.astype(jnp.float32))
+        inputs.append(bd.astype(jnp.float32)[:, None, :])
 
     kernel = functools.partial(
         _moe_kernel, T=T, k=k, bi=bi, gated=gated, activation=activation,
@@ -179,15 +182,16 @@ def selected_expert_mlp(x, topi, topv, wu, wd, wg=None, bg=None, bu=None,
         num_scalar_prefetch=1,
         grid=(T, k, nib),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((T, h), lambda t, j, ib, s: (0, 0),
+        out_specs=pl.BlockSpec((1, 1, h), lambda t, j, ib, s: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, 1, h), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(topi.astype(jnp.int32), *inputs)
+    return out[:, 0, :]

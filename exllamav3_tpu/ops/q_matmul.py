@@ -216,8 +216,8 @@ def _int4_matmul_kernel(x_lo_ref, x_hi_ref, b_ref, s_lo_ref, s_hi_ref,
     m=16, 4096x4096): Mosaic v5e has no int8 shift/sub, and int32 widening
     for the nibble math measured 28.5 us. So: bitcast the packed bytes to
     int32 LANES, mask all four nibbles per word (2 int32 ops per 4 bytes),
-    bitcast back to int8 and convert — the biased +8 is corrected on the MXU
-    as -8 * (x @ E) @ s, two skinny matmuls instead of a per-weight sub."""
+    bitcast back to int8, convert to bf16 and center there (exact for
+    small integers); no int8 sub is ever emitted."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -238,19 +238,15 @@ def _int4_matmul_kernel(x_lo_ref, x_hi_ref, b_ref, s_lo_ref, s_hi_ref,
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     se_hi = jnp.dot(emat, s_hi,
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    x_lo = x_lo_ref[:]
-    x_hi = x_hi_ref[:]
-    acc_ref[:] += jnp.dot(x_lo, lo_u.astype(jnp.bfloat16) * se_lo,
+    # center in bf16 (integers <= 16 are exact; int8 sub does not legalize
+    # on v5e, and folding the bias into a second MXU dot costs precision:
+    # two large cancelling bf16 dots measured ~4x the rounding noise)
+    w_lo = (lo_u.astype(jnp.bfloat16) - jnp.bfloat16(8.0)) * se_lo
+    w_hi = (hi_u.astype(jnp.bfloat16) - jnp.bfloat16(8.0)) * se_hi
+    acc_ref[:] += jnp.dot(x_lo_ref[:], w_lo,
                           preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(x_hi, hi_u.astype(jnp.bfloat16) * se_hi,
+    acc_ref[:] += jnp.dot(x_hi_ref[:], w_hi,
                           preferred_element_type=jnp.float32)
-    # bias correction: -8 * x @ (E @ s) == -8 * (x @ E) @ s (skinny matmuls)
-    c_lo = jnp.dot(x_lo, emat.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)    # (bm, ng)
-    c_hi = jnp.dot(x_hi, emat.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    acc_ref[:] += -8.0 * (jnp.dot(c_lo, s_lo, preferred_element_type=jnp.float32)
-                          + jnp.dot(c_hi, s_hi, preferred_element_type=jnp.float32))
 
     @pl.when(kk == pl.num_programs(2) - 1)
     def _():
@@ -539,6 +535,9 @@ def intb_bits_from_shapes(kp: int, scale_rows: int,
 
 
 def _intb_matmul_kernel(*refs, bits: int, W: int):
+    """B-bit fields extract centered from each int32 word (shift/and/sub —
+    all legal on int32). Scales arrive (ng, 1, bn) so nothing ever indexes
+    a tiled dim dynamically."""
     import jax.experimental.pallas as pl
 
     xs = refs[:W]
@@ -556,9 +555,14 @@ def _intb_matmul_kernel(*refs, bits: int, W: int):
     word = b_ref[:]
     mask = (1 << bits) - 1
     bias = 1 << (bits - 1)
+    emat = emat_ref[:]
     for j in range(W):
-        se = jnp.dot(emat_ref[:], ss[j][:].astype(jnp.float32),
+        sj = ss[j][:]
+        sj = sj.reshape(sj.shape[0], sj.shape[2]).astype(jnp.float32)  # (ng, bn)
+        se = jnp.dot(emat, sj,
                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        # int32 sub IS legal (the fields live in int32 words); centered
+        # extraction avoids the cancellation of two large bf16 dots
         qj = ((word >> (bits * j)) & mask) - bias
         acc_ref[:] += jnp.dot(xs[j][:], qj.astype(jnp.bfloat16) * se,
                               preferred_element_type=jnp.float32)
@@ -585,9 +589,24 @@ def intb_matmul_pallas(x, packed, scales, bits: int, group: int = INTB_GROUP,
     assert k_pad == W * kp, (k_pad, W, kp)
     block_m = min(block_m, m)
     block_n = min(block_n, n)
-    while kp % block_kp or block_kp % group:
-        block_kp //= 2
-        assert block_kp >= group, (kp, group)
+    # Mosaic requires block lane dims divisible by 128: pad kp (words per
+    # column) to a 128 multiple and re-stride x/scales to the padded plane
+    # layout. Zero x rows make the zero-padded words' contributions exact.
+    kp2 = -(-kp // 128) * 128
+    if kp2 != kp:
+        packed = jnp.pad(packed, ((0, kp2 - kp), (0, 0)))
+        ks, ks2 = kp // group, kp2 // group
+        x = x.reshape(m, W, kp)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, kp2 - kp))).reshape(m, W * kp2)
+        scales = scales.reshape(W, ks, n)
+        scales = jnp.pad(scales, ((0, 0), (0, ks2 - ks), (0, 0)))
+        scales = scales.reshape(W * ks2, n)
+        kp = kp2
+    q128 = kp // 128
+    for d in (4, 3, 2, 1):
+        if 128 * d <= block_kp and q128 % d == 0:
+            block_kp = 128 * d
+            break
     ng = block_kp // group
     nkb = kp // block_kp
     grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), nkb)
@@ -601,8 +620,8 @@ def intb_matmul_pallas(x, packed, scales, bits: int, group: int = INTB_GROUP,
         for j in range(W)
     ]
     s_specs = [
-        pl.BlockSpec((ng, block_n),
-                     functools.partial(lambda i, jj, kk, _j, _n: (kk + _j * _n, jj),
+        pl.BlockSpec((ng, 1, block_n),
+                     functools.partial(lambda i, jj, kk, _j, _n: (kk + _j * _n, 0, jj),
                                        _j=j, _n=nkb),
                      memory_space=pltpu.VMEM)
         for j in range(W)
@@ -626,7 +645,7 @@ def intb_matmul_pallas(x, packed, scales, bits: int, group: int = INTB_GROUP,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*([x] * W), packed, *([scales] * W), emat)
+    )(*([x] * W), packed, *([scales[:, None, :]] * W), emat)
 
 
 def _intb_a8_kernel(*refs, bits: int, W: int, group: int):
