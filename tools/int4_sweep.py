@@ -117,6 +117,8 @@ def int4_mm(x, packed, scales, variant="bitcast", block_m=256, block_n=512,
             pl.BlockSpec((ng, block_n),
                          lambda i, j, kk, _n=nkb: (kk + _n, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kh, ng), lambda i, j, kk: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
@@ -125,7 +127,8 @@ def int4_mm(x, packed, scales, variant="bitcast", block_m=256, block_n=512,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(x.astype(jnp.bfloat16), x.astype(jnp.bfloat16), packed, scales, scales)
+    )(x.astype(jnp.bfloat16), x.astype(jnp.bfloat16), packed, scales, scales,
+      emat)
 
 
 @functools.partial(jax.jit, static_argnames=("variant", "block_m", "block_n",
