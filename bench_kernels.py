@@ -79,6 +79,8 @@ def main():
         out, _ = jax.lax.scan(body, x, None, length=reps)
         return out
 
+    call_serial = [0]
+
     def time_one(x, w, scale, which, bm):
         """Per-iteration seconds with the tunnel RTT cancelled: time reps and
         4*reps scans, take the difference. device_get forces a real flush
@@ -86,8 +88,12 @@ def main():
         def run(reps):
             best = float("inf")
             for _ in range(3):
+                # unique input per call: the relay caches identical
+                # executions, silently turning repeats into RTT-only no-ops
+                call_serial[0] += 1
+                xi = x + jnp.asarray(call_serial[0] * 1e-6, x.dtype)
                 t0 = time.time()
-                np.asarray(loop(x, w, scale, which, bm, reps)[0, :8])
+                np.asarray(loop(xi, w, scale, which, bm, reps)[0, :8])
                 best = min(best, time.time() - t0)
             return best
 

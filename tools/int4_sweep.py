@@ -144,12 +144,19 @@ def loop(x, packed, scales, variant, block_m, block_n, block_kh, reps):
     return out
 
 
+_CALL = [0]
+
+
 def time_one(x, packed, scales, variant, bm, bn, bkh):
     def run(reps):
         best = float("inf")
         for _ in range(3):
+            # unique input per call: the axon relay caches identical
+            # executions, which silently turns repeats into RTT-only no-ops
+            _CALL[0] += 1
+            xi = x + jnp.bfloat16(_CALL[0] * 1e-6)
             t0 = time.time()
-            np.asarray(loop(x, packed, scales, variant, bm, bn, bkh, reps)[0, :8])
+            np.asarray(loop(xi, packed, scales, variant, bm, bn, bkh, reps)[0, :8])
             best = min(best, time.time() - t0)
         return best
 
