@@ -20,7 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from exllamav3_tpu.ops.q_matmul import int4_pack_jnp, _int4_expand_mat
 
-REPS = 30
+REPS = 250
 
 
 def make_kernel(variant: str):
@@ -185,10 +185,9 @@ def main():
 
     for m in (16,):
         x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
-        for variant in ("i32", "bitcast", "bitcast_mxufix", "xor_center"):
+        for variant in ("i32", "bitcast"):
             for (bm, bn, bkh) in ((256, 512, 512), (256, 1024, 512),
-                                  (256, 2048, 512), (256, 1024, 1024),
-                                  (256, 2048, 1024), (256, 4096, 2048)):
+                                  (256, 2048, 512), (256, 1024, 1024)):
                 try:
                     dt = time_one(x, packed, scales, variant, bm, bn, bkh)
                 except Exception as e:
