@@ -230,13 +230,15 @@ def _int4_matmul_kernel(x_lo_ref, x_hi_ref, b_ref, s_lo_ref, s_hi_ref,
     w32 = pltpu.bitcast(b_ref[:], jnp.int32)              # (bkh, bn/4)
     lo_u = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)      # (bkh, bn) in [0,15]
     hi_u = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
-    s_lo = s_lo_ref[:].astype(jnp.float32)                # (ng, bn)
-    s_hi = s_hi_ref[:].astype(jnp.float32)
-    # per-k-row scales via the (idle during decode) MXU
-    emat = emat_ref[:]
-    se_lo = jnp.dot(emat, s_lo,
+    # per-k-row scales via the (idle during decode) MXU. BF16 operands: the
+    # expansion is (bkh, ng, bn) MACs — comparable to the weight dot at
+    # decode m — and f32 matmul runs at 1/8 MXU rate (measured: the f32
+    # expansion capped the whole kernel at ~30% of its HBM roofline). Each
+    # emat row holds exactly one 1, so the bf16 product is EXACT.
+    emat = emat_ref[:].astype(jnp.bfloat16)
+    se_lo = jnp.dot(emat, s_lo_ref[:].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    se_hi = jnp.dot(emat, s_hi,
+    se_hi = jnp.dot(emat, s_hi_ref[:].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     # center in bf16 (integers <= 16 are exact; int8 sub does not legalize
     # on v5e, and folding the bias into a second MXU dot costs precision:
@@ -307,7 +309,7 @@ def int4_matmul_pallas(x, packed, scales, group: int = INT4_GROUP,
 
 
 def _int4_a8_kernel(xlo_ref, xhi_ref, b_ref, slo_ref, shi_ref,
-                    out_ref, acc_ref, *, group: int):
+                    out_ref, acc_ref, *, group: int, m_out: int):
     """W4A8 body: int8 nibble weights feed int8xint8->int32 MXU dots per
     scale group; the group scale lands on the (m, bn) dot result (m/group
     VPU ops per weight instead of a per-weight multiply). VPU cost/weight:
@@ -331,28 +333,43 @@ def _int4_a8_kernel(xlo_ref, xhi_ref, b_ref, slo_ref, shi_ref,
 
     ng = slo_ref.shape[0]
 
-    def body(g, acc):
+    # STATIC unroll over groups: a fori_loop carry serializes the 2*ng tiny
+    # int8 dots behind each accumulate; unrolled, the dots are independent
+    # and the MXU pipelines them while the VPU does the scale fixups
+    terms = []
+    for g in range(ng):
         xg_lo = xlo_ref[g]                         # (m, group) int8
         xg_hi = xhi_ref[g]
-        bg = b_ref[pl.ds(g * group, group), :]     # (group, bn) int8
+        bg = b_ref[g * group:(g + 1) * group, :]   # (group, bn) int8
         # biased nibbles via int32-lane bitcast (no int8 shift/sub on v5e)
         b32 = pltpu.bitcast(bg, jnp.int32)
         wl = pltpu.bitcast(b32 & 0x0F0F0F0F, jnp.int8)         # in [0,15]
         wh = pltpu.bitcast((b32 >> 4) & 0x0F0F0F0F, jnp.int8)
-        dlo = jnp.dot(xg_lo, wl, preferred_element_type=jnp.int32)
-        dhi = jnp.dot(xg_hi, wh, preferred_element_type=jnp.int32)
+        # the dots run at the int8 sublane pad (32 rows) — MXU rows are
+        # free — but every VPU fixup after them slices to the TRUE row
+        # count m_out: the per-group f32 scale/bias ops are the kernel's
+        # arithmetic bottleneck and scale linearly with rows (measured
+        # 38 -> ~2x faster going 32 -> 8 rows at 4096^2)
+        dlo = jnp.dot(xg_lo, wl, preferred_element_type=jnp.int32)[:m_out]
+        dhi = jnp.dot(xg_hi, wh, preferred_element_type=jnp.int32)[:m_out]
         # the +8 bias folds into a per-group activation row-sum: the dot of
         # x with a constant 8 column — (m, 1) int32, ~m/group VPU ops/weight
-        xsum_lo = jnp.sum(xg_lo.astype(jnp.int32), axis=1, keepdims=True)
-        xsum_hi = jnp.sum(xg_hi.astype(jnp.int32), axis=1, keepdims=True)
+        # sum over the FULL int8 tile then slice: an 8-row slice of an int8
+        # (32, 128)-tiled value forces a relayout per group (measured 2x)
+        xsum_lo = jnp.sum(xg_lo.astype(jnp.int32), axis=1,
+                          keepdims=True)[:m_out]
+        xsum_hi = jnp.sum(xg_hi.astype(jnp.int32), axis=1,
+                          keepdims=True)[:m_out]
         # scales are (ng, 1, bn): leading-dim group access for the same
         # Mosaic alignment reason as the activations
         sl = slo_ref[g].astype(jnp.float32)        # (1, bn)
         sh = shi_ref[g].astype(jnp.float32)
-        return acc + (dlo - 8 * xsum_lo).astype(jnp.float32) * sl \
-                   + (dhi - 8 * xsum_hi).astype(jnp.float32) * sh
-
-    acc_ref[:] = jax.lax.fori_loop(0, ng, body, acc_ref[:])
+        terms.append((dlo - 8 * xsum_lo).astype(jnp.float32) * sl
+                     + (dhi - 8 * xsum_hi).astype(jnp.float32) * sh)
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    acc_ref[:] += total
 
     @pl.when(kk == pl.num_programs(2) - 1)
     def _():
@@ -360,13 +377,16 @@ def _int4_a8_kernel(xlo_ref, xhi_ref, b_ref, slo_ref, shi_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("group", "block_m", "block_n",
-                                              "block_kh", "interpret"))
+                                              "block_kh", "m_true",
+                                              "interpret"))
 def int4_matmul_pallas_a8(x_q, packed, scales, group: int = INT4_GROUP,
                           block_m: int = 256, block_n: int = 512,
-                          block_kh: int = 512, interpret: bool = False):
-    """W4A8 variant: x_q (m, k) int8 (caller row-quantized; apply the
-    per-row scale to the output), packed (k/2, n) int8, scales (k/group, n)
-    bf16 -> (m, n) f32 missing the x row scales."""
+                          block_kh: int = 512, m_true: int | None = None,
+                          interpret: bool = False):
+    """W4A8 variant: x_q (m, k) int8 (caller row-quantized and padded to
+    the int8 sublane tile; apply the per-row scale to the output), packed
+    (k/2, n) int8, scales (k/group, n) bf16 -> (m_out, n) f32 missing the
+    x row scales, where m_out = max(8, m_true rounded up to 8)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -381,7 +401,13 @@ def int4_matmul_pallas_a8(x_q, packed, scales, group: int = INT4_GROUP,
     ng = block_kh // group
     nkb = kh // block_kh
     grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), nkb)
-    kern = functools.partial(_int4_a8_kernel, group=group)
+    # rows the VPU fixups (and the output) actually carry; callers pad x to
+    # the int8 sublane tile (32) but decode batches are 1-16 rows. Floor at
+    # 16: 8-row f32 tiles measured 2x SLOWER than 16 on v5e (sub-tile ops)
+    m_out = m_true if m_true is not None else m
+    m_out = min(m, max(16, -(-m_out // 8) * 8))
+    assert block_m == m, "int4 a8 kernel assumes a single m block"
+    kern = functools.partial(_int4_a8_kernel, group=group, m_out=m_out)
     # (m, k) -> (k/group, m, group): group becomes the full trailing dim and
     # the per-group kernel access a leading-dim index (see kernel docstring);
     # x is tiny next to the weights, so the transpose is off the hot path
@@ -403,10 +429,10 @@ def int4_matmul_pallas_a8(x_q, packed, scales, group: int = INT4_GROUP,
                          lambda i, j, kk, _n=nkb: (kk + _n, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+        out_specs=pl.BlockSpec((m_out, block_n), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m_out, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m_out, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -427,10 +453,9 @@ def int4_matmul_a8(x, packed, scales, bias=None, group: int = INT4_GROUP,
     m_pad = -m % 32  # int8 sublane tile
     if m_pad:
         x_q = jnp.pad(x_q, ((0, m_pad), (0, 0)))
-    y = int4_matmul_pallas_a8(x_q, packed, scales, group=group,
+    y = int4_matmul_pallas_a8(x_q, packed, scales, group=group, m_true=m,
                               interpret=interpret)
-    if m_pad:
-        y = y[:m]
+    y = y[:m]
     y = y * xs
     if bias is not None:
         y = y + bias
@@ -555,10 +580,12 @@ def _intb_matmul_kernel(*refs, bits: int, W: int):
     word = b_ref[:]
     mask = (1 << bits) - 1
     bias = 1 << (bits - 1)
-    emat = emat_ref[:]
+    # bf16 expansion: exact (one 1 per emat row) and 8x the f32 MXU rate —
+    # see _int4_matmul_kernel
+    emat = emat_ref[:].astype(jnp.bfloat16)
     for j in range(W):
         sj = ss[j][:]
-        sj = sj.reshape(sj.shape[0], sj.shape[2]).astype(jnp.float32)  # (ng, bn)
+        sj = sj.reshape(sj.shape[0], sj.shape[2]).astype(jnp.bfloat16)  # (ng, bn)
         se = jnp.dot(emat, sj,
                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         # int32 sub IS legal (the fields live in int32 words); centered
@@ -669,8 +696,10 @@ def _intb_a8_kernel(*refs, bits: int, W: int, group: int):
     mask = (1 << bits) - 1
     bias = 1 << (bits - 1)
 
-    def body(g, acc):
-        bg = b_ref[pl.ds(g * group, group), :]          # (group, bn) int32
+    # static unroll: see _int4_a8_kernel (fori carries serialize the dots)
+    terms = []
+    for g in range(ng):
+        bg = b_ref[g * group:(g + 1) * group, :]        # (group, bn) int32
         for j in range(W):
             wq = (((bg >> (bits * j)) & mask) - bias).astype(jnp.int8)
             # xs[j][g]: (m, group) int8 — leading-dim group access on the
@@ -678,10 +707,11 @@ def _intb_a8_kernel(*refs, bits: int, W: int, group: int):
             # not 128-aligned and fails Mosaic; see _int4_a8_kernel)
             d = jnp.dot(xs[j][g], wq, preferred_element_type=jnp.int32)
             sj = ss[j][g].astype(jnp.float32)       # (1, bn): 3-D scale ref
-            acc = acc + d.astype(jnp.float32) * sj
-        return acc
-
-    acc_ref[:] = jax.lax.fori_loop(0, ng, body, acc_ref[:])
+            terms.append(d.astype(jnp.float32) * sj)
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    acc_ref[:] += total
 
     @pl.when(kk == pl.num_programs(2) - 1)
     def _():

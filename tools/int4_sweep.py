@@ -34,10 +34,10 @@ def make_kernel(variant: str):
 
         s_lo = s_lo_ref[:].astype(jnp.float32)
         s_hi = s_hi_ref[:].astype(jnp.float32)
-        emat = emat_ref[:]
-        se_lo = jnp.dot(emat, s_lo,
+        emat = emat_ref[:].astype(jnp.bfloat16)
+        se_lo = jnp.dot(emat, s_lo_ref[:].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        se_hi = jnp.dot(emat, s_hi,
+        se_hi = jnp.dot(emat, s_hi_ref[:].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         if variant == "i32":
             # widen bytes to i32, extract there (the original design)
