@@ -403,10 +403,14 @@ def int4_matmul_pallas_a8(x_q, packed, scales, group: int = INT4_GROUP,
     grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n), nkb)
     # rows the VPU fixups (and the output) actually carry; callers pad x to
     # the int8 sublane tile (32) but decode batches are 1-16 rows. Floor at
-    # 16: 8-row f32 tiles measured 2x SLOWER than 16 on v5e (sub-tile ops)
-    m_out = m_true if m_true is not None else m
-    m_out = min(m, max(16, -(-m_out // 8) * 8))
-    assert block_m == m, "int4 a8 kernel assumes a single m block"
+    # 16: 8-row f32 tiles measured 2x SLOWER than 16 on v5e (sub-tile ops).
+    # Row slicing only applies when one m block covers the batch (decode);
+    # prefill shapes keep full blocks.
+    if block_m == m:
+        m_out = m_true if m_true is not None else m
+        m_out = min(m, max(16, -(-m_out // 8) * 8))
+    else:
+        m_out = block_m
     kern = functools.partial(_int4_a8_kernel, group=group, m_out=m_out)
     # (m, k) -> (k/group, m, group): group becomes the full trailing dim and
     # the per-group kernel access a leading-dim index (see kernel docstring);
@@ -431,7 +435,8 @@ def int4_matmul_pallas_a8(x_q, packed, scales, group: int = INT4_GROUP,
         ],
         out_specs=pl.BlockSpec((m_out, block_n), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_out, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_out * pl.cdiv(m, block_m), n),
+                                       jnp.float32),
         scratch_shapes=[pltpu.VMEM((m_out, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -852,7 +857,18 @@ def int4_matmul(x, packed, scales, bias=None, group: int = INT4_GROUP,
     jnp reference elsewhere."""
     import os
 
-    if os.environ.get("EXL3TPU_INT4_A8", "") not in ("", "0", "false"):
+    # the W4A8 int8-MXU kernel is the default on TPU: model-level decode
+    # measured 75 vs 60 tok/s for the bf16-dequant kernel at 8B geometry
+    # (2026-08-17); EXL3TPU_INT4_A8=0 reverts. Both sit near v5e's
+    # per-element ingest ceiling (~50-60% of the 0.56 B/w roofline, see
+    # doc/performance.md) — scalar-grid sub-byte GEMV cannot go fully
+    # memory-bound on this VPU:HBM ratio.
+    a8 = os.environ.get("EXL3TPU_INT4_A8", "")
+    use_a8 = (a8 not in ("", "0", "false") or
+              (a8 == "" and jax.default_backend() not in ("cpu",)))
+    if a8 in ("0", "false"):
+        use_a8 = False
+    if use_a8:
         return int4_matmul_a8(
             x, packed, scales, bias=bias, group=group,
             interpret=jax.default_backend() in ("cpu",))
