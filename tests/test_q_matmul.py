@@ -85,3 +85,23 @@ def test_int4_pallas_matches_ref():
             jnp.asarray(x, dtype=jnp.bfloat16), packed, scales,
             block_m=16, block_n=128, block_kh=128))
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_int4_a8_shapes():
+    """W4A8 kernel across decode (single m block, row-sliced fixups) and
+    prefill (multi m block) shapes."""
+    import jax.numpy as jnp
+    from exllamav3_tpu.ops.q_matmul import (int4_matmul_a8, int4_matmul_ref,
+                                            int4_pack_jnp)
+
+    rng = np.random.default_rng(3)
+    k, n = 512, 512
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
+    packed, sc = int4_pack_jnp(jnp.asarray(w))
+    for m in (1, 16, 300):
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        ref = np.asarray(int4_matmul_ref(x, packed, sc))
+        got = np.asarray(int4_matmul_a8(x, packed, sc, interpret=True))
+        assert got.shape == ref.shape
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 0.03, (m, err)
