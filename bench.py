@@ -142,6 +142,11 @@ def main():
 
     B = 1
     S = 128
+    # optional sections each run in a SUBPROCESS: the axon terminal
+    # accumulates freed HBM across repeated full-model loads in one process
+    # (observed: int8+int4+int6 -> ResourceExhausted), and process exit is
+    # the one guaranteed release. EXL3TPU_BENCH_SUBPROC marks a child.
+    subproc = bool(os.environ.get("EXL3TPU_BENCH_SUBPROC"))
 
     def scan_decode_factory(model, bsz):
         step_fn = model.step_fn("dense")
@@ -202,96 +207,122 @@ def main():
                         f"L{cfg['num_hidden_layers']} 4bpw")}
 
     # -- serving mode: int8 ---------------------------------------------------
-    t0 = time.time()
-    config = Config.from_directory(d, infer_params=InferParams(linear_mode="int8"))
-    model = Model.from_config(config)
-    model.load()
-    detail["load_s_int8"] = round(time.time() - t0, 1)
-    wbytes = _weight_bytes(model)
-    roofline_tok_s = hbm_gbps * 1e9 / max(wbytes, 1)
-    detail["weight_bytes_int8"] = wbytes
-    detail["roofline_tok_s_int8"] = round(roofline_tok_s, 2)
+    tok_s = 0.0
+    roofline_tok_s = 1.0
+    run_primary = not subproc
+    if run_primary:
+        t0 = time.time()
+        config = Config.from_directory(d, infer_params=InferParams(linear_mode="int8"))
+        model = Model.from_config(config)
+        model.load()
+        detail["load_s_int8"] = round(time.time() - t0, 1)
+        wbytes = _weight_bytes(model)
+        roofline_tok_s = hbm_gbps * 1e9 / max(wbytes, 1)
+        detail["weight_bytes_int8"] = wbytes
+        detail["roofline_tok_s_int8"] = round(roofline_tok_s, 2)
 
-    tok_s = measure_decode(model, 1, decode_steps)
-    detail["runtime_mode"] = "int8"
+        tok_s = measure_decode(model, 1, decode_steps)
+        detail["runtime_mode"] = "int8"
 
-    if on_tpu and _want("batch8"):
-        detail["batch8_decode_tok_s"] = round(
-            8 * measure_decode(model, 8, decode_steps), 2)
+        if on_tpu and _want("batch8"):
+            detail["batch8_decode_tok_s"] = round(
+                8 * measure_decode(model, 8, decode_steps), 2)
 
-    if on_tpu and _want("prefill"):
-        # prefill 2048 (flash prefill kernel, linear layout)
-        Sp = 2048
-        cache_p = Cache(model, CacheSpec(layout="linear", batch_size=1,
-                                         max_len=Sp + 256))
-        step = model.jitted_step("dense", donate_cache=False)
-        rng = np.random.default_rng(1)
-        best = float("inf")
-        for r in range(4):
-            ids_p = rng.integers(0, cfg["vocab_size"], size=(1, Sp)).astype(np.int32)
-            pos_p = np.broadcast_to(np.arange(Sp, dtype=np.int32), (1, Sp)).copy()
-            cache_p.reset()
-            t0 = time.time()
-            lp, cache_p.state = step(model.params, jnp.asarray(ids_p),
-                                     cache_p.state, jnp.asarray(pos_p),
-                                     jnp.zeros(1, jnp.int32), None)
-            np.asarray(lp[:, -1, :8])
-            if r:  # first call compiles
-                best = min(best, time.time() - t0)
-        detail["prefill_tok_s_2048"] = round(Sp / max(best - rtt, 1e-6), 2)
-        del cache_p
-        gc.collect()
+        if on_tpu and _want("prefill"):
+            # prefill 2048 (flash prefill kernel, linear layout)
+            Sp = 2048
+            cache_p = Cache(model, CacheSpec(layout="linear", batch_size=1,
+                                             max_len=Sp + 256))
+            step = model.jitted_step("dense", donate_cache=False)
+            rng = np.random.default_rng(1)
+            best = float("inf")
+            for r in range(4):
+                ids_p = rng.integers(0, cfg["vocab_size"], size=(1, Sp)).astype(np.int32)
+                pos_p = np.broadcast_to(np.arange(Sp, dtype=np.int32), (1, Sp)).copy()
+                cache_p.reset()
+                t0 = time.time()
+                lp, cache_p.state = step(model.params, jnp.asarray(ids_p),
+                                         cache_p.state, jnp.asarray(pos_p),
+                                         jnp.zeros(1, jnp.int32), None)
+                np.asarray(lp[:, -1, :8])
+                if r:  # first call compiles
+                    best = min(best, time.time() - t0)
+            detail["prefill_tok_s_2048"] = round(Sp / max(best - rtt, 1e-6), 2)
+            del cache_p
+            gc.collect()
 
-    if on_tpu and _want("serving"):
-        # -- serving: continuous batching, paged cache, mixed load ------------
-        from exllamav3_tpu.generator import Generator, Job, GreedySampler
+        if on_tpu and _want("serving"):
+            # -- serving: continuous batching, paged cache, mixed load ------------
+            from exllamav3_tpu.generator import Generator, Job, GreedySampler
 
-        cache_g = Cache(model, CacheSpec(layout="paged", num_pages=48))
-        gen = Generator(model, cache_g, max_batch_size=8)
-        rng = np.random.default_rng(2)
+            cache_g = Cache(model, CacheSpec(layout="paged", num_pages=48))
+            gen = Generator(model, cache_g, max_batch_size=8)
+            rng = np.random.default_rng(2)
 
-        def mk_jobs(n):
-            jobs = []
-            for i in range(n):
-                plen = int(rng.integers(600, 900))
-                prompt = rng.integers(3, cfg["vocab_size"], size=plen)
-                jobs.append(Job(prompt, max_new_tokens=64,
-                                sampler=GreedySampler(), identifier=i))
-            return jobs
+            def mk_jobs(n):
+                jobs = []
+                for i in range(n):
+                    plen = int(rng.integers(600, 900))
+                    prompt = rng.integers(3, cfg["vocab_size"], size=plen)
+                    jobs.append(Job(prompt, max_new_tokens=64,
+                                    sampler=GreedySampler(), identifier=i))
+                return jobs
 
-        # warmup round compiles the prefill/decode bucket shapes so TTFT
-        # measures serving, not XLA compilation
-        for j in mk_jobs(9):
-            gen.enqueue(j)
-        while gen.pending or gen.active:
-            gen.iterate()
+            # warmup round compiles the prefill/decode bucket shapes so TTFT
+            # measures serving, not XLA compilation
+            for j in mk_jobs(9):
+                gen.enqueue(j)
+            while gen.pending or gen.active:
+                gen.iterate()
 
-        jobs = mk_jobs(12)
-        t_serve0 = time.time()
-        for j in jobs:
-            gen.enqueue(j)
-        ttfts, total_new = [], 0
-        while gen.pending or gen.active:
-            for ev in gen.iterate():
-                if ev["stage"] == "finished":
-                    ttfts.append(ev["ttft_s"])
-                    total_new += ev["generated_tokens"]
-        t_serve = time.time() - t_serve0
-        detail["serving_p50_ttft_s"] = round(float(np.percentile(ttfts, 50)), 3)
-        detail["serving_p95_ttft_s"] = round(float(np.percentile(ttfts, 95)), 3)
-        detail["serving_throughput_tok_s"] = round(total_new / t_serve, 2)
-        detail["serving_decode_burst"] = gen.decode_burst
-        detail["serving_note"] = ("host loop crosses the axon tunnel every "
-                                  "iteration; decode bursts amortize it "
-                                  "over N tokens once prefill drains")
-        del gen, cache_g
-        gc.collect()
+            jobs = mk_jobs(12)
+            t_serve0 = time.time()
+            for j in jobs:
+                gen.enqueue(j)
+            ttfts, total_new = [], 0
+            while gen.pending or gen.active:
+                for ev in gen.iterate():
+                    if ev["stage"] == "finished":
+                        ttfts.append(ev["ttft_s"])
+                        total_new += ev["generated_tokens"]
+            t_serve = time.time() - t_serve0
+            detail["serving_p50_ttft_s"] = round(float(np.percentile(ttfts, 50)), 3)
+            detail["serving_p95_ttft_s"] = round(float(np.percentile(ttfts, 95)), 3)
+            detail["serving_throughput_tok_s"] = round(total_new / t_serve, 2)
+            detail["serving_decode_burst"] = gen.decode_burst
+            detail["serving_note"] = ("host loop crosses the axon tunnel every "
+                                      "iteration; decode bursts amortize it "
+                                      "over N tokens once prefill drains")
+            del gen, cache_g
+            gc.collect()
 
-    if on_tpu:
+    if on_tpu and run_primary:
         model = None  # free the int8 weights before the remaining sections
         gc.collect()
 
-    if on_tpu and _want("int4"):
+    if on_tpu and not subproc:
+        # fan the optional sections out to subprocesses (see `subproc` note)
+        import subprocess as _sp
+
+        for sec in ("int4", "int6", "fused", "mla", "moe"):
+            if not _want(sec):
+                continue
+            env = dict(os.environ, EXL3TPU_BENCH_MODE=sec,
+                       EXL3TPU_BENCH_SUBPROC="1")
+            try:
+                r = _sp.run([sys.executable, os.path.abspath(__file__)],
+                            env=env, capture_output=True, text=True,
+                            timeout=3600)
+                lines_out = [l for l in r.stdout.splitlines()
+                             if l.startswith("{")]
+                child = json.loads(lines_out[-1])["detail"]
+                for key, val in child.items():
+                    detail.setdefault(key, val)
+            except Exception as e:
+                detail[f"{sec}_error"] = (
+                    f"subprocess: {type(e).__name__}: {e}"[:200])
+
+    if on_tpu and subproc and _want("int4"):
         # -- serving at format bytes: packed int4 -----------------------------
         # load-time trellis->grouped-int4 requant (0.5625 B/weight incl
         # scales) with in-kernel unpack: the mode that serves a 4-bpw model
@@ -317,7 +348,7 @@ def main():
         except Exception as e:
             detail["int4_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    if on_tpu and _want("int6"):
+    if on_tpu and subproc and _want("int6"):
         # -- balanced mode: packed int6 planes (0.81 B/weight, KLD noise-
         # level vs golden — doc/performance.md runtime-mode table) ----------
         try:
@@ -339,7 +370,7 @@ def main():
         except Exception as e:
             detail["int6_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    if on_tpu and _want("fused"):
+    if on_tpu and subproc and _want("fused"):
         # -- capacity mode: fused trellis decode ------------------------------
         try:
             t0 = time.time()
@@ -361,7 +392,7 @@ def main():
         except Exception as e:  # keep the primary metric on any failure
             detail["fused_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    if on_tpu and _want("mla"):
+    if on_tpu and subproc and _want("mla"):
         # DeepSeek-family decode: absorbed-MLA latent attention through the
         # Pallas kernel (Hk=1, V = latent prefix of K)
         try:
@@ -403,7 +434,7 @@ def main():
         except Exception as e:
             detail["mla_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    if on_tpu and _want("moe"):
+    if on_tpu and subproc and _want("moe"):
         # Qwen3-MoE-class decode: selected-expert Pallas kernel reads only
         # the k routed experts' bytes, so the roofline counts non-expert
         # weights in full and expert weights at k/E (reference exl3_moe.cu
