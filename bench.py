@@ -470,10 +470,12 @@ def main():
                         if "w_" + kk in p:
                             expert_b += (p["w_" + kk].size
                                          * p["w_" + kk].dtype.itemsize)
-            total_b = _weight_bytes(model_q)
-            per_tok_b = (total_b - expert_b) + expert_b * topk / E
+            # _weight_bytes counts the NON-expert tensors only (the stacked
+            # expert weights live under per-module w_<gate|up|down> keys)
+            dense_b = _weight_bytes(model_q)
+            per_tok_b = dense_b + expert_b * topk / E
             detail["moe_expert_bytes"] = expert_b
-            detail["moe_weight_bytes"] = total_b
+            detail["moe_weight_bytes"] = dense_b + expert_b
             roof_q = hbm_gbps * 1e9 / max(per_tok_b, 1)
             detail["moe_roofline_tok_s"] = round(roof_q, 2)
             saved_vocab = cfg["vocab_size"]
