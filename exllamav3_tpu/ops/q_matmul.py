@@ -137,14 +137,18 @@ def int8_matmul(x, w_q, scale, bias=None, use_pallas: bool | None = None):
 # requant noise from 0.108 to 0.093 of weight rms on Gaussian weights),
 # packed two weights per byte along k — byte r of column n holds k-row r
 # (low nibble, biased +8) and k-row r + k/2 (high nibble, two's complement).
-# The Pallas kernel unpacks in VMEM with ~3.5 VPU ops/weight (mask/shift/sub
-# + bf16 scale multiply, scale expansion rides the idle MXU as an E @ s
-# matmul) and feeds bf16 dots — HBM traffic stays at 0.5 byte/weight +
-# 1/16 scale overhead (0.5625 B/weight, 1.78x less than int8). Scalar int4
-# is a fundamentally coarser quantizer than the trellis (~0.09 vs ~0.07
-# weight-rms noise at the same nominal 4 bits): the mode trades a measured
-# KLD delta (eval/model_diff.py, doc/performance.md) for serving at near
-# the format's byte footprint.
+# Two Pallas kernels serve it: a bf16-dequant path (bitcast nibble masks +
+# exact bf16 centering, MXU-expanded scales) and the DEFAULT W4A8 path
+# (int8 activations x int8 nibbles -> int32 MXU dots per scale group, f32
+# fixups sliced to the live decode rows). HBM traffic stays at 0.5
+# byte/weight + 1/16 scale overhead (0.5625 B/weight, 1.78x less than
+# int8). Measured 8B decode: a8 75 tok/s vs bf16-path 60 vs int8-mode 96 —
+# v5e's per-element ingest cost caps sub-byte GEMV at ~40-55% of its
+# bandwidth roofline whatever the formulation (doc/performance.md,
+# tools/a8_ablate.py). Scalar int4 is also a coarser quantizer than the
+# trellis (~0.09 vs ~0.07 weight-rms noise at 4 bits): the mode's value is
+# footprint (0.58x of int8) at ~0.8x the speed, plus conversion-time
+# Hessian-aware .sq codes that claw back ~40% of the rounding penalty.
 
 INT4_GROUP = 32
 INT4_LLOYD_ITERS = 4
