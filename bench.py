@@ -57,10 +57,13 @@ def _weight_bytes(model) -> int:
 
 def _want(section: str) -> bool:
     """EXL3TPU_BENCH_MODE=int4,moe restricts the optional sections (the
-    primary int8 decode metric always runs); empty/unset runs everything."""
+    primary int8 decode metric always runs); empty/unset runs the default
+    set — everything except int6, whose ~380 s tells the same ingest-
+    ceiling story as int4 (21.2 tok/s vs its 126 roofline, recorded in
+    doc/performance.md)."""
     spec = os.environ.get("EXL3TPU_BENCH_MODE", "").strip()
     if not spec:
-        return True
+        return section != "int6"
     return section in {s.strip() for s in spec.split(",")}
 
 
