@@ -221,7 +221,7 @@ def _sharded_viterbi_fn(K: int, cb: int, ndev: int):
 
 
 def quantize_tiles(tiles: np.ndarray, K: int, cb: int = CB_3INST, backend: str = "auto",
-                   batch: int = 64):
+                   batch: int = 256):
     """Quantize tiles with the best available backend. tiles: (T, 256) f32.
 
     backend: "np" | "jax" | "native" | "auto". Returns (vals f32, codes uint16).
