@@ -684,10 +684,11 @@ def intb_matmul_pallas(x, packed, scales, bits: int, group: int = INTB_GROUP,
     )(*([x] * W), packed, *([scales[:, None, :]] * W), emat)
 
 
-def _intb_a8_kernel(*refs, bits: int, W: int, group: int):
+def _intb_a8_kernel(*refs, bits: int, W: int, group: int, m_out: int):
     """W·A8 body: per scale group, extract each plane's B-bit field to int8
-    and run int8xint8->int32 MXU dots; group scales land on the dot results
-    (1/group VPU ops per weight) — the int4 _int4_a8_kernel generalized."""
+    and run int8xint8->int32 MXU dots; group scales land on the dot results,
+    sliced to the live decode rows (see _int4_a8_kernel) — the int4 kernel
+    generalized to int32 words."""
     import jax.experimental.pallas as pl
 
     xs = refs[:W]
@@ -714,7 +715,8 @@ def _intb_a8_kernel(*refs, bits: int, W: int, group: int):
             # xs[j][g]: (m, group) int8 — leading-dim group access on the
             # pre-chunked layout (a dynamic lane slice at group offsets is
             # not 128-aligned and fails Mosaic; see _int4_a8_kernel)
-            d = jnp.dot(xs[j][g], wq, preferred_element_type=jnp.int32)
+            d = jnp.dot(xs[j][g], wq,
+                        preferred_element_type=jnp.int32)[:m_out]
             sj = ss[j][g].astype(jnp.float32)       # (1, bn): 3-D scale ref
             terms.append(d.astype(jnp.float32) * sj)
     total = terms[0]
@@ -729,10 +731,11 @@ def _intb_a8_kernel(*refs, bits: int, W: int, group: int):
 
 @functools.partial(jax.jit, static_argnames=("bits", "group", "block_m",
                                               "block_n", "block_kp",
-                                              "interpret"))
+                                              "m_true", "interpret"))
 def intb_matmul_pallas_a8(x_q, packed, scales, bits: int,
                           group: int = INTB_GROUP, block_m: int = 256,
                           block_n: int = 512, block_kp: int = 512,
+                          m_true: int | None = None,
                           interpret: bool = False):
     """x_q (m, k_pad) int8 (row-quantized, zero-padded); output misses the
     x row scales (caller applies them)."""
@@ -769,7 +772,13 @@ def intb_matmul_pallas_a8(x_q, packed, scales, bits: int,
                      memory_space=pltpu.VMEM)
         for j in range(W)
     ]
-    kern = functools.partial(_intb_a8_kernel, bits=bits, W=W, group=group)
+    if block_m == m:
+        m_out = m_true if m_true is not None else m
+        m_out = min(m, max(16, -(-m_out // 8) * 8))
+    else:
+        m_out = block_m
+    kern = functools.partial(_intb_a8_kernel, bits=bits, W=W, group=group,
+                             m_out=m_out)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -777,10 +786,11 @@ def intb_matmul_pallas_a8(x_q, packed, scales, bits: int,
             pl.BlockSpec((block_kp, block_n), lambda i, jj, kk: (kk, jj),
                          memory_space=pltpu.VMEM),
         ] + s_specs,
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, jj, kk: (i, jj),
+        out_specs=pl.BlockSpec((m_out, block_n), lambda i, jj, kk: (i, jj),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m_out * pl.cdiv(m, block_m), n),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m_out, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -831,9 +841,8 @@ def intb_matmul(x, packed, scales, bits: int | None = None, bias=None,
         if m_pad:
             x_q = jnp.pad(x_q, ((0, m_pad), (0, 0)))
         y = intb_matmul_pallas_a8(x_q, packed, scales, bits, group=group,
-                                  interpret=interpret)
-        if m_pad:
-            y = y[:m]
+                                  m_true=m, interpret=interpret)
+        y = y[:m]
         y = y * xs
     elif use_pallas:
         m = x2.shape[0]
