@@ -697,6 +697,10 @@ def flash_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            # quantized-cache tall-prefill blocks need ~39 MB of scoped VMEM
+            # (out + double-buffered packed pages + scratch) — the 16 MB
+            # default rejected ctx>=2k prefills; v5e carries 128 MB
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*scalars, *tensor_inputs)
