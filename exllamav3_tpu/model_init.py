@@ -8,8 +8,13 @@ from __future__ import annotations
 import argparse
 
 
-def add_args(p: argparse.ArgumentParser, cache: bool = True, draft: bool = True):
+def add_args(p: argparse.ArgumentParser, cache: bool = True, draft: bool = True,
+             sampling: bool = True):
     p.add_argument("-m", "--model_dir", required=True, help="model directory")
+    p.add_argument("-or", "--override", dest="override",
+                   help="tensor-override YAML: {overrides: [{glob: 'model dir'"
+                        "}]} maps key globs to alternate checkpoints "
+                        "(reference -or / VariantSafetensorsCollection)")
     p.add_argument("--linear_mode", default="auto",
                    choices=["auto", "fused", "int3", "int4", "int5", "int6",
                             "int8", "bf16", "reconstruct"],
@@ -42,7 +47,41 @@ def add_args(p: argparse.ArgumentParser, cache: bool = True, draft: bool = True)
                    help="host-RAM second-tier page cache size")
     p.add_argument("--swa_ring", action="store_true",
                    help="sliding-window layers on fixed rings (less memory)")
+    p.add_argument("--recurrent_cache_gb", type=float, default=0.0,
+                   help="host-RAM LRU for recurrent-state checkpoints")
+    if sampling:
+        # reference model_init.py sampling surface (-temp/-topk/-topp/...)
+        p.add_argument("-temp", "--temperature", type=float, default=0.8)
+        p.add_argument("-topk", "--top_k", type=int, default=0)
+        p.add_argument("-topp", "--top_p", type=float, default=1.0)
+        p.add_argument("-minp", "--min_p", type=float, default=0.08)
+        p.add_argument("-repp", "--repetition_penalty", type=float, default=1.0)
+        p.add_argument("-presp", "--presence_penalty", type=float, default=0.0)
+        p.add_argument("-freqp", "--frequency_penalty", type=float, default=0.0)
+        p.add_argument("--adaptive_target", type=float, default=1.0,
+                       help="adaptive-p target probability (<1 enables)")
+        p.add_argument("--adaptive_decay", type=float, default=0.0)
+        p.add_argument("--greedy", action="store_true")
     return p
+
+
+def get_arg_sampler(args):
+    """Sampler from the standard CLI args (reference get_arg_sampler)."""
+    from .generator.sampler import CustomSampler, GreedySampler
+
+    if getattr(args, "greedy", False) or getattr(args, "temperature", 0.8) == 0:
+        return GreedySampler()
+    return CustomSampler(
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        min_p=args.min_p,
+        rep_p=args.repetition_penalty,
+        presence_p=args.presence_penalty,
+        frequency_p=args.frequency_penalty,
+        adaptive_p=args.adaptive_target,
+        adaptive_decay=args.adaptive_decay,
+    )
 
 
 def init(args, load: bool = True):
@@ -53,6 +92,8 @@ def init(args, load: bool = True):
     config = Config.from_directory(
         args.model_dir, infer_params=InferParams(linear_mode=args.linear_mode)
     )
+    if getattr(args, "override", None):
+        config.stc = _apply_overrides(config.stc, args.override)
     model = Model.from_config(config)
     if load:
         model.load()
@@ -95,6 +136,9 @@ def init(args, load: bool = True):
                 np.asarray(jax.devices()[: args.sp]), axis_names=("sp",)))
     if getattr(args, "cpu_cache_gb", 0):
         gen_kwargs.update(cpu_cache_bytes=int(args.cpu_cache_gb * (1 << 30)))
+    if getattr(args, "recurrent_cache_gb", 0):
+        gen_kwargs.update(
+            recurrent_cache_bytes=int(args.recurrent_cache_gb * (1 << 30)))
     if getattr(args, "mtp", False) and "mtp" in config.model_classes:
         mtp = Model.from_config(config, component="mtp")
         if load:
@@ -110,3 +154,23 @@ def init(args, load: bool = True):
         gen_kwargs.update(use_ngram_draft=True, num_draft_tokens=args.draft_tokens)
 
     return model, config, cache, tokenizer, gen_kwargs
+
+
+def _apply_overrides(stc, yaml_path: str):
+    """Wrap the collection with per-glob overlays from a YAML file
+    (reference examples/overrides.yaml: {overrides: [{"model.layers.0.*":
+    "/path/to/variant"}, ...]} or a flat {glob: dir} mapping)."""
+    import yaml
+
+    from .loader.safetensors import SafetensorsCollection, VariantSafetensorsCollection
+
+    with open(yaml_path) as f:
+        spec = yaml.safe_load(f) or {}
+    entries = spec.get("overrides", spec)
+    if isinstance(entries, dict):
+        entries = [entries]
+    var = VariantSafetensorsCollection(stc)
+    for entry in entries:
+        for glob_pat, directory in entry.items():
+            var.add_overlay(glob_pat, SafetensorsCollection(directory))
+    return var

@@ -61,3 +61,36 @@ def test_id_to_ord(tok):
     for i, p in enumerate(pieces[:50]):
         if len(p) == 1 and ord(p) <= 255:
             assert ords[i] == ord(p)
+
+
+def test_model_init_sampler_and_override(tmp_path):
+    """CLI parity: get_arg_sampler builds the configured chain; -or YAML
+    overlays another checkpoint's tensors per key glob (reference -or)."""
+    import argparse
+    import numpy as np
+    import yaml
+    from exllamav3_tpu import model_init
+    from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3, tiny_llama_cfg
+
+    base, alt = str(tmp_path / "a"), str(tmp_path / "b")
+    write_tiny_llama_exl3(base, tiny_llama_cfg(), K=4, seed=1)
+    write_tiny_llama_exl3(alt, tiny_llama_cfg(), K=4, seed=2)
+    ov = str(tmp_path / "ov.yaml")
+    yaml.safe_dump({"overrides": [{"model.layers.0.*": alt}]}, open(ov, "w"))
+
+    p = argparse.ArgumentParser()
+    model_init.add_args(p)
+    args = p.parse_args(["-m", base, "--linear_mode", "reconstruct",
+                         "-temp", "0.7", "-topk", "40"])
+    s = model_init.get_arg_sampler(args)
+    assert not s.greedy and len(s.steps) >= 3
+    g = model_init.get_arg_sampler(p.parse_args(["-m", base, "--greedy"]))
+    assert g.greedy
+
+    m1 = model_init.init(args, load=True)[0]
+    args2 = p.parse_args(["-m", base, "--linear_mode", "reconstruct",
+                          "-or", ov])
+    m2 = model_init.init(args2, load=True)[0]
+    ids = np.ones((1, 6), np.int32)
+    l1, l2 = np.asarray(m1.forward_simple(ids)), np.asarray(m2.forward_simple(ids))
+    assert not np.allclose(l1, l2)  # layer-0 tensors really were overridden
