@@ -56,6 +56,7 @@ class Generator:
         use_ngram_draft: bool = False,
         mtp_model=None,
         cpu_cache_bytes: int = 0,
+        recurrent_cache_bytes: int = 0,  # host-RAM stash budget (0 = 4 GB)
         sp_mesh=None,
         sp_axis: str = "sp",
         mh_broadcast: bool = False,
@@ -173,6 +174,7 @@ class Generator:
 
         # host-RAM second-tier page cache (reference generator/cpu_cache.py)
         self.cpu_cache = None
+        self.recurrent_cache_bytes = recurrent_cache_bytes
         if cpu_cache_bytes and not self.has_recurrent:
             from .cpu_cache import CPUPageCache
 
@@ -230,7 +232,8 @@ class Generator:
             if self._rstash is None:
                 from ..model.recurrent import RecurrentStateCache
 
-                self._rstash = RecurrentStateCache()
+                self._rstash = RecurrentStateCache(
+                    self.recurrent_cache_bytes or (4 << 30))
             job.rq_handle = self._rstash.stash(
                 self.cache.state, self.recurrent_keys + self.ring_keys,
                 slot, job.seq_len)
