@@ -14,14 +14,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from exllamav3_tpu import model_init
-from exllamav3_tpu.generator import Generator, Job, DefaultSampler, GreedySampler
+from exllamav3_tpu.generator import Generator, Job
 
 
 def main():
     p = argparse.ArgumentParser()
-    model_init.add_args(p)
-    p.add_argument("--temp", type=float, default=0.8)
-    p.add_argument("--greedy", action="store_true")
+    model_init.add_args(p)  # includes the sampling surface (-temp/-topk/...)
     p.add_argument("--system", default="You are a helpful assistant.")
     p.add_argument("--max_new_tokens", type=int, default=512)
     args = p.parse_args()
@@ -29,7 +27,7 @@ def main():
     model, config, cache, tokenizer, gen_kwargs = model_init.init(args)
     assert tokenizer is not None, "chat needs a tokenizer.json in the model dir"
     generator = Generator(model, cache, tokenizer, **gen_kwargs)
-    sampler = GreedySampler() if args.greedy else DefaultSampler(temperature=args.temp)
+    sampler = model_init.get_arg_sampler(args)
 
     messages = [{"role": "system", "content": args.system}]
     stop = [tokenizer.eos_token_id] if tokenizer.eos_token_id is not None else []

@@ -12,7 +12,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from exllamav3_tpu import model_init
-from exllamav3_tpu.generator import Generator, DefaultSampler, GreedySampler
+from exllamav3_tpu.generator import Generator
+from exllamav3_tpu import model_init as _mi
 
 
 def main():
@@ -20,12 +21,11 @@ def main():
     model_init.add_args(p)
     p.add_argument("-p", "--prompt", default="Once upon a time")
     p.add_argument("-n", "--max_new_tokens", type=int, default=128)
-    p.add_argument("--greedy", action="store_true")
     args = p.parse_args()
 
     model, config, cache, tokenizer, gen_kwargs = model_init.init(args)
     generator = Generator(model, cache, tokenizer, **gen_kwargs)
-    sampler = GreedySampler() if args.greedy else DefaultSampler()
+    sampler = _mi.get_arg_sampler(args)
     ids = tokenizer.encode(args.prompt, add_bos=True)
     text = generator.generate(ids, max_new_tokens=args.max_new_tokens,
                               sampler=sampler)
