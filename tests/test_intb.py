@@ -142,3 +142,24 @@ def test_linear_mode_end_to_end(tmp_path, mode):
 
     kld = float(np.mean(np.sum(np.exp(lsm(lg)) * (lsm(lg) - lsm(lq)), -1)))
     assert kld < (0.05 if mode == "int6" else 0.15), kld
+
+
+def test_intb_a8_shapes():
+    """W·A8 across decode (row-sliced fixups) and multi-m-block prefill."""
+    import os
+    rng = np.random.default_rng(3)
+    k, n = 512, 256
+    for bits in (3, 5, 6):
+        w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
+        packed, sc = intb_pack_jnp(jnp.asarray(w), bits)
+        os.environ["EXL3TPU_INTB_A8"] = "1"
+        try:
+            for m in (1, 300):
+                x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+                ref = np.asarray(intb_matmul_ref(x, packed, sc, bits))
+                got = np.asarray(intb_matmul(x, packed, sc, bits))
+                assert got.shape == ref.shape
+                err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+                assert err < 0.03, (bits, m, err)
+        finally:
+            del os.environ["EXL3TPU_INTB_A8"]
