@@ -20,6 +20,14 @@ the relay caches identical executions):
 Modes: int8 is the serving mode (HBM-roofline-bound on the MXU); `fused`
 trellis-decode is the capacity mode — measured and reported, but its
 speed-of-light on TPU is the VPU decode limit (~20 ops/weight), not HBM.
+
+Driver-budget discipline (BENCH_r03 timed out at rc=124 and captured
+NOTHING): the primary JSON line is printed IMMEDIATELY after the int8
+decode measurement, so even a hard kill mid-run leaves a parseable
+artifact; optional sections run inside a global wall-clock budget
+(EXL3TPU_BENCH_BUDGET_S, default 1200 s) and are skipped — with a note —
+once the budget would be exceeded; a final enriched JSON line supersedes
+the early one when everything finishes (the driver parses the LAST line).
 """
 from __future__ import annotations
 
@@ -65,6 +73,32 @@ def _want(section: str) -> bool:
     if not spec:
         return section != "int6"
     return section in {s.strip() for s in spec.split(",")}
+
+
+BUDGET_S = float(os.environ.get("EXL3TPU_BENCH_BUDGET_S", "1200"))
+_T_START = time.time()
+
+
+def _left() -> float:
+    """Seconds remaining in the global bench budget."""
+    return BUDGET_S - (time.time() - _T_START)
+
+
+def _emit(tok_s, roofline_tok_s, detail, final=False):
+    """Print the bench JSON line. Called once right after the primary int8
+    measurement (so a driver timeout still captures the headline) and once
+    at the end with the enriched detail (the driver parses the LAST line)."""
+    d = dict(detail)
+    d["total_bench_s"] = round(time.time() - _T_START, 1)
+    if not final:
+        d["note"] = "early line; a final enriched line follows if budget allows"
+    print(json.dumps({
+        "metric": "decode_tok_s",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / roofline_tok_s, 4),
+        "detail": d,
+    }), flush=True)
 
 
 def _probe_device(timeout_s: float = 480.0):
@@ -114,7 +148,6 @@ def main():
     from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3, tiny_llama_cfg
     from exllamav3_tpu.model import Config, Model, InferParams, Cache, CacheSpec
 
-    t_start = time.time()
     if on_tpu:
         # Llama-3.1-8B geometry (vocab trimmed: embedding size does not
         # change the per-layer compute path; roofline uses actual bytes)
@@ -226,12 +259,16 @@ def main():
 
         tok_s = measure_decode(model, 1, decode_steps)
         detail["runtime_mode"] = "int8"
+        if on_tpu:
+            # the driver-proof early line: headline metric is now on record
+            # even if the rest of the bench is killed at the driver budget
+            _emit(tok_s, roofline_tok_s, detail)
 
-        if on_tpu and _want("batch8"):
+        if on_tpu and _want("batch8") and _left() > 120:
             detail["batch8_decode_tok_s"] = round(
                 8 * measure_decode(model, 8, decode_steps), 2)
 
-        if on_tpu and _want("prefill"):
+        if on_tpu and _want("prefill") and _left() > 90:
             # prefill 2048 (flash prefill kernel, linear layout)
             Sp = 2048
             cache_p = Cache(model, CacheSpec(layout="linear", batch_size=1,
@@ -239,7 +276,7 @@ def main():
             step = model.jitted_step("dense", donate_cache=False)
             rng = np.random.default_rng(1)
             best = float("inf")
-            for r in range(7):  # tunnel RTT jitter: best-of-6 after compile
+            for r in range(4):  # tunnel RTT jitter: best-of-3 after compile
                 ids_p = rng.integers(0, cfg["vocab_size"], size=(1, Sp)).astype(np.int32)
                 pos_p = np.broadcast_to(np.arange(Sp, dtype=np.int32), (1, Sp)).copy()
                 cache_p.reset()
@@ -254,7 +291,7 @@ def main():
             del cache_p
             gc.collect()
 
-        if on_tpu and _want("serving"):
+        if on_tpu and _want("serving") and _left() > 240:
             # -- serving: continuous batching, paged cache, mixed load ------------
             from exllamav3_tpu.generator import Generator, Job, GreedySampler
 
@@ -307,15 +344,18 @@ def main():
         # fan the optional sections out to subprocesses (see `subproc` note)
         import subprocess as _sp
 
-        for sec in ("int4", "int6", "fused", "mla", "moe"):
+        for sec in ("int4", "moe", "mla", "fused", "int6"):
             if not _want(sec):
+                continue
+            if _left() < 180:  # not enough budget to load + measure a model
+                detail[f"{sec}_skipped"] = "bench budget exhausted"
                 continue
             env = dict(os.environ, EXL3TPU_BENCH_MODE=sec,
                        EXL3TPU_BENCH_SUBPROC="1")
             try:
                 r = _sp.run([sys.executable, os.path.abspath(__file__)],
                             env=env, capture_output=True, text=True,
-                            timeout=3600)
+                            timeout=max(_left(), 60))
                 lines_out = [l for l in r.stdout.splitlines()
                              if l.startswith("{")]
                 child = json.loads(lines_out[-1])["detail"]
@@ -492,14 +532,7 @@ def main():
         except Exception as e:
             detail["moe_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    detail["total_bench_s"] = round(time.time() - t_start, 1)
-    print(json.dumps({
-        "metric": "decode_tok_s",
-        "value": round(tok_s, 2),
-        "unit": "tok/s",
-        "vs_baseline": round(tok_s / roofline_tok_s, 4),
-        "detail": detail,
-    }))
+    _emit(tok_s, roofline_tok_s, detail, final=True)
 
 
 if __name__ == "__main__":
