@@ -25,6 +25,76 @@ class _Root(Module):
         self.modules = modules
 
 
+# approximate serving bytes per EXL3 weight for each runtime mode, including
+# group/channel scales (doc/performance.md runtime-mode table; int8 carries a
+# per-output-channel f32 scale — negligible at 8B geometry)
+_MODE_BYTES_PER_WEIGHT = {"int8": 1.0, "int6": 0.8125, "int4": 0.5625}
+_EXL3_SIDE_SUFFIXES = (".suh", ".svh", ".su", ".sv", ".mcg", ".mul1")
+
+
+def estimate_linear_mode_bytes(config, mode: str) -> int:
+    """Estimated total weight-bytes footprint of the model if all EXL3
+    linears load in `mode`, from the safetensors header alone (no reads).
+    Dense (non-EXL3) tensors load as bf16 regardless of mode."""
+    total = 0
+    for key in config.stc.keys():
+        if key.endswith(".trellis"):
+            s = config.stc.get_shape(key)
+            weights = s[0] * s[1] * 256  # (k/16, n/16, 16K) uint16 tiles
+            if mode == "fused":
+                total += s[0] * s[1] * s[2] * 2  # packed trellis stays put
+            else:
+                total += int(weights * _MODE_BYTES_PER_WEIGHT[mode])
+        elif key.endswith(_EXL3_SIDE_SUFFIXES):
+            continue  # sign/rotation vectors: O(k + n) per linear
+        else:
+            s = config.stc.get_shape(key)
+            n = 1
+            for d in s:
+                n *= d
+            total += n * 2
+    return total
+
+
+def device_hbm_bytes() -> int | None:
+    """Per-device HBM capacity, or None when unknown (CPU backend).
+    EXL3TPU_HBM_BYTES overrides (tests; capacity planning for other chips)."""
+    import os
+
+    env = os.environ.get("EXL3TPU_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return None
+
+
+def select_linear_mode(config, hbm_bytes: int | None = None,
+                       reserve_frac: float = 0.20) -> str:
+    """Footprint-driven serving ladder for linear_mode="auto".
+
+    int8 dominates every packed int-B mode on decode speed (measured on the
+    v5e bench: ~102 tok/s vs int6 37.7 / int4 75 at 8B geometry —
+    doc/performance.md), so the ladder is tiered by FOOTPRINT: pick int8
+    whenever the weights fit the device with `reserve_frac` HBM left for
+    KV cache + activations, else walk down int6 -> int4 -> fused (the
+    capacity mode: format bytes at any bpw). Unknown capacity (CPU backend,
+    no EXL3TPU_HBM_BYTES) assumes int8 fits."""
+    if hbm_bytes is None:
+        hbm_bytes = device_hbm_bytes()
+    if hbm_bytes is None:
+        return "int8"
+    budget = hbm_bytes * (1.0 - reserve_frac)
+    for mode in ("int8", "int6", "int4"):
+        if estimate_linear_mode_bytes(config, mode) <= budget:
+            return mode
+    return "fused"
+
+
 class Model:
     config_class = None
 
@@ -49,6 +119,9 @@ class Model:
     # -- loading -------------------------------------------------------------
 
     def load(self, progress_cb=None) -> dict:
+        ip = self.config.infer_params
+        if ip.linear_mode == "auto" and self.config.stc is not None:
+            ip.linear_mode = select_linear_mode(self.config)
         params: dict = {}
         n = len(self.modules)
         for i, m in enumerate(self.modules):

@@ -111,7 +111,10 @@ class Linear(Module):
 
         mode = self.config.infer_params.linear_mode
         if mode == "auto":
-            mode = "bf16"
+            # Model.load resolves "auto" once per model via the footprint
+            # ladder (model/model.py select_linear_mode); a standalone Linear
+            # (tests, HF integration) gets the ladder's top tier directly
+            mode = "int8"
         self.mode = mode
 
         p: dict = {}
