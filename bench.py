@@ -527,6 +527,11 @@ def main():
             cfg["vocab_size"] = saved_vocab
             detail["moe_decode_tok_s"] = round(tok_q, 2)
             detail["moe_vs_roofline"] = round(tok_q / roof_q, 4)
+            detail["moe_ep_note"] = (
+                "under EP sharding the same selected-expert kernel runs per "
+                "shard (step_fn(ep_mesh=...)); bytes/device ~= shared + "
+                "k/E x local expert bytes (dead capacity slots alias routed "
+                "ids -> DMA skipped). CPU-mesh exactness: tests/test_ep_moe.py")
             del model_q
             gc.collect()
         except Exception as e:

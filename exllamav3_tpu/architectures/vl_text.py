@@ -3,10 +3,10 @@
 Feature reference: /root/reference/exllamav3/architecture/qwen2_5_vl.py:150,
 qwen3_vl.py:149, glm4v.py:134, mistral3.py:153 — each wraps its base text
 model under a language_model key prefix; text params resolve through the
-text_config fallback (model/config.py _walk). Vision towers: SigLIP/Gemma3
-is implemented (modules/vision.py); the Qwen-VL window-attention and Pixtral
-towers are round-2 work — until then these run text-only, and images can be
-fed as precomputed MMEmbedding payloads.
+text_config fallback (model/config.py _walk). Vision towers are implemented:
+SigLIP/Gemma3 (modules/vision.py), Qwen-VL window attention
+(modules/vision_qwen.py), Pixtral (modules/vision_pixtral.py); images can
+also be fed as precomputed MMEmbedding payloads.
 
 Text-only MRoPE note: with no image grid every t/h/w position stream equals
 the token index, which makes mrope identical to standard NEOX rope, so the

@@ -147,6 +147,7 @@ class Model:
 
     def step_fn(self, attn_mode: str = "dense", k_bits: int = 0, v_bits: int = 0,
                 compand_a: float = 0.0, sp_mesh=None, sp_axis: str = "sp",
+                ep_mesh=None, ep_axis: str = "tp",
                 return_hidden: bool = False, recurrent_history: bool = False,
                 capture_layers: tuple = ()):
         """Pure (params, ids, cache_state, positions, cache_seqlens,
@@ -173,6 +174,11 @@ class Model:
                 # sequence-parallel serving (parallel/sp.py): attention
                 # modules run their paged path as a shard_map island
                 ctx.extras["sp"] = (sp_mesh, sp_axis)
+            if ep_mesh is not None:
+                # expert-parallel decode: BlockSparseMLP runs its routed
+                # compute as a shard_map island over the expert-sharded
+                # stacked tensors (selected-expert kernel per shard + psum)
+                ctx.extras["ep"] = (ep_mesh, ep_axis)
             if mm_embeddings is not None:
                 ctx.extras["mm_embeddings"] = mm_embeddings
             if mrope_positions is not None:

@@ -406,13 +406,20 @@ class BlockSparseMLP(Module):
         if pes is not None:
             weights = weights * pes[None, :]
 
-        # routed compute, three bodies (same exact routing semantics):
+        # routed compute, four bodies (same exact routing semantics):
+        #   * EP shard_map island for decode under expert-parallel sharding —
+        #     each device runs the selected-expert kernel over only its
+        #     LOCALLY-RESIDENT routed experts, psum combines (the reference's
+        #     channel_unit="experts" EP, block_sparse_mlp.py:1556-1590)
         #   * grouped ragged-dot for prefill shapes (k/E of dense FLOPs)
         #   * selected-expert Pallas kernel for decode shapes — reads ONLY
         #     the k routed experts' weight bytes (reference exl3_moe.cu:
         #     at top-8-of-128 the dense-all path costs 16x the HBM traffic)
         #   * dense-all einsum (CPU / expert-parallel GSPMD fallback)
-        if T * self.top_k * 2 < T * self.num_experts and T >= 16:
+        ep = ctx.extras.get("ep")
+        if ep is not None and self._use_ep_kernel(T, ep[0], ep[1]):
+            out = self._ep_selected_experts(xt_exp, weights, p, *ep)
+        elif T * self.top_k * 2 < T * self.num_experts and T >= 16:
             out = self._grouped_experts(xt_exp, weights, p)
         elif self._use_selected_kernel(T):
             out = self._selected_experts(xt_exp, weights, p)
@@ -450,6 +457,86 @@ class BlockSparseMLP(Module):
                 and self.top_k < self.num_experts
                 and self.hidden_size % 128 == 0
                 and _pick_bi(self.hidden_size, self.intermediate_size) > 0)
+
+    def _use_ep_kernel(self, T: int, mesh, axis: str) -> bool:
+        from ..util.env import moe_backend
+        from ..ops.moe_gemm import _pick_bi
+
+        backend = moe_backend()
+        if getattr(self.config.infer_params, "moe_decode", "auto") == "dense":
+            backend = "dense"
+        D = mesh.shape[axis]
+        return (backend != "dense" and T <= 16
+                and self.num_experts % D == 0
+                and self.num_experts // D > 1
+                and self.hidden_size % 128 == 0
+                and _pick_bi(self.hidden_size, self.intermediate_size) > 0)
+
+    def _ep_selected_experts(self, xt, weights, p, mesh, axis: str):
+        """Expert-parallel decode: shard_map island over the `axis` mesh dim.
+
+        Each device holds E/D stacked experts (parallel/sharding.py P(axis))
+        and computes ONLY its locally-resident routed experts with the
+        selected-expert kernel, then one psum combines. Static shapes via a
+        capacity bound of k slots per device (a token's whole top-k could
+        land on one shard); non-routed slots carry weight 0 and DUPLICATE the
+        last routed expert's id, so the kernel's adjacent-duplicate DMA skip
+        (ops/moe_gemm.py) keeps per-device HBM traffic at the actually-routed
+        experts' bytes ~= shared + (k/E) x local expert bytes. Exact: every
+        selected (t, e) pair computes on e's owner exactly once.
+
+        Reference: EP distributes whole experts and each GPU runs only its
+        routed experts' GEMMs (block_sparse_mlp.py:1556-1590, exl3_moe.cu).
+        """
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = jax.shard_map
+        from ..util.env import moe_backend
+        from ..ops.moe_gemm import selected_expert_mlp
+
+        gk, uk, dk = self.keys_gud
+        gated = self.gated
+        T, E = weights.shape
+        D = mesh.shape[axis]
+        e_loc = E // D
+        k_loc = min(self.top_k, e_loc)
+        interpret = moe_backend() == "interpret"
+
+        wspec = P(axis, None, None)
+        bspec = P(axis, None)
+        args = [xt, weights, p["w_" + uk], p["w_" + dk]]
+        specs = [P(), P(), wspec, wspec]
+        opt_names = []
+        if gated:
+            args.append(p["w_" + gk]); specs.append(wspec)
+            opt_names.append("wg")
+        for bk in ("b_" + gk, "b_" + uk, "b_" + dk):
+            if bk in p and (bk != "b_" + gk or gated):
+                args.append(p[bk]); specs.append(bspec)
+                opt_names.append({"b_" + gk: "bg", "b_" + uk: "bu",
+                                  "b_" + dk: "bd"}[bk])
+
+        def body(xt_l, w_l, wu_l, wd_l, *opts):
+            kw = dict(zip(opt_names, opts))
+            d = jax.lax.axis_index(axis)
+            # local slice of the routing weights: experts [d*e_loc, (d+1)*e_loc)
+            w_local = jax.lax.dynamic_slice(w_l, (0, d * e_loc), (T, e_loc))
+            topv, topi = jax.lax.top_k(w_local, k_loc)  # zeros (dead) last
+            live = topv > 0
+            n_live = jnp.sum(live.astype(jnp.int32), axis=-1)
+            last = jnp.take_along_axis(
+                topi, jnp.maximum(n_live - 1, 0)[:, None], axis=1)
+            topi = jnp.where(live, topi, last)  # duplicates -> DMA skip
+            y = selected_expert_mlp(
+                xt_l, topi, topv, wu_l, wd_l, wg=kw.get("wg"),
+                bg=kw.get("bg"), bu=kw.get("bu"), bd=kw.get("bd"),
+                activation=self.activation, act_limit=self.act_limit,
+                act_clamp=self.act_clamp, interpret=interpret)
+            return jax.lax.psum(y, axis)
+
+        fn = shard_map(body, mesh=mesh, in_specs=tuple(specs),
+                       out_specs=P(), check_vma=False)
+        return fn(*args)
 
     def _selected_experts(self, xt, weights, p):
         """Decode: one Pallas launch reading only the routed experts' bytes

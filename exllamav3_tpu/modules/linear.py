@@ -8,8 +8,8 @@ TPU-native runtime representations for EXL3 tensors ("linear_mode"):
   * "reconstruct": keep the packed trellis; every forward decodes the full
     weight then matmuls (XLA fuses the Hadamards). Minimal HBM, VPU-heavy —
     used for golden tests and very low-memory configs.
-  * "bf16": decode once at load into a bf16 weight (原-basis). Fastest matmul,
-    2 bytes/weight.
+  * "bf16": decode once at load into a bf16 weight (original basis). Fastest
+    matmul, 2 bytes/weight.
   * "int8": decode once at load, requantize per-output-channel to int8 —
     1 byte/weight with negligible extra error below the trellis noise floor.
     Matmul runs through the fused Pallas dequant kernel (ops/q_matmul.py).

@@ -7,7 +7,7 @@ The dense-all einsum path (modules/block_sparse_mlp.py) reads every expert's
 bytes — at top-8-of-128 that is 16x the HBM traffic and therefore ~1/16 of
 the achievable decode speed.
 
-TPU design: one Pallas kernel, grid (T, k, i_blocks), fully sequential
+TPU design: one Pallas kernel, grid (T, i_blocks, k), fully sequential
 ("arbitrary"), with the routed expert ids riding SCALAR PREFETCH — the block
 index maps pick each grid step's weight tiles as wg/wu[topi[t, j], :, ib]
 and wd[topi[t, j], ib, :], so the pipeline DMAs exactly the selected
@@ -17,10 +17,14 @@ activation, and the (1, bi) @ (bi, h) down partial, accumulating
 topv[t, j] * y into the (T, h) f32 output block held in VMEM across the
 whole grid.
 
-This kernel serves SINGLE-DEVICE decode; under expert-parallel GSPMD
-sharding the stacked weights live split across the mesh and the dense-all /
-ragged-dot paths (which XLA partitions) apply — gate with
-InferParams.moe_decode="dense" or EXL3_TPU_MOE=dense.
+The entry (j) dimension is INNERMOST so that consecutive entries with the
+SAME expert id alias the same weight blocks — the Pallas pipeline skips the
+DMA when a block index repeats between adjacent grid steps. Expert-parallel
+callers exploit this: a shard's non-routed capacity slots carry weight 0 and
+duplicate the last routed expert's id, so each device's HBM traffic is its
+actually-routed experts' bytes, not the capacity bound
+(modules/block_sparse_mlp.py _ep_selected_experts; reference EP semantics:
+block_sparse_mlp.py:1556-1590 + exl3_moe.cu).
 """
 from __future__ import annotations
 
@@ -58,8 +62,8 @@ def _moe_kernel(topi_ref, x_ref, topv_ref, *refs, T, k, bi, gated,
         bd_ref = refs[i]; i += 1         # (1, h)
     out_ref = refs[i]
 
-    j = pl.program_id(1)
-    ib = pl.program_id(2)
+    ib = pl.program_id(1)
+    j = pl.program_id(2)
 
     # x/out/topv blocks are PER-T via their index maps (grid order keeps the
     # out block VMEM-resident across the whole (j, ib) loop for each t) —
@@ -132,22 +136,22 @@ def selected_expert_mlp(x, topi, topv, wu, wd, wg=None, bg=None, bu=None,
     has_gu_bias = bu is not None
     has_d_bias = bd is not None
 
-    def wtile(t, j, ib, topi_s):
+    def wtile(t, ib, j, topi_s):
         return (topi_s[t, j], 0, ib)
 
-    def dtile(t, j, ib, topi_s):
+    def dtile(t, ib, j, topi_s):
         return (topi_s[t, j], ib, 0)
 
-    def btile(t, j, ib, topi_s):
+    def btile(t, ib, j, topi_s):
         return (topi_s[t, j], 0, ib)
 
-    def dbias(t, j, ib, topi_s):
+    def dbias(t, ib, j, topi_s):
         return (topi_s[t, j], 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, h), lambda t, j, ib, s: (t, 0, 0),
+        pl.BlockSpec((1, 1, h), lambda t, ib, j, s: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1), lambda t, j, ib, s, _k=k: (t * _k + j, 0, 0),
+        pl.BlockSpec((1, 1, 1), lambda t, ib, j, s, _k=k: (t * _k + j, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [x.astype(jnp.bfloat16)[:, None, :],
@@ -180,9 +184,9 @@ def selected_expert_mlp(x, topi, topv, wu, wd, wg=None, bg=None, bu=None,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T, k, nib),
+        grid=(T, nib, k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, h), lambda t, j, ib, s: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, h), lambda t, ib, j, s: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(

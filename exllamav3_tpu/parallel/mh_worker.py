@@ -39,7 +39,12 @@ def main() -> None:
     from ..model import Cache, CacheSpec, Config, Model
     from ..generator import Generator, Job, GreedySampler
 
-    model = Model.from_config(Config.from_directory(model_dir))
+    from ..model import InferParams
+
+    # bf16 pinned: the dryrun compares tokens against a single-process run
+    # loaded with linear_mode="bf16" (auto would resolve by footprint)
+    model = Model.from_config(Config.from_directory(
+        model_dir, infer_params=InferParams(linear_mode="bf16")))
     model.load()
     mesh = multihost.global_sp_mesh()
     cache = Cache(model, CacheSpec(layout="paged",
