@@ -74,6 +74,11 @@ class Generator:
 
         self.decode_burst = max(1, env_int("EXL3TPU_DECODE_BURST",
                                            decode_burst))
+        # burst cap while prefill work exists (active chunks or queued jobs):
+        # prefill chunks dispatch asynchronously every host iteration, so a
+        # bounded burst trades a little TTFT for n-fold fewer host/tunnel
+        # round-trips under MIXED loads. EXL3TPU_PREFILL_BURST overrides.
+        self.prefill_burst = max(1, env_int("EXL3TPU_PREFILL_BURST", 4))
         # cache quantization defaults come from the cache's own spec; the
         # explicit args remain as an override
         # sequence-parallel serving: shard the paged cache's page dim over
@@ -311,7 +316,18 @@ class Generator:
             elif (self.draft_model is not None or self.use_ngram_draft) and greedy:
                 self._decode_batch_sd(running, results)
             else:
-                self._decode_batch(running, results)
+                # mixed load: burst the plain-job majority in one multi-step
+                # dispatch while host-coupled jobs (filters/bans/healing)
+                # step singly in a second dispatch — both update disjoint
+                # cache rows, so splitting is output-identical
+                single = [j for j in running if self._needs_single_step(j)]
+                if self.decode_burst > 1 and single and len(single) < len(running):
+                    plain = [j for j in running if not self._needs_single_step(j)]
+                    self._decode_batch(plain, results)
+                    self._decode_batch([j for j in single if j.status == "running"],
+                                       results)
+                else:
+                    self._decode_batch(running, results)
         if results and not self.active and not self.pending:
             self.defrag()  # queue drained (reference generator.py:444)
         return results
@@ -820,22 +836,31 @@ class Generator:
                 fn, donate_argnums=(2, 7), static_argnames=("n_steps",))
         return self._decode_fns[key]
 
+    @staticmethod
+    def _needs_single_step(job) -> bool:
+        """Jobs whose sampling needs the host between steps: constrained
+        decoding (filter masks are host-computed per step), banned-string
+        rewinds, per-step logits, pending token healing."""
+        return bool(job.filters or job.banned_strings or job.pos_bans
+                    or job.return_logits
+                    or (job.healing_prefix and not job.new_tokens))
+
     def _burst_n(self, jobs: list) -> int:
         """Decode-burst length for this iteration: >1 only when a multi-step
-        device scan is output-identical to stepping — no constrained
-        decoding (filter masks are host-computed per step), no banned-string
-        rewinds, no prefill work waiting on the host loop."""
+        device scan is output-identical to stepping for every job in this
+        batch (iterate() pre-splits mixed loads so the plain majority bursts
+        while host-coupled jobs step singly). While prefill work exists —
+        active chunks or queued jobs — the burst caps at prefill_burst:
+        chunks dispatch async each host iteration, so prefill still advances
+        while the plain jobs amortize the host/tunnel round-trip."""
         n = self.decode_burst
-        if n <= 1 or self.pending:
+        if n <= 1:
             return 1
-        for job in self.active:
-            if job.status == "prefill":
-                return 1  # keep TTFT: prefill advances every host iteration
         for job in jobs:
-            if (job.filters or job.banned_strings or job.pos_bans
-                    or job.return_logits
-                    or (job.healing_prefix and not job.new_tokens)):
+            if self._needs_single_step(job):
                 return 1
+        if self.pending or any(j.status == "prefill" for j in self.active):
+            n = min(n, self.prefill_burst)
         # always the FULL burst length: jobs hitting max_new mid-burst just
         # truncate (their row keeps stepping at no extra batch cost), and a
         # single static n_steps means ONE compiled scan per shape bucket

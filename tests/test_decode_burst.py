@@ -116,3 +116,61 @@ def test_burst_degrades_under_page_pressure(model):
     single = run(1)
     burst = run(8)
     assert burst == single
+
+
+def test_mixed_load_splits_plain_and_constrained(model):
+    """Round-4 mixed-load bursting: plain jobs burst while a host-coupled
+    job (return_logits) steps singly; outputs must equal the all-single-step
+    run."""
+    p1 = (np.arange(30) % 300 + 5).tolist()
+    p2 = (np.arange(45) % 200 + 9).tolist()
+    p3 = (np.arange(16) % 300 + 5).tolist()
+
+    def run(burst):
+        cache = Cache(model, CacheSpec(layout="paged", num_pages=24))
+        gen = Generator(model, cache, max_batch_size=4, decode_burst=burst)
+        jobs = [Job(np.asarray(p1), max_new_tokens=15, sampler=GreedySampler()),
+                Job(np.asarray(p2), max_new_tokens=15, sampler=GreedySampler()),
+                Job(np.asarray(p3), max_new_tokens=15, sampler=GreedySampler(),
+                    return_logits=True)]
+        for j in jobs:
+            gen.enqueue(j)
+        while gen.num_remaining_jobs():
+            gen.iterate()
+        return [list(j.new_tokens) for j in jobs]
+
+    single = run(1)
+    mixed = run(8)
+    assert mixed == single
+
+
+def test_burst_caps_while_prefill_pending(model):
+    """While prefill work exists the burst caps at prefill_burst instead of
+    dropping to 1 — and outputs still match single-step decode."""
+    pa = (np.arange(30) % 300 + 5).tolist()
+    pb = (np.arange(400) % 200 + 9).tolist()
+
+    def run(burst):
+        cache = Cache(model, CacheSpec(layout="paged", num_pages=24))
+        gen = Generator(model, cache, max_batch_size=2, decode_burst=burst,
+                        max_chunk_size=128)  # pb prefills over many chunks
+        ja = Job(np.asarray(pa), max_new_tokens=18, sampler=GreedySampler())
+        gen.enqueue(ja)
+        # prefill ja fully, then start decoding with jb's prefill in flight
+        while ja.status != "running":
+            gen.iterate()
+        jb = Job(np.asarray(pb), max_new_tokens=6, sampler=GreedySampler())
+        gen.enqueue(jb)
+        seen_cap = []
+        while gen.num_remaining_jobs():
+            running = [j for j in gen.active if j.status == "running"]
+            if running and any(j.status == "prefill" for j in gen.active):
+                seen_cap.append(gen._burst_n(running))
+            gen.iterate()
+        return list(ja.new_tokens), list(jb.new_tokens), seen_cap
+
+    a1, b1, _ = run(1)
+    a8, b8, caps = run(8)
+    assert (a8, b8) == (a1, b1)
+    # bursting continued under mixed load, capped at prefill_burst
+    assert caps and max(caps) > 1 and max(caps) <= 4
