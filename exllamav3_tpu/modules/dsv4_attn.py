@@ -503,6 +503,20 @@ class DSV4Attention(Module):
         sinks = params[self.key]["sinks"]                     # (H,)
         v_all = jnp.concatenate(vals, axis=1)
 
+        # CSA S>1 gather path (reference dsa_triton.py:626-848 kernels the
+        # whole selected-entry attention): per-query exact top-K entries
+        # gather compactly, so pool score/value tensors are (B, QB, K) —
+        # bounded by the selection width, independent of context length —
+        # instead of (B, H, QB, E_pool). Exact-k selection matches the
+        # decode kernel (differs from the dense >=threshold rule only on
+        # exact score ties). EXL3_TPU_DSV4_CSA=dense forces the dense path.
+        T_pool = pool_entries.shape[1] if pool_entries is not None else 0
+        K_sel = min(self.index_topk, T_pool) if T_pool else 0
+        csa_gather = (self.indexer is not None and S > 1 and K_sel
+                      and T_pool > 2 * K_sel
+                      and os.environ.get("EXL3_TPU_DSV4_CSA", "auto")
+                      != "dense")
+
         def _attend_rows(qf_b, qp_b, x_b, qres_b):
             """(B, QB, ...) query rows -> (B, QB, H, D) attended output."""
             QB = qf_b.shape[1]
@@ -511,28 +525,55 @@ class DSV4Attention(Module):
             s_win = jnp.einsum("bshd,btd->bhst", qf_b, win_k) * self.sm_scale
             s_win = jnp.where(mask_win[:, None], s_win, NEG_INF)
             parts = [s_win]
+            ent_sel = None
             if pool_entries is not None:
                 bound = (qp_b + 1) // m                       # (B, QB)
                 mask_pool = ent_ids[:, None, :] < bound[:, :, None]
                 if layer is None:
                     mask_pool &= emit[:, None, :]
-                s_pool = jnp.einsum("bshd,btd->bhst", qf_b, pf) \
-                    * self.sm_scale
-                if self.indexer is not None:
+                if csa_gather:
                     iscores = self._indexer_scores(
                         x_b, qres_b, ipool_entries, qp_b, params, ctx,
                         mask_pool)
-                    T_all = iscores.shape[-1]
-                    k = min(self.index_topk, T_all)
-                    thr = jax.lax.top_k(iscores, k)[0][..., -1:]
-                    mask_pool &= iscores >= thr
-                s_pool = jnp.where(mask_pool[:, None], s_pool, NEG_INF)
-                parts.append(s_pool)
+                    topv, topi = jax.lax.top_k(iscores, K_sel)  # (B, QB, K)
+                    sel_ok = topv > NEG_INF / 2
+                    ent_sel = pf[jnp.arange(B)[:, None, None], topi]
+                    s_pool = jnp.einsum("bqhd,bqkd->bhqk", qf_b, ent_sel) \
+                        * self.sm_scale
+                    s_pool = jnp.where(sel_ok[:, None], s_pool, NEG_INF)
+                    parts.append(s_pool)
+                else:
+                    s_pool = jnp.einsum("bshd,btd->bhst", qf_b, pf) \
+                        * self.sm_scale
+                    if self.indexer is not None:
+                        iscores = self._indexer_scores(
+                            x_b, qres_b, ipool_entries, qp_b, params, ctx,
+                            mask_pool)
+                        T_all = iscores.shape[-1]
+                        k = min(self.index_topk, T_all)
+                        # exact-k selection by scattered top-k indices —
+                        # matches the reference's dsa_topk kernel, the S=1
+                        # decode kernel, and the gather path (a >=threshold
+                        # rule would keep extra entries on exact score
+                        # ties, which relu-ed indexer scores hit often at 0)
+                        topv, topi = jax.lax.top_k(iscores, k)
+                        mask_k = jnp.zeros(iscores.shape, jnp.bool_).at[
+                            jnp.arange(B)[:, None, None],
+                            jnp.arange(QB)[None, :, None], topi].set(
+                            topv > NEG_INF / 2)
+                        mask_pool &= mask_k
+                    s_pool = jnp.where(mask_pool[:, None], s_pool, NEG_INF)
+                    parts.append(s_pool)
             scores = jnp.concatenate(parts, axis=-1)
             sink_col = jnp.broadcast_to(sinks[None, :, None, None],
                                         (B, H, QB, 1))
             scores = jnp.concatenate([scores, sink_col], axis=-1)
             p = jax.nn.softmax(scores, axis=-1)[..., :-1]
+            if ent_sel is not None:
+                t_win = win_k.shape[1]
+                out = jnp.einsum("bhst,btd->bshd", p[..., :t_win], win_k)
+                out += jnp.einsum("bhqk,bqkd->bqhd", p[..., t_win:], ent_sel)
+                return out
             return jnp.einsum("bhst,btd->bshd", p, v_all)
 
         qf = q.astype(jnp.float32)

@@ -190,3 +190,24 @@ def test_dsv4_qblock_chunking_exact(model, monkeypatch):
     monkeypatch.setenv("EXL3_TPU_DSV4_QBLOCK", "64")
     l_blk = np.asarray(model.forward_simple(ids))
     np.testing.assert_array_equal(l_full, l_blk)
+
+
+def test_dsv4_csa_gather_matches_dense(model, monkeypatch):
+    """S>1 CSA via per-query top-K entry gather (bounded pool tensors) must
+    match the dense masked-score path (reference dsa_triton.py:626-848; the
+    two differ only on exact indexer-score ties)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(3, 256, size=(2, 200)).astype(np.int32))
+
+    monkeypatch.setenv("EXL3_TPU_DSV4_CSA", "dense")
+    model._step_cache.clear()
+    l_dense = np.asarray(model.forward_simple(ids))
+
+    monkeypatch.setenv("EXL3_TPU_DSV4_CSA", "auto")
+    model._step_cache.clear()
+    l_gather = np.asarray(model.forward_simple(ids))
+    model._step_cache.clear()
+
+    np.testing.assert_allclose(l_gather, l_dense, rtol=2e-3, atol=2e-3)
