@@ -21,13 +21,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def kld(p_logits: np.ndarray, q_logits: np.ndarray) -> float:
+def kld_stats(p_logits: np.ndarray, q_logits: np.ndarray) -> dict:
+    """Per-token KLD distribution stats (eval/qbench.py-style mean/median/
+    p90 + confidence buckets: KLD split by the reference's top-1
+    probability, reference eval/qbench.py:11-35)."""
     def lsm(x):
         x = x - x.max(-1, keepdims=True)
         return x - np.log(np.exp(x).sum(-1, keepdims=True))
 
     lp, lq = lsm(p_logits.astype(np.float64)), lsm(q_logits.astype(np.float64))
-    return float(np.mean(np.sum(np.exp(lp) * (lp - lq), axis=-1)))
+    per_tok = np.sum(np.exp(lp) * (lp - lq), axis=-1).reshape(-1)
+    conf = np.exp(lp.max(-1)).reshape(-1)  # reference top-1 probability
+    buckets = {}
+    for name, lo, hi in (("low", 0.0, 0.5), ("mid", 0.5, 0.9),
+                         ("high", 0.9, 1.01)):
+        sel = (conf >= lo) & (conf < hi)
+        buckets[name] = float(np.mean(per_tok[sel])) if sel.any() else None
+    return {
+        "mean": float(np.mean(per_tok)),
+        "median": float(np.median(per_tok)),
+        "p90": float(np.percentile(per_tok, 90)),
+        "conf_buckets": buckets,
+    }
+
+
+def kld(p_logits: np.ndarray, q_logits: np.ndarray) -> float:
+    return kld_stats(p_logits, q_logits)["mean"]
 
 
 def sweep(src: str, work: str, bpws, rows=8, length=128, fast=True,
@@ -43,6 +62,7 @@ def sweep(src: str, work: str, bpws, rows=8, length=128, fast=True,
     ref = np.asarray(dense.forward_simple(ids))
 
     points = []
+    stats = []
     for bpw in bpws:
         dst = os.path.join(work, f"bpw_{bpw:.2f}")
         convert_model(src, dst, bpw=bpw, head_bits=max(4, int(bpw)),
@@ -51,9 +71,14 @@ def sweep(src: str, work: str, bpws, rows=8, length=128, fast=True,
         q = Model.from_config(Config.from_directory(
             dst, infer_params=InferParams(linear_mode="reconstruct")))
         q.load()
-        points.append([float(bpw), kld(ref, np.asarray(q.forward_simple(ids)))])
+        st = kld_stats(ref, np.asarray(q.forward_simple(ids)))
+        points.append([float(bpw), st["mean"]])
+        stats.append(dict(st, bpw=float(bpw)))
+        if verbose:
+            print(f" == bpw {bpw}: KLD mean {st['mean']:.5f} "
+                  f"median {st['median']:.5f} p90 {st['p90']:.5f}")
         del q
-    return points
+    return points, stats
 
 
 def main():
@@ -67,9 +92,10 @@ def main():
     p.add_argument("--full", action="store_true",
                    help="full quantizer (scale search on)")
     args = p.parse_args()
-    pts = sweep(args.model_dir, args.work_dir, args.bpw, rows=args.rows,
-                length=args.length, fast=not args.full, verbose=True)
-    print(json.dumps({"metric": "kld_vs_bpw", "points": pts}))
+    pts, stats = sweep(args.model_dir, args.work_dir, args.bpw,
+                       rows=args.rows, length=args.length,
+                       fast=not args.full, verbose=True)
+    print(json.dumps({"metric": "kld_vs_bpw", "points": pts, "stats": stats}))
 
 
 if __name__ == "__main__":

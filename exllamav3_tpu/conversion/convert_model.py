@@ -130,6 +130,43 @@ def convert_model(
             json.dump(job, f)
 
     t_start = time.time()
+    # one compiled advance per module STRUCTURE: transformer blocks of the
+    # same shape/config re-key their params onto the first such block's
+    # keys instead of paying a fresh (tens of seconds) XLA compile each —
+    # 12 identical-layer compiles dominated the 0.1b wall-clock
+    adv_cache: dict = {}
+
+    def _structure_sig(module, params):
+        mk = module.key
+        rel = lambda k: k[len(mk):] if mk and k.startswith(mk) else k
+        mods = tuple(
+            (rel(m.key), type(m).__name__,
+             getattr(m, "sliding_window", None),
+             getattr(m, "layer_type", None))
+            for m in module.walk())
+        tensors = tuple(sorted(
+            (rel(k), n, tuple(a.shape), str(a.dtype))
+            for k, g in params.items() for n, a in g.items()))
+        return (mods, tensors)
+
+    def _get_advance(module, params):
+        """-> (jitted fn, params remapped onto the compile-owner's keys)."""
+        sig = _structure_sig(module, params)
+        ent = adv_cache.get(sig)
+        mk = module.key
+        rel = lambda k: k[len(mk):] if mk and k.startswith(mk) else k
+        if ent is None:
+            def _advance(prm, st, pos):
+                return module.forward(st, prm, ForwardCtx(positions=pos))
+
+            ent = (jax.jit(_advance), mk)
+            adv_cache[sig] = ent
+            return ent[0], params
+        fn, base_key = ent
+        if base_key == mk:
+            return fn, params
+        return fn, {base_key + rel(k): g for k, g in params.items()}
+
     for mi, module, groups in plans:
         params: dict = {}
         module.load(params)  # loads dense weights (or passthrough modules)
@@ -148,11 +185,14 @@ def convert_model(
             # 1. capture Hessians (streamed over row chunks; HessianData
             # accumulates and drops non-finite tokens internally)
             capture: dict = {}
+            t_cap = time.time()
             for rows_c in live_row_chunks():
                 ctx = ForwardCtx(positions=jnp.asarray(positions[rows_c]),
                                  capture=capture)
                 x = module.forward(jnp.asarray(state[rows_c]), params, ctx)
                 del x
+            if verbose:
+                print(f" -- module {mi}: H capture {time.time()-t_cap:.1f}s")
 
             # 2. quantize each group (timed mid-module checkpoints: the
             # shard file + job_state rewrite whenever checkpoint_s elapses)
@@ -201,12 +241,28 @@ def convert_model(
             save_job()
 
         # 3. advance state with the (possibly quantized) module, streamed;
-        # rows that emerge non-finite are excluded from here on
+        # rows that emerge non-finite are excluded from here on. The advance
+        # needs no Hessian capture, so it runs as ONE jitted dispatch per
+        # chunk (shared across same-structure modules) instead of an eager
+        # per-op walk (each eager op pays a dispatch; ~35 ms over a tunnel).
         new_state = None
+        t_adv = time.time()
+        try:
+            adv_fn, adv_params = _get_advance(module, params)
+        except Exception:
+            adv_fn, adv_params = None, params
         for rows_c in live_row_chunks():
-            ctx = ForwardCtx(positions=jnp.asarray(positions[rows_c]))
-            out_c = np.asarray(jax.device_get(module.forward(
-                jnp.asarray(state[rows_c]), params, ctx)), dtype=np.float32)
+            try:
+                if adv_fn is None:
+                    raise TypeError
+                out_dev = adv_fn(adv_params, jnp.asarray(state[rows_c]),
+                                 jnp.asarray(positions[rows_c]))
+            except Exception:  # modules that resist tracing: eager fallback
+                adv_fn = None
+                out_dev = module.forward(
+                    jnp.asarray(state[rows_c]), params,
+                    ForwardCtx(positions=jnp.asarray(positions[rows_c])))
+            out_c = np.asarray(jax.device_get(out_dev), dtype=np.float32)
             if new_state is None:
                 new_state = np.zeros((B,) + out_c.shape[1:], np.float32)
             finite = np.isfinite(out_c).all(
@@ -223,6 +279,8 @@ def convert_model(
                 f"non-finite states (> 10%), aborting job. "
                 f"Rows: {sorted(bad_rows)}")
         state = new_state if new_state is not None else state
+        if verbose and has_linears:
+            print(f" -- module {mi}: advance {time.time()-t_adv:.1f}s")
 
     if verbose:
         print(f" -- quantization done in {time.time()-t_start:.0f}s; compiling")

@@ -31,6 +31,8 @@ the TPU answer to the reference's GEMM/GEMV/int8-GEMV CUDA kernel family.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -43,6 +45,45 @@ from ..quant.reconstruct import (
 )
 from ..quant.hadamard import had_right_jnp
 from ..loader.safetensors import bf16_to_f32
+
+
+@functools.lru_cache(maxsize=None)
+def _load_transform(mode: str, K: int, cb: int, bits: int = 0):
+    """ONE jitted trellis -> runtime-representation transform per mode.
+
+    Model load previously ran the reconstruct + requant/pack chain as eager
+    jnp ops — each op a separate dispatch, which across ~226 linears of an
+    8B model puts hundreds of tunnel round-trips on the load path (230 s
+    measured in BENCH_r02). Fusing the whole transform into one jit call
+    per (shape, mode) leaves exactly one dispatch per linear."""
+    from ..quant.reconstruct import reconstruct_full_jnp
+
+    if mode == "bf16":
+        def f(tr, suh, svh):
+            return reconstruct_full_jnp(tr, suh, svh, K, cb,
+                                        dtype=jnp.bfloat16)
+    elif mode == "int8":
+        def f(tr, suh, svh):
+            w = reconstruct_full_jnp(tr, suh, svh, K, cb, dtype=jnp.float32)
+            scale = jnp.max(jnp.abs(w), axis=0) / 127.0 + 1e-12
+            q = jnp.clip(jnp.round(w / scale[None, :]),
+                         -127, 127).astype(jnp.int8)
+            return q, scale.astype(jnp.float32)
+    elif mode == "int4":
+        from ..ops.q_matmul import int4_pack_jnp
+
+        def f(tr, suh, svh):
+            w = reconstruct_full_jnp(tr, suh, svh, K, cb, dtype=jnp.float32)
+            return int4_pack_jnp(w)
+    elif mode == "intb":
+        from ..ops.q_matmul import intb_pack_jnp
+
+        def f(tr, suh, svh):
+            w = reconstruct_full_jnp(tr, suh, svh, K, cb, dtype=jnp.float32)
+            return intb_pack_jnp(w, bits)
+    else:
+        raise ValueError(mode)
+    return jax.jit(f)
 
 
 class Linear(Module):
@@ -133,15 +174,9 @@ class Linear(Module):
             p["suh"] = jnp.asarray(suh)
             p["svh"] = jnp.asarray(svh)
         elif mode == "bf16":
-            w = reconstruct_full_jnp(
+            p["weight"] = _load_transform("bf16", self.K, self.cb)(
                 jnp.asarray(np.ascontiguousarray(trellis)),
-                jnp.asarray(suh),
-                jnp.asarray(svh),
-                self.K,
-                self.cb,
-                dtype=jnp.bfloat16,
-            )
-            p["weight"] = w
+                jnp.asarray(suh), jnp.asarray(svh))
         elif mode in ("int8", "int4", "int3", "int5", "int6"):
             # conversion-time serving tensors (Hessian-aware LDLQ codes in
             # the shared-rotated basis, convert.py --serving_bits) beat any
@@ -164,19 +199,15 @@ class Linear(Module):
                             p["bias"] = jnp.asarray(bias.astype(np.float32))
                         params[self.key] = p
                         return
-            w = reconstruct_full_jnp(
-                jnp.asarray(np.ascontiguousarray(trellis)),
-                jnp.asarray(suh),
-                jnp.asarray(svh),
-                self.K,
-                self.cb,
-                dtype=jnp.float32,
-            )
-            from ..ops.q_matmul import (INT4_GROUP, INTB_GROUP, int4_pack_jnp,
-                                        intb_pack_jnp)
+            from ..ops.q_matmul import INT4_GROUP
 
-            if mode == "int4" and w.shape[0] % (2 * INT4_GROUP) == 0:
-                packed, scale4 = int4_pack_jnp(w)
+            tr_d = jnp.asarray(np.ascontiguousarray(trellis))
+            suh_d = jnp.asarray(suh)
+            svh_d = jnp.asarray(svh)
+            k_rows = trellis.shape[0] * 16
+            if mode == "int4" and k_rows % (2 * INT4_GROUP) == 0:
+                packed, scale4 = _load_transform("int4", self.K, self.cb)(
+                    tr_d, suh_d, svh_d)
                 p["weight_q4"] = packed
                 p["scale4"] = scale4
             elif (mode in ("int3", "int5", "int6")
@@ -184,20 +215,20 @@ class Linear(Module):
                   # k-pad overhead dominates (W*group-1 rows worst case):
                   # they go int8 instead. EXL3TPU_INTB_MIN_K lowers the gate
                   # (quality evals on small synthetic models).
-                  and w.shape[0] >= _intb_min_k()):
+                  and k_rows >= _intb_min_k()):
                 bits = int(mode[3:])
-                packed, scaleb = intb_pack_jnp(w, bits)
+                packed, scaleb = _load_transform("intb", self.K, self.cb,
+                                                 bits)(tr_d, suh_d, svh_d)
                 p["weight_qb"] = packed
                 p["scale_qb"] = scaleb
                 self.qbits = bits
             else:
                 # int8, or layers whose in_features don't tile the int4
                 # groups (tiny heads): per-output-channel int8
-                scale = jnp.max(jnp.abs(w), axis=0) / 127.0 + 1e-12
-                q = jnp.clip(jnp.round(w / scale[None, :]),
-                             -127, 127).astype(jnp.int8)
+                q, scale = _load_transform("int8", self.K, self.cb)(
+                    tr_d, suh_d, svh_d)
                 p["weight_q"] = q
-                p["scale"] = scale.astype(jnp.float32)
+                p["scale"] = scale
         else:
             raise ValueError(f"unknown linear_mode {mode}")
         if bias is not None:

@@ -21,9 +21,11 @@ def test_kld_monotone_in_bpw(tmp_path):
                          num_q_heads=2, num_kv_heads=2)
     src = str(tmp_path / "dense")
     write_tiny_llama_dense(src, cfg, seed=13)
-    pts = bpw_sweep.sweep(src, str(tmp_path), [2.0, 3.25, 5.0],
-                          rows=4, length=48, fast=True, seed=4)
+    pts, stats = bpw_sweep.sweep(src, str(tmp_path), [2.0, 3.25, 5.0],
+                                 rows=4, length=48, fast=True, seed=4)
     klds = [k for _, k in pts]
+    assert all({"mean", "median", "p90", "conf_buckets"} <= set(s)
+               for s in stats)
     assert all(k >= 0 for k in klds)
     # strictly better at each step with real margins (2 -> 3.25 -> 5 bits)
     assert klds[1] < klds[0]
