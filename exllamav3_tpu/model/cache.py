@@ -105,10 +105,11 @@ def paged_cache_update(layer_state: dict, k_new, v_new, positions, block_tables,
     in_page = positions % PAGE_SIZE
     pages = jnp.take_along_axis(block_tables, page_slot, axis=1)  # (B, S)
     if k_bits:
-        from ..ops.kv_quant import quantize_kv
+        from ..ops.kv_quant import quantize_kv_stored
 
-        kq, ks = quantize_kv(k_new, k_bits, compand_a)
-        vq, vs = quantize_kv(v_new, v_bits, compand_a)
+        merged = layer_state["k_q"].ndim == 3
+        kq, ks = quantize_kv_stored(k_new, k_bits, merged, compand_a)
+        vq, vs = quantize_kv_stored(v_new, v_bits, merged, compand_a)
         return {
             "k_q": layer_state["k_q"].at[pages, in_page].set(kq),
             "k_s": layer_state["k_s"].at[pages, in_page].set(ks),

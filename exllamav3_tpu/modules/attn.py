@@ -438,7 +438,7 @@ class Attention(Module):
 
                     k_all, v_all = quant_cache_fetch(
                         layer_state, ctx.k_bits, ctx.v_bits,
-                        compand_a=ctx.compand_a)
+                        compand_a=ctx.compand_a, hk=self.num_kv_heads)
                 else:
                     k_all, v_all = layer_state["k"], layer_state["v"]
                 k_pos = jnp.broadcast_to(

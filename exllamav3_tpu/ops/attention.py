@@ -106,14 +106,17 @@ def attend_paged(
     """
     B, MP = block_tables.shape
     if quant_state is not None:
-        from .kv_quant import dequantize_kv
+        from .kv_quant import dequantize_kv_stored
 
-        k = dequantize_kv(quant_state["k_q"][block_tables],
-                          quant_state["k_s"][block_tables], k_bits,
-                          compand_a=compand_a)
-        v = dequantize_kv(quant_state["v_q"][block_tables],
-                          quant_state["v_s"][block_tables], v_bits,
-                          compand_a=compand_a)
+        merged = quant_state["k_q"].ndim == 3
+        hk = (quant_state["k_s"].shape[-1] // (q.shape[-1] // 32)
+              if merged else quant_state["k_q"].shape[-2])
+        k = dequantize_kv_stored(quant_state["k_q"][block_tables],
+                                 quant_state["k_s"][block_tables], k_bits,
+                                 hk, merged, compand_a=compand_a)
+        v = dequantize_kv_stored(quant_state["v_q"][block_tables],
+                                 quant_state["v_s"][block_tables], v_bits,
+                                 hk, merged, compand_a=compand_a)
     else:
         k = k_pages[block_tables]  # (B, MP, PAGE_SIZE, Hk, D)
         v = v_pages[block_tables]

@@ -127,6 +127,39 @@ def _field_shifts(D: int, bits: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _merged_scale_expand(D: int, bits: int, Hk: int,
+                         factor: float = 1.0) -> np.ndarray:
+    """(Hk*g, Hk*D) f32 expand for the MERGED-HEAD unpack: all heads'
+    packed words ride one dense 128-lane-wide view (T, Hk*gw), so the
+    repeat-widen produces lanes ordered (field j, head h, word wl); lane p
+    belongs to head (p %% (Hk*gw)) // gw, group (p %% gw) // bits.
+
+    Why merged: the per-head unpack operates on (T, gw) slices — gw = 16
+    lanes at 4 bits — so every op runs on 12.5%-full vector tiles. Measured
+    on v5e (tools/dequant_probe.py, 16k ctx, Hk=8): per-head 531 us vs
+    merged 264 us vs dense-bf16 fetch 298 us — the merged layout is what
+    makes quantized KV decode actually FASTER than bf16."""
+    g = D // 32
+    gw = g * bits
+    E = np.zeros((Hk * g, Hk * D), np.float32)
+    for p in range(Hk * D):
+        wlane = p % (Hk * gw)
+        h = wlane // gw
+        group = (wlane % gw) // bits
+        E[h * g + group, p] = factor
+    return E
+
+
+@functools.lru_cache(maxsize=None)
+def _merged_field_shifts(D: int, bits: int, Hk: int) -> np.ndarray:
+    """(1, Hk*D) uint32 per-lane shifts for the merged-head unpack: lane p
+    extracts field p // (Hk*gw) of word p %% (Hk*gw)."""
+    gw = (D // 32) * bits
+    return ((np.arange(Hk * D, dtype=np.uint32) // np.uint32(Hk * gw))
+            * np.uint32(bits))[None]
+
+
+@functools.lru_cache(maxsize=None)
 def _h_block(D: int) -> np.ndarray:
     """Block-diagonal normalized H32 over D channels (symmetric, H@H=I)."""
     from .kv_quant import _h32n
@@ -383,6 +416,116 @@ def _flash_kernel(
             o_ref[0] = o.reshape(Hb, QT, G, Dv).astype(o_ref.dtype)
 
 
+def _flash_kernel_merged(
+    # scalar prefetch: [bt?] [pidx?] pf pl
+    *refs,
+    layout: str,          # "paged" | "linear"
+    R: int,               # stacked score rows = Hk * S * G
+    DW: int,              # merged K lane width = Hk * D
+    DWv: int,             # merged V lane width = Hk * Dv
+    TB: int,
+    k_bits: int,
+    v_bits: int,
+    compand_a: float,
+    scale: float,
+    sliding_window: int,
+    logit_softcap: float,
+    has_sinks: bool,
+    return_stats: bool = False,
+    has_page_idx: bool = False,
+):
+    """MERGED-HEAD quantized decode/verify body: all KV heads' packed words
+    ride one dense lane dim, ONE unpack chain dequantizes every head, and a
+    block-structured Q (rows of head h carry q_h in head-h lanes, zeros
+    elsewhere) turns the per-head score loop into a single MXU call. The
+    output rides the same merged lanes; the caller extracts each row block's
+    own head lanes (see _merged_scale_expand for the measured motivation)."""
+    import jax.experimental.pallas as pl
+
+    i = 0
+    if layout == "paged":
+        bt_ref = refs[i]; i += 1
+        if has_page_idx:
+            pidx_ref = refs[i]; i += 1
+    pf_ref = refs[i]; i += 1
+    pl_ref = refs[i]; i += 1
+    qb_ref = refs[i]; i += 1         # (1, R, DW) block-structured queries
+    kq_ref = refs[i]; i += 1         # (1, TB, DW*k_bits//32)
+    ks_ref = refs[i]; i += 1         # (1, TB, DW//32)
+    vq_ref = refs[i]; i += 1
+    vs_ref = refs[i]; i += 1
+    qpos_ref = refs[i]; i += 1       # (1, R, 1)
+    sink_ref = refs[i]; i += 1       # (R, 1)
+    ematk_ref = refs[i]; i += 1      # (DW//32, DW)
+    shk_ref = refs[i]; i += 1        # (1, DW)
+    ematv_ref = refs[i]; i += 1
+    shv_ref = refs[i]; i += 1
+    o_ref = refs[i]; i += 1          # (1, R, DWv)
+    if return_stats:
+        ms_ref = refs[i]; i += 1     # (1, R, 1)
+        ls_ref = refs[i]; i += 1
+    m_ref, l_ref, acc_ref = refs[i], refs[i + 1], refs[i + 2]
+
+    b = pl.program_id(0)
+    p = pl.program_id(3)
+    num_p = pl.num_programs(3)
+
+    @pl.when(p == 0)
+    def _():
+        if has_sinks:
+            m_ref[:] = sink_ref[:].astype(jnp.float32)
+            l_ref[:] = jnp.ones_like(l_ref)
+        else:
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    in_range = (p >= pf_ref[b, 0]) & (p <= pl_ref[b, 0])
+
+    @pl.when(in_range)
+    def _():
+        qpos = qpos_ref[0]                          # (R, 1)
+        k = _dequant_rows(kq_ref[0], ks_ref[0], k_bits, ematk_ref[:],
+                          shk_ref[:], compand_a)    # (TB, DW)
+        v = _dequant_rows(vq_ref[0], vs_ref[0], v_bits, ematv_ref[:],
+                          shv_ref[:], compand_a)    # (TB, DWv)
+        s = jax.lax.dot_general(
+            qb_ref[0].astype(jnp.float32), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if logit_softcap:
+            s = jnp.tanh(s / logit_softcap) * logit_softcap
+        if has_page_idx:
+            lp = pidx_ref[b, p]
+        else:
+            lp = p
+        kp = lp * TB + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = kp <= qpos
+        if has_page_idx:
+            mask &= lp >= 0
+        if sliding_window:
+            mask &= kp > qpos - sliding_window
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        ps = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(ps, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            ps, v, preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(p == num_p - 1)
+    def _():
+        if return_stats:
+            o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+            ms_ref[0] = m_ref[:]
+            ls_ref[0] = l_ref[:]
+        else:
+            o = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+            o_ref[0] = o.astype(o_ref.dtype)
+
+
 # -- host-side wrapper ---------------------------------------------------------
 
 def _choose_blocks(S: int, G: int, Hk: int):
@@ -453,15 +596,42 @@ def flash_attention(
 
     B, S, Hq, D_in = q.shape
     mla = "kv" in layer_state or "kv_q" in layer_state
+    # merged-head storage (even bits, ops/kv_quant.merged_layout): packed
+    # words of all heads share one dense lane dim (P, TB, Hk*gw)
+    merged_storage = (not mla and k_bits > 0
+                      and layer_state["k_q"].ndim == 3)
     if mla:
         assert latent > 0
         Hk = 1
+    elif merged_storage:
+        Hk = layer_state["k_s"].shape[-1] // (D_in // 32)
     else:
         karr = layer_state["k"] if "k" in layer_state else layer_state["k_q"]
         Hk = karr.shape[2]
     G = Hq // Hk
     v_from_k = mla
     d_extra = 0
+
+    if merged_storage and (S > 32 or S * Hq > 256):
+        # prefill / large verify blocks: dequantize the pool with full-lane
+        # XLA ops (transient (P, TB, Hk, D) f32) and take the dense-bf16
+        # kernel path — the tall quantized in-kernel path would fetch and
+        # unpack per head on 12.5%-full tiles (see _merged_scale_expand)
+        from .kv_quant import dequantize_kv_stored
+
+        kd = dequantize_kv_stored(
+            layer_state["k_q"], layer_state["k_s"], k_bits, Hk, True,
+            jnp.float32, compand_a)
+        vd = dequantize_kv_stored(
+            layer_state["v_q"], layer_state["v_s"], v_bits, Hk, True,
+            jnp.float32, compand_a)
+        return flash_attention(
+            q, {"k": kd, "v": vd}, q_positions, total_lens,
+            block_tables=block_tables, page_indices=page_indices,
+            sinks=sinks, scale=scale, sliding_window=sliding_window,
+            logit_softcap=logit_softcap, k_bits=0, v_bits=0, latent=0,
+            compand_a=0.0, return_stats=return_stats, interpret=interpret,
+            out_dtype=out_dtype)
 
     # -- resolve K/V arrays + activation-side rotate/permute transforms -------
     mq = mo = None  # q-side and output-side (D, D)/(Dv, Dv) matrices
@@ -485,14 +655,16 @@ def flash_attention(
     else:
         if k_bits:
             k_inputs = (layer_state["k_q"], layer_state["k_s"])
-            D = layer_state["k_s"].shape[-1] * 32
+            D = layer_state["k_s"].shape[-1] * 32 // (Hk if merged_storage
+                                                      else 1)
             mq = _q_transform(D, k_bits, factor=fac_k)
         else:
             k_inputs = (layer_state["k"],)
             D = layer_state["k"].shape[-1]
         if v_bits:
             v_inputs = (layer_state["v_q"], layer_state["v_s"])
-            Dv = layer_state["v_s"].shape[-1] * 32
+            Dv = layer_state["v_s"].shape[-1] * 32 // (Hk if merged_storage
+                                                       else 1)
             mo = _out_transform(Dv, v_bits, factor=fac_v)
         else:
             v_inputs = (layer_state["v"],)
@@ -575,7 +747,12 @@ def flash_attention(
     else:
         sink_rows = jnp.zeros((Hk, QT * G, 1), jnp.float32)
 
-    # -- specs ----------------------------------------------------------------
+    # -- merged-head quantized decode/verify fast path -------------------------
+    # All heads' packed words ride ONE dense lane view so the unpack chain
+    # runs on full vector tiles (per-head gw-lane slices are 12.5%-full at 4
+    # bits; measured 2x on v5e — see _merged_scale_expand). Block-structured
+    # queries (row block h carries q_h in head-h lanes, zeros elsewhere)
+    # replace the per-head score loop with one MXU call.
     has_pidx = page_indices is not None
 
     def _teff(b, qt_, p, pf, pl_):
@@ -606,6 +783,135 @@ def flash_attention(
         if paged:
             return (bt[b, _teff(b, qt_, p, pf, pl_)], 0, hg)
         return (b, _teff(b, qt_, p, pf, pl_), hg)
+
+    R_m = Hk * S * G
+    if merged_storage:
+        # S<=32 guaranteed here (larger S took the dense-dequant path above)
+        assert Qb == 1 and R_m <= 256 and not flat_heads
+        g = D // 32
+        gw = g * k_bits
+        gv = Dv // 32
+        gwv = gv * v_bits
+        DW = Hk * D
+        DWv = Hk * Dv
+        DWq = Hk * gw
+        Rp = S * G
+
+        J = 32 // k_bits
+        qk_m = qk[:, :, :S].reshape(B, Hk, Rp, J, gw).astype(jnp.float32)
+        eye = jnp.asarray(np.eye(Hk, dtype=np.float32))
+        qb = jnp.einsum("bhrjw,hk->bhrjkw", qk_m, eye).reshape(
+            B, R_m, DW)
+
+        kq_m = layer_state["k_q"]
+        ks_m = layer_state["k_s"]
+        vq_m = layer_state["v_q"]
+        vs_m = layer_state["v_s"]
+
+        qpos_m = jnp.tile(pos_pad[:, :S].repeat(G, axis=1),
+                          (1, Hk))[..., None]            # (B, R_m, 1)
+        if has_sinks:
+            sink_m = jnp.broadcast_to(
+                sinks.astype(jnp.float32).reshape(Hk, 1, G),
+                (Hk, S, G)).reshape(R_m, 1)
+        else:
+            sink_m = jnp.zeros((R_m, 1), jnp.float32)
+
+        in_specs_m = [
+            pl.BlockSpec((1, R_m, DW), lambda b, hg, qt_, p, *s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, DWq), kidx_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, Hk * g), kidx_flat,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, Hk * gwv), kidx_flat,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, Hk * gv), kidx_flat,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_m, 1), lambda b, hg, qt_, p, *s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_m, 1), lambda b, hg, qt_, p, *s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        tensor_inputs_m = [qb, kq_m, ks_m, vq_m, vs_m, qpos_m, sink_m]
+        for arr in (_merged_scale_expand(D, k_bits, Hk),
+                    _merged_field_shifts(D, k_bits, Hk),
+                    _merged_scale_expand(Dv, v_bits, Hk),
+                    _merged_field_shifts(Dv, v_bits, Hk)):
+            in_specs_m.append(pl.BlockSpec(
+                arr.shape, lambda b, hg, qt_, p, *s: tuple(
+                    0 for _ in arr.shape), memory_space=pltpu.VMEM))
+            tensor_inputs_m.append(jnp.asarray(arr))
+
+        out_specs_m = pl.BlockSpec(
+            (1, R_m, DWv), lambda b, hg, qt_, p, *s: (b, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_shape_m = [jax.ShapeDtypeStruct((B, R_m, DWv), jnp.float32)]
+        if return_stats:
+            st_spec = pl.BlockSpec(
+                (1, R_m, 1), lambda b, hg, qt_, p, *s: (b, 0, 0),
+                memory_space=pltpu.VMEM)
+            out_specs_m = (out_specs_m, st_spec, st_spec)
+            out_shape_m += [jax.ShapeDtypeStruct((B, R_m, 1),
+                                                 jnp.float32)] * 2
+
+        grid_spec_m = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=(3 + int(has_pidx)) if paged else 2,
+            grid=(B, 1, 1, MPk),
+            in_specs=in_specs_m,
+            out_specs=out_specs_m,
+            scratch_shapes=[
+                pltpu.VMEM((R_m, 1), jnp.float32),
+                pltpu.VMEM((R_m, 1), jnp.float32),
+                pltpu.VMEM((R_m, DWv), jnp.float32),
+            ],
+        )
+        kernel_m = functools.partial(
+            _flash_kernel_merged,
+            layout="paged" if paged else "linear",
+            R=R_m, DW=DW, DWv=DWv, TB=TB,
+            k_bits=k_bits, v_bits=v_bits, compand_a=compand_a,
+            scale=scale, sliding_window=sliding_window,
+            logit_softcap=logit_softcap, has_sinks=has_sinks,
+            return_stats=return_stats, has_page_idx=has_pidx,
+        )
+        scalars_m = ((block_tables.astype(jnp.int32),) if paged else ())
+        if has_pidx:
+            scalars_m += (page_indices.astype(jnp.int32),)
+        scalars_m += (pf_arr, pl_arr)
+        res_m = pl.pallas_call(
+            kernel_m,
+            grid_spec=grid_spec_m,
+            out_shape=(tuple(out_shape_m) if return_stats
+                       else out_shape_m[0]),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*scalars_m, *tensor_inputs_m)
+
+        Jv = 32 // v_bits
+
+        def _fin_m(out_w):
+            # extract each row block's own head lanes (merged lane order is
+            # (field j, head h, word wl)), then un-permute + un-rotate
+            out6 = out_w.reshape(B, Hk, Rp, Jv, Hk, gwv)
+            out = jnp.einsum("bhrjkw,hk->bhrjw", out6, eye)
+            out = out.reshape(B, Hk, S, G, Dv).transpose(0, 2, 1, 3, 4)
+            out = out.reshape(B, S, Hq, Dv)
+            if mo is not None:
+                out = out @ jnp.asarray(mo)
+            return out
+
+        if not return_stats:
+            return _fin_m(res_m).astype(out_dtype)
+        acc_m, ms_m, ls_m = res_m
+        ms_m = ms_m.reshape(B, Hk, S, G).transpose(0, 2, 1, 3).reshape(
+            B, S, Hq)
+        ls_m = ls_m.reshape(B, Hk, S, G).transpose(0, 2, 1, 3).reshape(
+            B, S, Hq)
+        return _fin_m(acc_m), ms_m, ls_m
 
     def tb_spec(width):
         return pl.BlockSpec((1, TB, Hb, width), kidx,

@@ -217,9 +217,30 @@ def dequantize_kv(words: jnp.ndarray, scale: jnp.ndarray, bits: int,
     return _rotate_groups(xr, inverse=True).astype(dtype)
 
 
+def merged_layout(k_bits: int, v_bits: int) -> bool:
+    """Even bit-widths store MERGED: all heads' packed words share one dense
+    lane dim (N, T, Hk*gw) instead of (N, T, Hk, gw). A trailing dim of gw
+    (16 lanes at 4 bits, D=128) tiles to (8, 128) with 8x lane padding —
+    every XLA temp, DMA block, and VPU pass on the per-head layout pays it
+    (an OOM from 16x-padded reshape temps is how this was found). The
+    merged lanes are dense, and the group-major bit layout composes across
+    heads, so quantize_kv/dequantize_kv work on the merged view unchanged.
+    Odd widths (bit planes of differing widths per head) keep the per-head
+    layout and the per-head kernel path."""
+    return k_bits in (2, 4, 8) and v_bits in (2, 4, 8)
+
+
 def quant_cache_shapes(shape: tuple, k_bits: int, v_bits: int) -> dict:
-    """Zero-initialized quantized layer state for cache shape (N, T, Hk, D)."""
+    """Zero-initialized quantized layer state for cache shape (N, T, Hk, D).
+    Even bit-widths use the merged-head lane layout (see merged_layout)."""
     n, t, hk, d = shape
+    if merged_layout(k_bits, v_bits):
+        return {
+            "k_q": jnp.zeros((n, t, hk * d * k_bits // 32), dtype=jnp.int32),
+            "k_s": jnp.zeros((n, t, hk * d // GROUP), dtype=jnp.bfloat16),
+            "v_q": jnp.zeros((n, t, hk * d * v_bits // 32), dtype=jnp.int32),
+            "v_s": jnp.zeros((n, t, hk * d // GROUP), dtype=jnp.bfloat16),
+        }
     return {
         "k_q": jnp.zeros((n, t, hk, d * k_bits // 32), dtype=jnp.int32),
         "k_s": jnp.zeros((n, t, hk, d // GROUP), dtype=jnp.bfloat16),
@@ -228,13 +249,25 @@ def quant_cache_shapes(shape: tuple, k_bits: int, v_bits: int) -> dict:
     }
 
 
+def quantize_kv_stored(x: jnp.ndarray, bits: int, merged: bool,
+                       compand_a: float = 0.0):
+    """quantize_kv in the STORED layout: x (B, S, Hk, D) -> merged
+    (B, S, Hk*D*bits/32) when merged (full-lane packing ops), else the
+    per-head 4-D layout."""
+    if merged:
+        B, S, Hk, D = x.shape
+        return quantize_kv(x.reshape(B, S, Hk * D), bits, compand_a)
+    return quantize_kv(x, bits, compand_a)
+
+
 def quant_cache_update(layer_state: dict, k_new, v_new, positions, k_bits: int,
                        v_bits: int, compand_a: float = 0.0):
     """Scatter quantized (B, S, Hk, D) at token positions (linear layout)."""
     B = k_new.shape[0]
     b_idx = jnp.arange(B)[:, None]
-    kq, ks = quantize_kv(k_new, k_bits, compand_a)
-    vq, vs = quantize_kv(v_new, v_bits, compand_a)
+    merged = layer_state["k_q"].ndim == 3
+    kq, ks = quantize_kv_stored(k_new, k_bits, merged, compand_a)
+    vq, vs = quantize_kv_stored(v_new, v_bits, merged, compand_a)
     return {
         "k_q": layer_state["k_q"].at[b_idx, positions].set(kq),
         "k_s": layer_state["k_s"].at[b_idx, positions].set(ks),
@@ -243,9 +276,30 @@ def quant_cache_update(layer_state: dict, k_new, v_new, positions, k_bits: int,
     }
 
 
+def dequantize_kv_stored(words, scale, bits: int, hk: int, merged: bool,
+                         dtype=jnp.bfloat16, compand_a: float = 0.0):
+    """Dequantize from the STORED layout -> (..., Hk, D): merged arrays
+    dequantize on full lanes then split heads (a tile-aligned reshape);
+    per-head arrays pass through dequantize_kv directly."""
+    if merged:
+        flat = dequantize_kv(words, scale, bits, dtype, compand_a)
+        d = flat.shape[-1] // hk
+        return flat.reshape(flat.shape[:-1] + (hk, d))
+    return dequantize_kv(words, scale, bits, dtype, compand_a)
+
+
 def quant_cache_fetch(layer_state: dict, k_bits: int, v_bits: int,
-                      dtype=jnp.bfloat16, compand_a: float = 0.0):
-    """Dequantize the whole layer -> (k, v) full tensors."""
+                      dtype=jnp.bfloat16, compand_a: float = 0.0,
+                      hk: int = 0):
+    """Dequantize the whole layer -> (k, v) full (..., Hk, D) tensors.
+    `hk` is required for merged (3-D) storage to split the head dim."""
+    if layer_state["k_q"].ndim == 3:
+        assert hk > 0, "quant_cache_fetch on merged storage needs hk"
+        k = dequantize_kv_stored(layer_state["k_q"], layer_state["k_s"],
+                                 k_bits, hk, True, dtype, compand_a)
+        v = dequantize_kv_stored(layer_state["v_q"], layer_state["v_s"],
+                                 v_bits, hk, True, dtype, compand_a)
+        return k, v
     k = dequantize_kv(layer_state["k_q"], layer_state["k_s"], k_bits, dtype,
                       compand_a)
     v = dequantize_kv(layer_state["v_q"], layer_state["v_s"], v_bits, dtype,

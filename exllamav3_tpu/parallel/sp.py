@@ -122,11 +122,15 @@ def _sp_body_dense(q, positions, total_lens, bt, *kv_arrays, axis, scale,
     resident = owner == d                                   # (B, MP)
 
     if k_bits:
-        from ..ops.kv_quant import dequantize_kv
+        from ..ops.kv_quant import dequantize_kv_stored
 
         kq, ks, vq, vs = kv_arrays
-        k = dequantize_kv(kq[local], ks[local], k_bits, compand_a=compand_a)
-        v = dequantize_kv(vq[local], vs[local], v_bits, compand_a=compand_a)
+        merged = kq.ndim == 3
+        hk = ks.shape[-1] // (D // 32) if merged else kq.shape[-2]
+        k = dequantize_kv_stored(kq[local], ks[local], k_bits, hk, merged,
+                                 compand_a=compand_a)
+        v = dequantize_kv_stored(vq[local], vs[local], v_bits, hk, merged,
+                                 compand_a=compand_a)
     else:
         k_pages, v_pages = kv_arrays
         k = k_pages[local]                                  # (B, MP, PS, Hk, D)
@@ -201,10 +205,12 @@ def sp_paged_attend(q, layer_state, block_tables, positions, total_lens,
         body = partial(_sp_body_flash, interpret=(backend == "interpret"),
                        **common)
     rep = P()
-    page_spec = P(axis, None, None, None)
+    # shard the page dim; trailing dims follow each array's rank (merged
+    # quantized storage is 3-D, per-head storage 4-D)
     kw = dict(mesh=mesh,
               in_specs=(rep, rep, rep, rep)
-              + (page_spec,) * len(kv_arrays),
+              + tuple(P(axis, *([None] * (a.ndim - 1)))
+                      for a in kv_arrays),
               out_specs=rep)
     try:  # jax>=0.8 renamed check_rep -> check_vma
         f = shard_map(body, check_vma=False, **kw)

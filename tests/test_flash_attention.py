@@ -269,3 +269,144 @@ def test_return_stats_merge():
     acc = acc1 * c1[..., None] + acc2 * c2[..., None]
     got = np.asarray(acc / lg[..., None])
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("S,sliding,softcap,sinks", [
+    (1, 0, 0.0, False),
+    (1, 100, 0.0, True),
+    (4, 64, 20.0, True),
+])
+def test_merged_quantized_features(S, sliding, softcap, sinks):
+    """The merged-head quantized decode path (even bits, S<=32) must honor
+    sliding window / softcap / sinks exactly like the dense reference."""
+    rng = np.random.default_rng(12)
+    B, Hq, Hk, D, P = 2, 8, 2, 64, 6
+    kb = vb = 4
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)).astype(np.float32))
+    k_raw = rng.standard_normal((P, PAGE_SIZE, Hk, D)).astype(np.float32) * 0.3
+    v_raw = rng.standard_normal((P, PAGE_SIZE, Hk, D)).astype(np.float32) * 0.3
+    # MERGED storage (even bits): all heads' words share one dense lane dim
+    kq, ks = quantize_kv(jnp.asarray(k_raw.reshape(P, PAGE_SIZE, Hk * D)), kb)
+    vq, vs = quantize_kv(jnp.asarray(v_raw.reshape(P, PAGE_SIZE, Hk * D)), vb)
+    state = {"k_q": kq, "k_s": ks, "v_q": vq, "v_s": vs}
+    bt = np.array([[1, 2], [3, 0]], dtype=np.int32)
+    starts = np.array([300 - S + 1, 120 - S + 1], dtype=np.int32)
+    qpos = starts[:, None] + np.arange(S, dtype=np.int32)[None]
+    total = qpos[:, -1] + 1
+    scale = D ** -0.5
+    sink_arr = (jnp.asarray((rng.standard_normal(Hq) * 0.5).astype(np.float32))
+                if sinks else None)
+    kw = dict(scale=scale, sliding_window=sliding, logit_softcap=softcap,
+              sinks=sink_arr)
+
+    k_dq = dequantize_kv(kq, ks, kb, jnp.float32).reshape(
+        P, PAGE_SIZE, Hk, D)
+    v_dq = dequantize_kv(vq, vs, vb, jnp.float32).reshape(
+        P, PAGE_SIZE, Hk, D)
+    ref = _ref(q, _gather(k_dq, bt), _gather(v_dq, bt), qpos, total, **kw)
+    got = np.asarray(flash_attention(
+        q, state, jnp.asarray(qpos), jnp.asarray(total),
+        block_tables=jnp.asarray(bt), k_bits=kb, v_bits=vb,
+        interpret=True, **kw))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_merged_quantized_stats_linear():
+    """Merged path with return_stats on a LINEAR-layout quantized cache:
+    two disjoint halves must merge to the single-shot answer."""
+    rng = np.random.default_rng(13)
+    B, S, Hq, Hk, D, T = 2, 1, 8, 4, 64, 256
+    kb = vb = 8
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)).astype(np.float32))
+    k_raw = rng.standard_normal((B, T, Hk, D)).astype(np.float32) * 0.3
+    v_raw = rng.standard_normal((B, T, Hk, D)).astype(np.float32) * 0.3
+    kq, ks = quantize_kv(jnp.asarray(k_raw.reshape(B, T, Hk * D)), kb)
+    vq, vs = quantize_kv(jnp.asarray(v_raw.reshape(B, T, Hk * D)), vb)
+    qpos = np.array([[255], [200]], dtype=np.int32)
+    total = qpos[:, -1] + 1
+    scale = D ** -0.5
+
+    state = {"k_q": kq, "k_s": ks, "v_q": vq, "v_s": vs}
+    ref = np.asarray(flash_attention(
+        q, state, jnp.asarray(qpos), jnp.asarray(total), scale=scale,
+        k_bits=kb, v_bits=vb, interpret=True))
+
+    H = T // 2
+    st1 = {"k_q": kq[:, :H], "k_s": ks[:, :H],
+           "v_q": vq[:, :H], "v_s": vs[:, :H]}
+    st2 = {"k_q": kq[:, H:], "k_s": ks[:, H:],
+           "v_q": vq[:, H:], "v_s": vs[:, H:]}
+    acc1, m1, l1 = flash_attention(
+        q, st1, jnp.asarray(qpos), jnp.asarray(np.minimum(total, H)),
+        scale=scale, k_bits=kb, v_bits=vb, return_stats=True, interpret=True)
+    acc2, m2, l2 = flash_attention(
+        q, st2, jnp.asarray(qpos - H), jnp.asarray(total - H),
+        scale=scale, k_bits=kb, v_bits=vb, return_stats=True, interpret=True)
+
+    mg = jnp.maximum(m1, m2)
+    c1 = jnp.where(m1 <= -1e29, 0.0, jnp.exp(m1 - mg))
+    c2 = jnp.where(m2 <= -1e29, 0.0, jnp.exp(m2 - mg))
+    lg = l1 * c1 + l2 * c2
+    acc = acc1 * c1[..., None] + acc2 * c2[..., None]
+    got = np.asarray(acc / lg[..., None])
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_merged_prefill_dense_fallback():
+    """S>32 on merged storage dequantizes pool-wide and runs the dense
+    kernel; result must match the dequantize-then-attend reference."""
+    rng = np.random.default_rng(14)
+    B, S, Hq, Hk, D, P = 2, 64, 8, 2, 64, 8
+    kb = vb = 4
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)).astype(np.float32))
+    k_raw = rng.standard_normal((P, PAGE_SIZE, Hk, D)).astype(np.float32) * 0.3
+    v_raw = rng.standard_normal((P, PAGE_SIZE, Hk, D)).astype(np.float32) * 0.3
+    kq, ks = quantize_kv(jnp.asarray(k_raw.reshape(P, PAGE_SIZE, Hk * D)), kb)
+    vq, vs = quantize_kv(jnp.asarray(v_raw.reshape(P, PAGE_SIZE, Hk * D)), vb)
+    state = {"k_q": kq, "k_s": ks, "v_q": vq, "v_s": vs}
+    bt = np.array([[1, 2, 3], [4, 5, 0]], dtype=np.int32)
+    starts = np.array([256, 100], dtype=np.int32)
+    qpos = starts[:, None] + np.arange(S, dtype=np.int32)[None]
+    total = qpos[:, -1] + 1
+    scale = D ** -0.5
+
+    k_dq = dequantize_kv(kq, ks, kb, jnp.float32).reshape(
+        P, PAGE_SIZE, Hk, D)
+    v_dq = dequantize_kv(vq, vs, vb, jnp.float32).reshape(
+        P, PAGE_SIZE, Hk, D)
+    ref = _ref(q, _gather(k_dq, bt), _gather(v_dq, bt), qpos, total,
+               scale=scale)
+    got = np.asarray(flash_attention(
+        q, state, jnp.asarray(qpos), jnp.asarray(total),
+        block_tables=jnp.asarray(bt), scale=scale, k_bits=kb, v_bits=vb,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_merged_vs_legacy_storage_parity():
+    """The merged (3-D) and per-head (4-D) storage layouts hold identical
+    numerics: decode through each kernel path must agree bit-for-bit-ish."""
+    rng = np.random.default_rng(15)
+    B, S, Hq, Hk, D, P = 2, 1, 8, 2, 64, 4
+    kb = vb = 4
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)).astype(np.float32))
+    k_raw = rng.standard_normal((P, PAGE_SIZE, Hk, D)).astype(np.float32) * 0.3
+    v_raw = rng.standard_normal((P, PAGE_SIZE, Hk, D)).astype(np.float32) * 0.3
+    kq4, ks4 = quantize_kv(jnp.asarray(k_raw), kb)
+    vq4, vs4 = quantize_kv(jnp.asarray(v_raw), vb)
+    kq3, ks3 = quantize_kv(
+        jnp.asarray(k_raw.reshape(P, PAGE_SIZE, Hk * D)), kb)
+    vq3, vs3 = quantize_kv(
+        jnp.asarray(v_raw.reshape(P, PAGE_SIZE, Hk * D)), vb)
+    bt = np.array([[1, 2], [3, 0]], dtype=np.int32)
+    qpos = np.array([[300], [120]], dtype=np.int32)
+    total = qpos[:, -1] + 1
+    kw = dict(block_tables=jnp.asarray(bt), scale=D ** -0.5, k_bits=kb,
+              v_bits=vb, interpret=True)
+    legacy = np.asarray(flash_attention(
+        q, {"k_q": kq4, "k_s": ks4, "v_q": vq4, "v_s": vs4},
+        jnp.asarray(qpos), jnp.asarray(total), **kw))
+    merged = np.asarray(flash_attention(
+        q, {"k_q": kq3, "k_s": ks3, "v_q": vq3, "v_s": vs3},
+        jnp.asarray(qpos), jnp.asarray(total), **kw))
+    np.testing.assert_allclose(merged, legacy, rtol=1e-5, atol=1e-5)
