@@ -126,6 +126,11 @@ def shard_cache_state(state: dict, mesh: Mesh) -> dict:
                 spec = P()
             elif arr.ndim == 4:  # (B|P, T, Hk, D): kv heads on tp
                 spec = P(None, None, "tp", None)
+            elif arr.ndim == 3 and name in ("k_q", "k_s", "v_q", "v_s"):
+                # merged-head quantized storage (B|P, T, Hk*gw): lanes are
+                # head-major, so contiguous tp chunks land on head
+                # boundaries — the same head sharding as the 4-D layout
+                spec = P(None, None, "tp")
             else:
                 spec = P()
             spec = _fit_spec(spec, arr.shape, mesh)
