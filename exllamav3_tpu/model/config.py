@@ -35,6 +35,11 @@ class InferParams:
     # GSPMD sharding, where XLA partitions the einsum). EXL3_TPU_MOE
     # overrides (util/env.py).
     moe_decode: str = "auto"
+    # host-offload MoE expert stacks (capacity mode, reference
+    # moe_cpu_host.py): experts requantize to host-RAM int8 and compute on
+    # the CPU threadpool via a pure_callback inside the traced step; the
+    # device keeps router + shared experts + all dense/attention tensors
+    moe_offload: bool = False
     max_chunk_size: int = 2048
     activation_dtype: str = "bfloat16"
     # fuse q/k/v and gate/up into single matmuls at load (the reference's

@@ -19,6 +19,9 @@ def add_args(p: argparse.ArgumentParser, cache: bool = True, draft: bool = True,
                    choices=["auto", "fused", "int3", "int4", "int5", "int6",
                             "int8", "bf16", "reconstruct"],
                    help="EXL3 runtime representation")
+    p.add_argument("--moe_offload", action="store_true",
+                   help="host-offload MoE expert stacks to CPU RAM as int8 "
+                        "(capacity mode; reference moe_cpu_host.py)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel ways (mesh)")
     p.add_argument("--dp", type=int, default=1, help="data-parallel ways (mesh)")
     p.add_argument("--sp", type=int, default=1,
@@ -90,7 +93,9 @@ def init(args, load: bool = True):
     from .constants import PAGE_SIZE
 
     config = Config.from_directory(
-        args.model_dir, infer_params=InferParams(linear_mode=args.linear_mode)
+        args.model_dir, infer_params=InferParams(
+            linear_mode=args.linear_mode,
+            moe_offload=getattr(args, "moe_offload", False))
     )
     if getattr(args, "override", None):
         config.stc = _apply_overrides(config.stc, args.override)

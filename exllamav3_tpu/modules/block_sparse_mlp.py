@@ -122,6 +122,9 @@ class BlockSparseMLP(Module):
             [self.shared_gate] if self.shared_gate else []) + [
             m for m in (shared_experts_post_norm, router_pre_norm,
                         routed_pre_norm, routed_post_norm) if m]
+        # host-offloaded experts (capacity mode): set by load() when
+        # infer_params.moe_offload is on — model/moe_host.py layer index
+        self.offload_lidx: int | None = None
         # expert Linears exist as loaders only; forward uses stacked params
         self._expert_linears = []
         for e in range(num_experts):
@@ -193,10 +196,28 @@ class BlockSparseMLP(Module):
             name = lin.key.rsplit(".", 1)[-1]
             stacked.setdefault(name, []).append(w)
             tmp.pop(lin.key, None)
+        gk, uk, dk = self.keys_gud
+        if getattr(self.config.infer_params, "moe_offload", False):
+            self._offload_register(
+                np.stack(stacked[gk]) if self.gated else None,
+                np.stack(stacked[uk]), np.stack(stacked[dk]))
+            params[self.key] = {}
+            return
         p = {}
         for name, ws in stacked.items():
             p["w_" + name] = jnp.asarray(np.stack(ws), dtype=jnp.bfloat16)
         params[self.key] = p
+
+    def _offload_register(self, wg, wu, wd, bg=None, bu=None, bd=None):
+        """Requantize the (E, in, out) f32 expert stacks to host int8 and
+        register them with model/moe_host.py; the device keeps only the
+        router (+ shared experts). Reference capability:
+        moe_cpu_host.py (CPU-offloaded experts)."""
+        from ..model import moe_host
+
+        self.offload_lidx = moe_host.register_layer(
+            wg, wu, wd, bg=bg, bu=bu, bd=bd, activation=self.activation,
+            act_limit=self.act_limit, act_clamp=self.act_clamp)
 
     def _load_split_experts(self, params: dict) -> None:
         """gpt-oss dense layout: experts.gate_up_proj (E, h, 2i) with gate/up
@@ -227,24 +248,29 @@ class BlockSparseMLP(Module):
             wg, wu = gu[..., :i], gu[..., i:]
         wd = read_split(self.key_down_split)
         gk, uk, dk = self.keys_gud
+        gub = _get_f32(stc, f"{self.key}.{self.key_gate_up_split}_bias",
+                       optional=True)
+        bg = bu = None
+        if gub is not None:
+            if self.gate_up_interleaved:
+                bg, bu = gub[..., 0::2], gub[..., 1::2]
+            else:
+                i = gub.shape[-1] // 2
+                bg, bu = gub[..., :i], gub[..., i:]
+        bd = _get_f32(stc, f"{self.key}.{self.key_down_split}_bias",
+                      optional=True)
+        if getattr(self.config.infer_params, "moe_offload", False):
+            self._offload_register(wg, wu, wd, bg=bg, bu=bu, bd=bd)
+            params.setdefault(self.key, {})
+            return
         p = params.get(self.key, {})
         p["w_" + gk] = jnp.asarray(wg, dtype=jnp.bfloat16)
         p["w_" + uk] = jnp.asarray(wu, dtype=jnp.bfloat16)
         p["w_" + dk] = jnp.asarray(wd, dtype=jnp.bfloat16)
-        gub = _get_f32(stc, f"{self.key}.{self.key_gate_up_split}_bias",
-                       optional=True)
-        if gub is not None:
-            if self.gate_up_interleaved:
-                p["b_" + gk], p["b_" + uk] = (jnp.asarray(gub[..., 0::2]),
-                                              jnp.asarray(gub[..., 1::2]))
-            else:
-                i = gub.shape[-1] // 2
-                p["b_" + gk], p["b_" + uk] = (jnp.asarray(gub[..., :i]),
-                                              jnp.asarray(gub[..., i:]))
-        db = _get_f32(stc, f"{self.key}.{self.key_down_split}_bias",
-                      optional=True)
-        if db is not None:
-            p["b_" + dk] = jnp.asarray(db)
+        if bg is not None:
+            p["b_" + gk], p["b_" + uk] = jnp.asarray(bg), jnp.asarray(bu)
+        if bd is not None:
+            p["b_" + dk] = jnp.asarray(bd)
         params[self.key] = p
 
     # -- routing ---------------------------------------------------------------
@@ -417,7 +443,9 @@ class BlockSparseMLP(Module):
         #     at top-8-of-128 the dense-all path costs 16x the HBM traffic)
         #   * dense-all einsum (CPU / expert-parallel GSPMD fallback)
         ep = ctx.extras.get("ep")
-        if ep is not None and self._use_ep_kernel(T, ep[0], ep[1]):
+        if self.offload_lidx is not None:
+            out = self._host_offload_experts(xt_exp, weights)
+        elif ep is not None and self._use_ep_kernel(T, ep[0], ep[1]):
             out = self._ep_selected_experts(xt_exp, weights, p, *ep)
         elif T * self.top_k * 2 < T * self.num_experts and T >= 16:
             out = self._grouped_experts(xt_exp, weights, p)
@@ -537,6 +565,27 @@ class BlockSparseMLP(Module):
         fn = shard_map(body, mesh=mesh, in_specs=tuple(specs),
                        out_specs=P(), check_vma=False)
         return fn(*args)
+
+    def _host_offload_experts(self, xt, weights):
+        """Capacity mode: routed experts live in host RAM as int8 stacks
+        (model/moe_host.py) and compute on the native threadpool; the traced
+        step reaches them through jax.pure_callback (XLA's device->host->
+        device edge — the GSPMD-era stand-in for the reference's pinned-SHM
+        job ring, moe_cpu_host.py:20-37). The callback is pure in its inputs
+        (the registry is frozen after load), so it is legal under jit, scan
+        (decode bursts) and checkpointing."""
+        from ..model import moe_host
+
+        lidx = self.offload_lidx
+        topv, topi = jax.lax.top_k(weights, self.top_k)
+
+        def cb(x_np, ti_np, tv_np):
+            return moe_host.forward(lidx, x_np, ti_np, tv_np)
+
+        return jax.pure_callback(
+            cb, jax.ShapeDtypeStruct((xt.shape[0], self.hidden_size),
+                                     jnp.float32),
+            xt.astype(jnp.float32), topi, topv)
 
     def _selected_experts(self, xt, weights, p):
         """Decode: one Pallas launch reading only the routed experts' bytes

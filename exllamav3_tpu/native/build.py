@@ -49,6 +49,14 @@ def get_lib():
         lib.sam_draft.argtypes = [ctypes.c_void_p, ctypes.c_int32,
                                   ctypes.c_int32, ctypes.c_void_p]
         lib.sam_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "moe_ffn_int8"):
+            lib.moe_ffn_int8.argtypes = (
+                [ctypes.c_void_p] * 3          # x, topi, topv
+                + [ctypes.c_void_p] * 9        # wg/sg/bg, wu/su/bu, wd/sd/bd
+                + [ctypes.c_void_p]            # out
+                + [ctypes.c_int] * 4           # T, k, h, inter
+                + [ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int]
+            )
         _lib = lib
         return _lib
 

@@ -309,3 +309,209 @@ void viterbi_quantize_tiles(const float* tiles, const float* dec_table,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CPU MoE expert FFN for host-offloaded experts.
+//
+// TPU-native counterpart of the reference's CPU MoE offload (feature
+// reference: /root/reference/exllamav3/model/moe_cpu_host.py:20-37 +
+// exllamav3_ext/cpu/moe_mul1.cpp:33-49). The reference's worker decodes
+// trellis ("mul1") weights on the fly with AVX-512 VNNI; here host-resident
+// experts are stored REQUANTIZED to int8 with per-output-row scales — the
+// same representation the on-device serving ladder uses — so the GEMV is a
+// plain s8·s8→s32 dot that g++ autovectorizes for whatever ISA -march=native
+// exposes, and weight bytes stream row-major (near-sequential DRAM reads,
+// the reference's own banding lesson).
+//
+// Stage A computes act(x·Wg)·(x·Wu) for every live (token, slot) job into a
+// staging buffer, stage B the down projection; both parallelize over
+// (job, output-block) pairs on the shared pool with no atomics; the final
+// routed-weight combine is serial over T·k jobs (negligible).
+
+namespace {
+
+inline float act_silu(float v) { return v / (1.0f + std::exp(-v)); }
+inline float act_gelu_erf(float v) {
+    return 0.5f * v * (1.0f + std::erf(v * 0.70710678118654752f));
+}
+inline float act_gelu_tanh(float v) {
+    float c = 0.7978845608028654f * (v + 0.044715f * v * v * v);
+    return 0.5f * v * (1.0f + std::tanh(c));
+}
+inline float act_relu2(float v) { float r = v > 0 ? v : 0; return r * r; }
+
+inline float apply_act(int kind, float v) {
+    switch (kind) {
+        case 1: return act_gelu_erf(v);
+        case 2: return act_gelu_tanh(v);
+        case 3: return act_relu2(v);
+        default: return act_silu(v);
+    }
+}
+
+// int8 dot with int32 accumulation (k up to ~2^16 is safe: |a·b| <= 127*127
+// per lane, 2^14 bits needed at k=65536 < 2^31)
+inline int32_t dot_s8(const int8_t* a, const int8_t* b, int n) {
+    int32_t acc = 0;
+    for (int j = 0; j < n; ++j) acc += (int32_t)a[j] * (int32_t)b[j];
+    return acc;
+}
+
+inline void quantize_row_s8(const float* src, int8_t* dst, int n, float& scale) {
+    float amax = 1e-8f;
+    for (int j = 0; j < n; ++j) { float v = std::fabs(src[j]); if (v > amax) amax = v; }
+    scale = amax / 127.0f;
+    float inv = 127.0f / amax;
+    for (int j = 0; j < n; ++j) {
+        float v = src[j] * inv;
+        dst[j] = (int8_t)(v >= 0 ? v + 0.5f : v - 0.5f);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// x (T,h) f32; topi/topv (T,k); wg/wu (E,i,h) int8 + sg/su (E,i) f32 row
+// scales (wg null => non-gated); wd (E,h,i) int8 + sd (E,h); optional biases
+// bg/bu (E,i), bd (E,h). act_kind: 0 silu / 1 gelu / 2 gelu_tanh / 3 relu2 /
+// 4 silu_oai(limit). act_clamp != 0 applies the clamped combine
+// (min(act(g),C) * clip(u,-C,C), reference activation_kernels.cuh act_mul).
+// out (T,h) f32 is ACCUMULATED into (+=): the caller zeroes or pre-fills.
+void moe_ffn_int8(
+    const float* x, const int32_t* topi, const float* topv,
+    const int8_t* wg, const float* sg, const float* bg,
+    const int8_t* wu, const float* su, const float* bu,
+    const int8_t* wd, const float* sd, const float* bd,
+    float* out, int T, int k, int h, int inter,
+    int act_kind, float act_limit, float act_clamp, int threads) {
+    const int gated = wg != nullptr;
+    // live jobs: (t, slot) with topv > 0
+    std::vector<int> jt, js;
+    jt.reserve((size_t)T * k); js.reserve((size_t)T * k);
+    for (int t = 0; t < T; ++t)
+        for (int s = 0; s < k; ++s)
+            if (topv[(size_t)t * k + s] != 0.0f) { jt.push_back(t); js.push_back(s); }
+    const int J = (int)jt.size();
+    if (J == 0) return;
+
+    // per-token int8 activations
+    std::vector<int8_t> x8((size_t)T * h);
+    std::vector<float> qx(T);
+    for (int t = 0; t < T; ++t)
+        quantize_row_s8(x + (size_t)t * h, x8.data() + (size_t)t * h, h, qx[t]);
+
+    std::vector<float> a((size_t)J * inter);   // staged act(g)*u
+    auto& tp = pool(threads);
+
+    // stage A: gate/up GEMV + activation, parallel over (job, row-block)
+    const int RB = 512;
+    const int nb_a = (inter + RB - 1) / RB;
+    {
+        std::atomic<int> next{0};
+        int total = J * nb_a;
+        int nw = g_pool_threads;
+        std::atomic<int> done{0};
+        std::mutex m; std::condition_variable cv;
+        auto work = [&] {
+            for (;;) {
+                int idx = next.fetch_add(1);
+                if (idx >= total) break;
+                int j = idx / nb_a, blk = idx % nb_a;
+                int t = jt[j], e = topi[(size_t)t * k + js[j]];
+                int r0 = blk * RB, r1 = std::min(inter, r0 + RB);
+                const int8_t* x8t = x8.data() + (size_t)t * h;
+                const float q = qx[t];
+                const int8_t* wue = wu + (size_t)e * inter * h;
+                const float* sue = su + (size_t)e * inter;
+                const int8_t* wge = gated ? wg + (size_t)e * inter * h : nullptr;
+                const float* sge = gated ? sg + (size_t)e * inter : nullptr;
+                float* arow = a.data() + (size_t)j * inter;
+                for (int r = r0; r < r1; ++r) {
+                    float uv = dot_s8(x8t, wue + (size_t)r * h, h) * (q * sue[r]);
+                    if (bu) uv += bu[(size_t)e * inter + r];
+                    float av;
+                    if (!gated) {
+                        av = apply_act(act_kind, uv);
+                    } else {
+                        float gv = dot_s8(x8t, wge + (size_t)r * h, h) * (q * sge[r]);
+                        if (bg) gv += bg[(size_t)e * inter + r];
+                        if (act_kind == 4) {
+                            // gpt-oss silu_oai: clamp then (u+1)*g*sigmoid(1.702 g)
+                            float gc = std::min(gv, act_limit);
+                            float uc = std::max(std::min(uv, act_limit), -act_limit);
+                            av = (uc + 1.0f) * gc / (1.0f + std::exp(-gc * 1.702f));
+                        } else if (act_clamp != 0.0f) {
+                            float ga = std::min(apply_act(act_kind, gv), act_clamp);
+                            float uc = std::max(std::min(uv, act_clamp), -act_clamp);
+                            av = ga * uc;
+                        } else {
+                            av = apply_act(act_kind, gv) * uv;
+                        }
+                    }
+                    arow[r] = av;
+                }
+            }
+            {
+                std::lock_guard<std::mutex> lk(m);
+                if (++done == nw) cv.notify_all();
+            }
+        };
+        for (int i = 0; i < nw; ++i) tp.submit(work);
+        std::unique_lock<std::mutex> lk(m);
+        cv.wait(lk, [&] { return done == nw; });
+    }
+
+    // quantize staged rows, stage B: down GEMV, parallel over (job, col-block)
+    std::vector<int8_t> a8((size_t)J * inter);
+    std::vector<float> qa(J);
+    for (int j = 0; j < J; ++j)
+        quantize_row_s8(a.data() + (size_t)j * inter,
+                        a8.data() + (size_t)j * inter, inter, qa[j]);
+    std::vector<float> y((size_t)J * h);
+    {
+        const int nb_b = (h + RB - 1) / RB;
+        std::atomic<int> next{0};
+        int total = J * nb_b;
+        int nw = g_pool_threads;
+        std::atomic<int> done{0};
+        std::mutex m; std::condition_variable cv;
+        auto work = [&] {
+            for (;;) {
+                int idx = next.fetch_add(1);
+                if (idx >= total) break;
+                int j = idx / nb_b, blk = idx % nb_b;
+                int t = jt[j], e = topi[(size_t)t * k + js[j]];
+                int c0 = blk * RB, c1 = std::min(h, c0 + RB);
+                const int8_t* a8j = a8.data() + (size_t)j * inter;
+                const float q = qa[j];
+                const int8_t* wde = wd + (size_t)e * h * inter;
+                const float* sde = sd + (size_t)e * h;
+                float* yrow = y.data() + (size_t)j * h;
+                for (int c = c0; c < c1; ++c) {
+                    float v = dot_s8(a8j, wde + (size_t)c * inter, inter) * (q * sde[c]);
+                    if (bd) v += bd[(size_t)e * h + c];
+                    yrow[c] = v;
+                }
+            }
+            {
+                std::lock_guard<std::mutex> lk(m);
+                if (++done == nw) cv.notify_all();
+            }
+        };
+        for (int i = 0; i < nw; ++i) tp.submit(work);
+        std::unique_lock<std::mutex> lk(m);
+        cv.wait(lk, [&] { return done == nw; });
+    }
+
+    // serial routed-weight combine
+    for (int j = 0; j < J; ++j) {
+        int t = jt[j];
+        float w = topv[(size_t)t * k + js[j]];
+        const float* yrow = y.data() + (size_t)j * h;
+        float* orow = out + (size_t)t * h;
+        for (int c = 0; c < h; ++c) orow[c] += w * yrow[c];
+    }
+}
+
+}  // extern "C"
