@@ -75,7 +75,7 @@ def _want(section: str) -> bool:
     return section in {s.strip() for s in spec.split(",")}
 
 
-BUDGET_S = float(os.environ.get("EXL3TPU_BENCH_BUDGET_S", "1200"))
+BUDGET_S = float(os.environ.get("EXL3TPU_BENCH_BUDGET_S", "1800"))
 _T_START = time.time()
 
 
@@ -91,7 +91,8 @@ def _emit(tok_s, roofline_tok_s, detail, final=False):
     d = dict(detail)
     d["total_bench_s"] = round(time.time() - _T_START, 1)
     if not final:
-        d["note"] = "early line; a final enriched line follows if budget allows"
+        d["note"] = ("incremental line (re-emitted after each section; the "
+                     "last line printed is the one to parse)")
     print(json.dumps({
         "metric": "decode_tok_s",
         "value": round(tok_s, 2),
@@ -267,6 +268,7 @@ def main():
         if on_tpu and _want("batch8") and _left() > 120:
             detail["batch8_decode_tok_s"] = round(
                 8 * measure_decode(model, 8, decode_steps), 2)
+            _emit(tok_s, roofline_tok_s, detail)
 
         if on_tpu and _want("prefill") and _left() > 90:
             # prefill 2048 (flash prefill kernel, linear layout)
@@ -290,7 +292,10 @@ def main():
             detail["prefill_tok_s_2048"] = round(Sp / max(best - rtt, 1e-6), 2)
             del cache_p
             gc.collect()
+            _emit(tok_s, roofline_tok_s, detail)
 
+        if on_tpu and _want("serving") and _left() <= 240:
+            detail["serving_skipped"] = "bench budget exhausted"
         if on_tpu and _want("serving") and _left() > 240:
             # -- serving: continuous batching, paged cache, mixed load ------------
             from exllamav3_tpu.generator import Generator, Job, GreedySampler
@@ -335,6 +340,7 @@ def main():
                                       "over N tokens once prefill drains")
             del gen, cache_g
             gc.collect()
+            _emit(tok_s, roofline_tok_s, detail)
 
     if on_tpu and run_primary:
         model = None  # free the int8 weights before the remaining sections
@@ -361,6 +367,7 @@ def main():
                 child = json.loads(lines_out[-1])["detail"]
                 for key, val in child.items():
                     detail.setdefault(key, val)
+                _emit(tok_s, roofline_tok_s, detail)
             except Exception as e:
                 detail[f"{sec}_error"] = (
                     f"subprocess: {type(e).__name__}: {e}"[:200])
