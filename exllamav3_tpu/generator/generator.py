@@ -849,17 +849,21 @@ class Generator:
         """Decode-burst length for this iteration: >1 only when a multi-step
         device scan is output-identical to stepping for every job in this
         batch (iterate() pre-splits mixed loads so the plain majority bursts
-        while host-coupled jobs step singly). While prefill work exists —
-        active chunks or queued jobs — the burst caps at prefill_burst:
-        chunks dispatch async each host iteration, so prefill still advances
-        while the plain jobs amortize the host/tunnel round-trip."""
+        while host-coupled jobs step singly). While prefill chunks are IN
+        FLIGHT the burst caps at prefill_burst: chunks dispatch async each
+        host iteration, so prefill still advances while the plain jobs
+        amortize the host/tunnel round-trip. Merely-queued jobs do NOT cap
+        the burst — iterate() admits before decoding, so a still-pending job
+        means admission is blocked (no slot or no pages) and prefill could
+        not advance this iteration anyway; capping for it only throws away
+        burst amortization at full batch (saturated serving's steady state)."""
         n = self.decode_burst
         if n <= 1:
             return 1
         for job in jobs:
             if self._needs_single_step(job):
                 return 1
-        if self.pending or any(j.status == "prefill" for j in self.active):
+        if any(j.status == "prefill" for j in self.active):
             n = min(n, self.prefill_burst)
         # always the FULL burst length: jobs hitting max_new mid-burst just
         # truncate (their row keeps stepping at no extra batch cost), and a
