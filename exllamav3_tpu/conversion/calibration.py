@@ -2,24 +2,48 @@
 
 Feature reference: /root/reference/exllamav3/conversion/calibration_data.py
 (bundled corpus mix: c4/code/multilingual/technical/wiki/tiny + random rows
-with weights 20/20/10/10/50/5/20). This environment has no egress to bundle
-real corpora, so:
+with weights 20/20/10/10/50/5/20). Three tiers, best available wins:
 
   * `text_files` accepts a WEIGHTED mix — entries are paths or
     "path:weight" strings (or (path, weight) tuples); rows are drawn from
     each source proportionally, at random offsets (the reference samples
     rows, it does not chunk sequentially).
-  * without files, rows synthesize a mixed distribution from several
-    generators that exercise different Hessian structures the way the
-    reference's corpus categories do: zipfian draws (natural-frequency
-    text), uniform random, low-entropy repetitive spans (code-like), and
-    repeated short motifs (tiny-corpus-like).
+  * without files, a VENDORED real-text mix (cal_data/: English prose,
+    Python source, technical documentation, CJK text, tiny seed — built
+    offline by tools/build_cal_data.py from redistributable local text) is
+    used whenever a tokenizer is available, with weights mirroring the
+    reference's category ratios, plus the reference's share of random rows.
+  * without a tokenizer (purely synthetic models), rows synthesize a mixed
+    distribution from several generators that exercise different Hessian
+    structures the way the corpus categories do: zipfian draws (natural-
+    frequency text), uniform random, low-entropy repetitive spans
+    (code-like), and repeated short motifs (tiny-corpus-like).
 """
 from __future__ import annotations
 
 import os
 
 import numpy as np
+
+_CAL_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "cal_data")
+# mirrors the reference's weights with english covering c4+wiki (20+50),
+# random rows keep their 20 share via the synthetic fill below
+_BUNDLED_MIX = (("english.utf8", 70.0), ("code.utf8", 20.0),
+                ("technical.utf8", 10.0), ("multilingual.utf8", 10.0),
+                ("tiny.utf8", 5.0))
+_RANDOM_SHARE = 20.0 / (70 + 20 + 10 + 10 + 5 + 20)
+
+
+def bundled_text_files() -> list | None:
+    """The vendored real-text mix as (path, weight) entries, or None when
+    the data files are absent (EXL3TPU_NO_CAL_DATA=1 also disables)."""
+    if os.environ.get("EXL3TPU_NO_CAL_DATA"):
+        return None
+    out = [(os.path.join(_CAL_DATA_DIR, name), w)
+           for name, w in _BUNDLED_MIX
+           if os.path.exists(os.path.join(_CAL_DATA_DIR, name))]
+    return out or None
 
 
 def _parse_sources(text_files) -> list:
@@ -77,6 +101,14 @@ def get_calibration(
     rng = np.random.default_rng(seed)
     chunks: list[np.ndarray] = []
 
+    rows_from_text = rows
+    if text_files is None and tokenizer is not None:
+        # prefer the vendored real-text mix; keep the reference's random-row
+        # share as synthetic fill (calibration_data.py random rows)
+        text_files = bundled_text_files()
+        if text_files is not None:
+            rows_from_text = rows - int(round(rows * _RANDOM_SHARE))
+
     sources = _parse_sources(text_files)
     if sources:
         total_w = sum(w for _, w in sources)
@@ -87,7 +119,7 @@ def get_calibration(
             ids = np.asarray(tokenizer.encode(text)).reshape(-1)
             toks.append((ids, w))
         for ids, w in toks:
-            n = max(1, int(round(rows * w / total_w)))
+            n = max(1, int(round(rows_from_text * w / total_w)))
             if ids.size <= length:
                 reps = int(np.ceil((length + 1) / ids.size))
                 ids = np.tile(ids, reps)

@@ -865,10 +865,23 @@ class Generator:
                 return 1
         if any(j.status == "prefill" for j in self.active):
             n = min(n, self.prefill_burst)
-        # always the FULL burst length: jobs hitting max_new mid-burst just
+        # normally the FULL burst length: jobs hitting max_new mid-burst just
         # truncate (their row keeps stepping at no extra batch cost), and a
         # single static n_steps means ONE compiled scan per shape bucket
-        # instead of one per remaining-budget value
+        # instead of one per remaining-budget value. Exception: when jobs are
+        # QUEUED and some active job will hit max_new inside the burst, its
+        # slot frees mid-burst but admission waits for the scan to return —
+        # cap at the next power of two >= the smallest remaining budget so a
+        # finishing job releases its slot promptly (bounded compile count:
+        # only pow2 n_steps values ever compile).
+        if self.pending:
+            rem = min((j.max_new_tokens - len(j.new_tokens) for j in jobs),
+                      default=n)
+            if rem < n:
+                m = 1
+                while m < rem:
+                    m *= 2
+                n = min(n, m)
         return n
 
     def _decode_batch(self, jobs: list, results: list):

@@ -122,6 +122,11 @@ class Model:
         ip = self.config.infer_params
         if ip.linear_mode == "auto" and self.config.stc is not None:
             ip.linear_mode = select_linear_mode(self.config)
+        if getattr(ip, "moe_offload", False):
+            # reload replaces (not accumulates) this config's host expert RAM
+            from . import moe_host
+
+            moe_host.release(id(self.config))
         params: dict = {}
         n = len(self.modules)
         for i, m in enumerate(self.modules):
@@ -134,6 +139,10 @@ class Model:
     def unload(self):
         self.params = None
         self._step_cache.clear()
+        if getattr(self.config.infer_params, "moe_offload", False):
+            from . import moe_host
+
+            moe_host.release(id(self.config))
 
     # -- forward --------------------------------------------------------------
 

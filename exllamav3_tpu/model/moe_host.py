@@ -48,7 +48,11 @@ class _HostLayer:
         self.inter, self.h = wu.shape[1], wu.shape[2]
 
 
-_layers: list[_HostLayer] = []
+# layer index -> _HostLayer; indices are never reused within a process so a
+# compiled step's baked-in lidx stays valid for the owning model's lifetime
+_layers: dict[int, _HostLayer] = {}
+_owners: dict[int, list[int]] = {}  # owner key (id(config)) -> layer indices
+_next_idx = 0
 _lock = threading.Lock()
 
 
@@ -64,10 +68,11 @@ def quantize_experts(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def register_layer(wg, wu, wd, bg=None, bu=None, bd=None,
                    activation: str = "silu", act_limit: float = 7.0,
-                   act_clamp: float = 0.0) -> int:
+                   act_clamp: float = 0.0, owner: int | None = None) -> int:
     """Quantize + stash one MoE layer's expert stacks ((E, in, out) f32 each;
     wg None for non-gated experts). Returns the layer index the forward
-    callback uses."""
+    callback uses. `owner` (e.g. id(config)) groups layers so release(owner)
+    frees a model's host RAM on unload/reload instead of accumulating."""
     def q(w):
         return quantize_experts(np.asarray(w, dtype=np.float32)) \
             if w is not None else (None, None)
@@ -81,20 +86,33 @@ def register_layer(wg, wu, wd, bg=None, bu=None, bd=None,
 
     lay = _HostLayer(qg, sg, f32(bg), qu, su, f32(bu), qd, sd, f32(bd),
                      activation, float(act_limit), float(act_clamp))
+    global _next_idx
     with _lock:
-        _layers.append(lay)
-        return len(_layers) - 1
+        idx = _next_idx
+        _next_idx += 1
+        _layers[idx] = lay
+        if owner is not None:
+            _owners.setdefault(owner, []).append(idx)
+        return idx
+
+
+def release(owner: int):
+    """Drop every layer registered under `owner` (model unload / reload)."""
+    with _lock:
+        for idx in _owners.pop(owner, ()):
+            _layers.pop(idx, None)
 
 
 def reset():
     """Drop every registered layer (tests / model reloads)."""
     with _lock:
         _layers.clear()
+        _owners.clear()
 
 
 def host_ram_bytes() -> int:
     tot = 0
-    for l in _layers:
+    for l in _layers.values():
         for a in (l.wg, l.wu, l.wd, l.sg, l.su, l.sd, l.bg, l.bu, l.bd):
             if a is not None:
                 tot += a.nbytes

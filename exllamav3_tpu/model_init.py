@@ -92,6 +92,13 @@ def init(args, load: bool = True):
     from .model import Config, Model, InferParams, Cache, CacheSpec
     from .constants import PAGE_SIZE
 
+    if getattr(args, "moe_offload", False) and (
+            getattr(args, "tp", 1) * getattr(args, "dp", 1) > 1):
+        # the host callback executes per shard with locally-sharded operands
+        # but a global result shape under GSPMD — offload is single-device
+        # capacity mode (the reference's CPU host is likewise per-process)
+        raise ValueError("--moe_offload is a single-device capacity mode and "
+                         "cannot be combined with --tp/--dp > 1")
     config = Config.from_directory(
         args.model_dir, infer_params=InferParams(
             linear_mode=args.linear_mode,

@@ -217,7 +217,8 @@ class BlockSparseMLP(Module):
 
         self.offload_lidx = moe_host.register_layer(
             wg, wu, wd, bg=bg, bu=bu, bd=bd, activation=self.activation,
-            act_limit=self.act_limit, act_clamp=self.act_clamp)
+            act_limit=self.act_limit, act_clamp=self.act_clamp,
+            owner=id(self.config))
 
     def _load_split_experts(self, params: dict) -> None:
         """gpt-oss dense layout: experts.gate_up_proj (E, h, 2i) with gate/up
@@ -444,6 +445,12 @@ class BlockSparseMLP(Module):
         #   * dense-all einsum (CPU / expert-parallel GSPMD fallback)
         ep = ctx.extras.get("ep")
         if self.offload_lidx is not None:
+            if ep is not None:
+                # pure_callback under a partitioned step would run per shard
+                # with local operands against a global result shape
+                raise RuntimeError(
+                    "moe_offload cannot run inside an expert-parallel step "
+                    "(single-device capacity mode); load without ep_mesh")
             out = self._host_offload_experts(xt_exp, weights)
         elif ep is not None and self._use_ep_kernel(T, ep[0], ep[1]):
             out = self._ep_selected_experts(xt_exp, weights, p, *ep)

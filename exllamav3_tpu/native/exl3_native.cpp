@@ -362,10 +362,10 @@ inline void quantize_row_s8(const float* src, int8_t* dst, int n, float& scale) 
     for (int j = 0; j < n; ++j) { float v = std::fabs(src[j]); if (v > amax) amax = v; }
     scale = amax / 127.0f;
     float inv = 127.0f / amax;
-    for (int j = 0; j < n; ++j) {
-        float v = src[j] * inv;
-        dst[j] = (int8_t)(v >= 0 ? v + 0.5f : v - 0.5f);
-    }
+    // round-half-to-even to stay bit-identical with the numpy fallback's
+    // np.rint (exact-tie values otherwise differ by one int8 step)
+    for (int j = 0; j < n; ++j)
+        dst[j] = (int8_t)std::nearbyintf(src[j] * inv);
 }
 
 }  // namespace

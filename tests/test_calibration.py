@@ -54,3 +54,19 @@ def test_string_weight_spec_and_bos(tmp_path, tok):
                           text_files=[f"{a}:2"], seed=3)
     assert cal.shape == (4, 16)
     assert (cal[:, 0] == 7).all()  # bos stamped
+
+
+def test_bundled_real_text_default(tok, monkeypatch):
+    """With a tokenizer and no explicit text_files, the vendored real-text
+    mix (conversion/cal_data/) is used; EXL3TPU_NO_CAL_DATA reverts to the
+    synthetic generators."""
+    from exllamav3_tpu.conversion.calibration import bundled_text_files
+
+    files = bundled_text_files()
+    assert files, "vendored cal_data missing"
+    assert any("english" in p for p, _ in files)
+    real = get_calibration(tok, rows=10, length=48, seed=4)
+    monkeypatch.setenv("EXL3TPU_NO_CAL_DATA", "1")
+    synth = get_calibration(tok, rows=10, length=48, seed=4)
+    assert real.shape == synth.shape == (10, 48)
+    assert not np.array_equal(real, synth)

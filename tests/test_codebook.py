@@ -1,5 +1,8 @@
 """Codebook decode: numpy golden vs a direct bit-level reimplementation, and
 jnp vs numpy equality over the full 16-bit code space."""
+import pytest
+
+pytestmark = pytest.mark.fast
 import numpy as np
 import jax.numpy as jnp
 

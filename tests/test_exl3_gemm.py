@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from exllamav3_tpu.quant.reconstruct import exl3_matmul_ref_jnp
 from exllamav3_tpu.quant.codebook import CB_3INST, CB_MCG, CB_MUL1
 from exllamav3_tpu.ops.exl3_gemm import (

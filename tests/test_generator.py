@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3, tiny_llama_cfg
 from exllamav3_tpu.model import Config, Model, InferParams, Cache, CacheSpec
 from exllamav3_tpu.generator.generator import Generator

@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from exllamav3_tpu.ops.kv_quant import quantize_kv, dequantize_kv
 from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3
 from exllamav3_tpu.model import Config, Model, InferParams, Cache, CacheSpec

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3, tiny_llama_cfg
 from exllamav3_tpu.model import Config, Model, Cache, CacheSpec, InferParams
 from exllamav3_tpu.modules.module import ForwardCtx

@@ -1,9 +1,12 @@
 """GSPMD sharding: multichip forward on the 8-device CPU mesh matches the
 single-device result."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+pytestmark = pytest.mark.fast
 
 from exllamav3_tpu.conversion.synth import write_tiny_llama_exl3, tiny_llama_cfg
 from exllamav3_tpu.model import Config, Model, InferParams, Cache, CacheSpec
