@@ -171,11 +171,20 @@ def main():
         write_tiny_llama_exl3(d, cfg, K=4, seed=0)
 
     # measured tunnel RTT (subtracted from single-dispatch timings)
-    rtt = float("inf")
-    for i in range(5):
-        t0 = time.time()
-        np.asarray(jnp.zeros((2,)) + i)
-        rtt = min(rtt, time.time() - t0)
+    _rtt_ctr = [0]
+
+    def _rtt_probe(n=5) -> float:
+        """Best-of-n tunnel round-trip; inputs vary so the relay's
+        execution cache cannot serve a stale result."""
+        best = float("inf")
+        for _ in range(n):
+            _rtt_ctr[0] += 1
+            t0 = time.time()
+            np.asarray(jnp.zeros((2,)) + _rtt_ctr[0])
+            best = min(best, time.time() - t0)
+        return best
+
+    rtt = _rtt_probe()
 
     B = 1
     S = 128
@@ -265,6 +274,84 @@ def main():
             # even if the rest of the bench is killed at the driver budget
             _emit(tok_s, roofline_tok_s, detail)
 
+        if on_tpu and _want("serving") and _left() <= 240:
+            detail["serving_skipped"] = "bench budget exhausted"
+        if on_tpu and _want("serving") and _left() > 240:
+            # -- serving: continuous batching, paged cache, mixed load.
+            # Runs FIRST among the optional sections (BENCH_r04 starved the
+            # headline sections), with a tunnel-health check: a serving
+            # number recorded while the axon tunnel is flapping is a
+            # measurement of the tunnel, not the framework — retry once,
+            # and mark the section degraded rather than report it silently.
+            from exllamav3_tpu.generator import Generator, Job, GreedySampler
+
+            def run_serving():
+                cache_g = Cache(model, CacheSpec(layout="paged", num_pages=48))
+                gen = Generator(model, cache_g, max_batch_size=8)
+                rng = np.random.default_rng(2)
+
+                def mk_jobs(n):
+                    jobs = []
+                    for i in range(n):
+                        plen = int(rng.integers(600, 900))
+                        prompt = rng.integers(3, cfg["vocab_size"], size=plen)
+                        jobs.append(Job(prompt, max_new_tokens=64,
+                                        sampler=GreedySampler(), identifier=i))
+                    return jobs
+
+                # warmup round compiles the prefill/decode bucket shapes so
+                # TTFT measures serving, not XLA compilation
+                for j in mk_jobs(9):
+                    gen.enqueue(j)
+                while gen.pending or gen.active:
+                    gen.iterate()
+
+                jobs = mk_jobs(12)
+                t_serve0 = time.time()
+                for j in jobs:
+                    gen.enqueue(j)
+                ttfts, total_new = [], 0
+                while gen.pending or gen.active:
+                    for ev in gen.iterate():
+                        if ev["stage"] == "finished":
+                            ttfts.append(ev["ttft_s"])
+                            total_new += ev["generated_tokens"]
+                t_serve = time.time() - t_serve0
+                res = {
+                    "serving_p50_ttft_s": round(float(np.percentile(ttfts, 50)), 3),
+                    "serving_p95_ttft_s": round(float(np.percentile(ttfts, 95)), 3),
+                    "serving_throughput_tok_s": round(total_new / t_serve, 2),
+                    "serving_decode_burst": gen.decode_burst,
+                }
+                del gen, cache_g
+                gc.collect()
+                return res
+
+            def sv_degraded(res, rtt_after):
+                return (rtt_after > max(5 * rtt, 0.25)
+                        or res["serving_p95_ttft_s"]
+                        > 6 * max(res["serving_p50_ttft_s"], 1e-9))
+
+            try:
+                sv = run_serving()
+                rtt_after = _rtt_probe(3)
+                if sv_degraded(sv, rtt_after) and _left() > 180:
+                    detail["serving_first_attempt"] = dict(
+                        sv, rtt_after_ms=round(rtt_after * 1e3, 1))
+                    sv = run_serving()  # warm retry
+                    rtt_after = _rtt_probe(3)
+                if sv_degraded(sv, rtt_after):
+                    sv["serving_degraded"] = True
+                    sv["serving_rtt_after_ms"] = round(rtt_after * 1e3, 1)
+                detail.update(sv)
+                detail["serving_note"] = (
+                    "host loop crosses the axon tunnel every iteration; "
+                    "decode bursts amortize it over N tokens once prefill "
+                    "drains")
+            except Exception as e:
+                detail["serving_error"] = f"{type(e).__name__}: {e}"[:200]
+            _emit(tok_s, roofline_tok_s, detail)
+
         if on_tpu and _want("batch8") and _left() > 120:
             detail["batch8_decode_tok_s"] = round(
                 8 * measure_decode(model, 8, decode_steps), 2)
@@ -294,66 +381,30 @@ def main():
             gc.collect()
             _emit(tok_s, roofline_tok_s, detail)
 
-        if on_tpu and _want("serving") and _left() <= 240:
-            detail["serving_skipped"] = "bench budget exhausted"
-        if on_tpu and _want("serving") and _left() > 240:
-            # -- serving: continuous batching, paged cache, mixed load ------------
-            from exllamav3_tpu.generator import Generator, Job, GreedySampler
-
-            cache_g = Cache(model, CacheSpec(layout="paged", num_pages=48))
-            gen = Generator(model, cache_g, max_batch_size=8)
-            rng = np.random.default_rng(2)
-
-            def mk_jobs(n):
-                jobs = []
-                for i in range(n):
-                    plen = int(rng.integers(600, 900))
-                    prompt = rng.integers(3, cfg["vocab_size"], size=plen)
-                    jobs.append(Job(prompt, max_new_tokens=64,
-                                    sampler=GreedySampler(), identifier=i))
-                return jobs
-
-            # warmup round compiles the prefill/decode bucket shapes so TTFT
-            # measures serving, not XLA compilation
-            for j in mk_jobs(9):
-                gen.enqueue(j)
-            while gen.pending or gen.active:
-                gen.iterate()
-
-            jobs = mk_jobs(12)
-            t_serve0 = time.time()
-            for j in jobs:
-                gen.enqueue(j)
-            ttfts, total_new = [], 0
-            while gen.pending or gen.active:
-                for ev in gen.iterate():
-                    if ev["stage"] == "finished":
-                        ttfts.append(ev["ttft_s"])
-                        total_new += ev["generated_tokens"]
-            t_serve = time.time() - t_serve0
-            detail["serving_p50_ttft_s"] = round(float(np.percentile(ttfts, 50)), 3)
-            detail["serving_p95_ttft_s"] = round(float(np.percentile(ttfts, 95)), 3)
-            detail["serving_throughput_tok_s"] = round(total_new / t_serve, 2)
-            detail["serving_decode_burst"] = gen.decode_burst
-            detail["serving_note"] = ("host loop crosses the axon tunnel every "
-                                      "iteration; decode bursts amortize it "
-                                      "over N tokens once prefill drains")
-            del gen, cache_g
-            gc.collect()
-            _emit(tok_s, roofline_tok_s, detail)
-
     if on_tpu and run_primary:
         model = None  # free the int8 weights before the remaining sections
         gc.collect()
 
     if on_tpu and not subproc:
-        # fan the optional sections out to subprocesses (see `subproc` note)
+        # fan the optional sections out to subprocesses (see `subproc` note).
+        # Headline sections (mla, fused — the reference's MLA decode and the
+        # trellis capacity mode) run FIRST, and the non-headline sweeps only
+        # run if the remaining budget still covers every headline section
+        # not yet done (BENCH_r04 starved mla/fused behind int4/moe).
         import subprocess as _sp
 
-        for sec in ("int4", "moe", "mla", "fused", "int6"):
+        EST = {"mla": 330, "fused": 330, "int4": 300, "moe": 260, "int6": 390}
+        HEADLINE = ("mla", "fused")
+        order = ("mla", "fused", "int4", "moe", "int6")
+        done = set()
+        for sec in order:
             if not _want(sec):
+                done.add(sec)
                 continue
-            if _left() < 180:  # not enough budget to load + measure a model
+            reserve = sum(EST[h] for h in HEADLINE
+                          if h not in done and h != sec and _want(h))
+            need = EST[sec] if sec in HEADLINE else EST[sec] + reserve
+            if _left() < max(need, 180):
                 detail[f"{sec}_skipped"] = "bench budget exhausted"
                 continue
             env = dict(os.environ, EXL3TPU_BENCH_MODE=sec,
@@ -366,7 +417,16 @@ def main():
                              if l.startswith("{")]
                 child = json.loads(lines_out[-1])["detail"]
                 for key, val in child.items():
+                    if key in ("error", "note", "total_bench_s", "device",
+                               "backend", "rtt_ms", "model"):
+                        # per-section attribution: a child's tunnel failure
+                        # must not read as a whole-bench failure (BENCH_r04
+                        # recorded a generic "error" beside valid sections)
+                        if key == "error":
+                            detail[f"{sec}_error"] = val
+                        continue
                     detail.setdefault(key, val)
+                done.add(sec)
                 _emit(tok_s, roofline_tok_s, detail)
             except Exception as e:
                 detail[f"{sec}_error"] = (
