@@ -34,6 +34,9 @@ def main():
                         "modes at low-bit HBM bytes")
     p.add_argument("--mtp_bits", type=int, default=None,
                    help="bits for MTP-head linears (aux target)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard calibration rows over N devices during "
+                        "capture/advance (conversion data parallelism)")
     p.add_argument("--no_resume", action="store_true", help="ignore existing job state")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args()
@@ -57,6 +60,7 @@ def main():
         hq=args.hq,
         mtp_bits=args.mtp_bits,
         serving_bits=args.serving_bits,
+        dp=args.dp,
     )
 
 

@@ -34,6 +34,38 @@ from .compile import compile_model
 import jax.numpy as jnp
 
 
+def build_capture_fn(module):
+    """(params, state, positions, valid) -> {qmap: (H_f32, count)}: one
+    traced forward of `module` with per-qmap H = x^T x contracted on device.
+    Non-finite tokens and valid==0 (padding) rows contribute nothing. Rows
+    may be sharded over a dp mesh axis — the contraction over the sharded
+    dim becomes partial sums + all-reduce under GSPMD (the reference's
+    conversion data parallelism, convert_model.py:976-984)."""
+
+    def _cap(prm, st, pos, valid):
+        cdev: dict = {}
+        ctx = ForwardCtx(positions=pos, capture_dev=cdev)
+        module.forward(st, prm, ctx)
+        nb = st.shape[0]
+        out = {}
+        for qmap, xs in cdev.items():
+            Hc = cnt = None
+            for x2 in xs:
+                x3 = x2.astype(jnp.float32).reshape(nb, -1, x2.shape[-1])
+                finite = jnp.isfinite(x3).all(-1, keepdims=True)
+                m = finite & (valid[:, None, None] > 0)
+                x3 = jnp.where(m, x3, 0.0)
+                xf = x3.reshape(-1, x3.shape[-1])
+                h = xf.T @ xf
+                c = jnp.sum(m.astype(jnp.int32))
+                Hc = h if Hc is None else Hc + h
+                cnt = c if cnt is None else cnt + c
+            out[qmap] = (Hc, cnt)
+        return out
+
+    return _cap
+
+
 def convert_model(
     in_dir: str,
     out_dir: str,
@@ -53,6 +85,9 @@ def convert_model(
     mtp_bits: int | None = None,   # auxiliary target for MTP-head linears
     serving_bits: int | None = None,  # emit Hessian-aware int-B serving
                                       # tensors (<key>.sq) alongside, 3-6
+    dp: int = 0,  # shard calibration rows over this many devices during
+                  # capture/advance (reference convert_model.py:976-984 row
+                  # sharding across replicas; here one GSPMD mesh axis)
 ):
     os.makedirs(out_dir, exist_ok=True)
     qdir = os.path.join(out_dir, "qtensors")
@@ -119,10 +154,45 @@ def convert_model(
     row_batch = int(os.environ.get("EXL3_TPU_CAL_BATCH", "16"))
     checkpoint_s = float(os.environ.get("EXL3_TPU_CKPT_INTERVAL", "60"))
 
+    # conversion data parallelism: one mesh axis over the row (batch) dim.
+    # H = sum_rows x^T x is a contraction over the sharded dim, so GSPMD
+    # inserts the partial-sum + all-reduce; chunks pad to a multiple of the
+    # axis size with a validity mask so padded rows contribute nothing.
+    dp_mesh = None
+    dp_sharding = None
+    if dp and dp > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()[:dp]
+        if len(devs) < dp:
+            raise ValueError(f"dp={dp} but only {len(devs)} devices visible")
+        dp_mesh = Mesh(np.asarray(devs), axis_names=("dp",))
+        dp_sharding = NamedSharding(dp_mesh, P("dp"))
+        row_batch += (-row_batch) % dp
+
+    def _put_rows(arr):
+        """Device-put a (rows, ...) array, sharded over dp when active."""
+        a = jnp.asarray(arr)
+        if dp_sharding is None:
+            return a
+        return jax.device_put(a, dp_sharding)
+
     def live_row_chunks():
         live = [r for r in range(B) if r not in bad_rows]
         for i in range(0, len(live), row_batch):
             yield live[i : i + row_batch]
+
+    def _pad_chunk(rows_c):
+        """Pad a ragged chunk to a multiple of the dp axis; valid=0 rows
+        contribute nothing to H and their advance output is discarded."""
+        valid = np.ones(len(rows_c), np.float32)
+        if dp_mesh is None:
+            return rows_c, valid
+        pad = (-len(rows_c)) % dp_mesh.shape["dp"]
+        if pad:
+            rows_c = list(rows_c) + [rows_c[0]] * pad
+            valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+        return rows_c, valid
 
     def save_job():
         job["bad_rows"] = sorted(bad_rows)
@@ -167,6 +237,28 @@ def convert_model(
             return fn, params
         return fn, {base_key + rel(k): g for k, g in params.items()}
 
+    # one compiled CAPTURE per module structure: the whole forward runs as a
+    # single dispatch per row chunk with per-qmap H = x^T x contracted ON
+    # DEVICE (the eager walk paid one dispatch per op plus one device->host
+    # readback per linear — ~35 ms each over the tunnel). qmap labels are
+    # structure-relative strings ("block.attn.qkv"), so same-structure
+    # modules share both the compile and the returned dict keys.
+    cap_cache: dict = {}
+
+    def _get_capture(module, params):
+        sig = _structure_sig(module, params)
+        ent = cap_cache.get(sig)
+        mk = module.key
+        rel = lambda k: k[len(mk):] if mk and k.startswith(mk) else k
+        if ent is None:
+            ent = (jax.jit(build_capture_fn(module)), mk)
+            cap_cache[sig] = ent
+            return ent[0], params
+        fn, base_key = ent
+        if base_key == mk:
+            return fn, params
+        return fn, {base_key + rel(k): g for k, g in params.items()}
+
     for mi, module, groups in plans:
         params: dict = {}
         module.load(params)  # loads dense weights (or passthrough modules)
@@ -182,17 +274,38 @@ def convert_model(
                                  only_keys=None if done else partial_done)
         has_linears = any(isinstance(m, Linear) for m in module.walk())
         if has_linears and not done:
-            # 1. capture Hessians (streamed over row chunks; HessianData
-            # accumulates and drops non-finite tokens internally)
+            # 1. capture Hessians (streamed over row chunks): jitted device
+            # contraction when the module traces (one dispatch per chunk,
+            # rows sharded over dp), eager per-linear accumulation otherwise
             capture: dict = {}
             t_cap = time.time()
+            try:
+                cap_fn, cap_params = _get_capture(module, params)
+            except Exception:
+                cap_fn, cap_params = None, params
             for rows_c in live_row_chunks():
-                ctx = ForwardCtx(positions=jnp.asarray(positions[rows_c]),
-                                 capture=capture)
-                x = module.forward(jnp.asarray(state[rows_c]), params, ctx)
-                del x
+                hs = None
+                if cap_fn is not None:
+                    rows_p, valid = _pad_chunk(rows_c)
+                    try:
+                        hs = jax.device_get(cap_fn(
+                            cap_params, _put_rows(state[rows_p]),
+                            _put_rows(positions[rows_p]),
+                            _put_rows(valid)))
+                    except Exception:
+                        cap_fn = None
+                if hs is None:  # modules that resist tracing
+                    ctx = ForwardCtx(positions=jnp.asarray(positions[rows_c]),
+                                     capture=capture)
+                    x = module.forward(jnp.asarray(state[rows_c]), params, ctx)
+                    del x
+                    continue
+                for qmap, (h, cnt) in hs.items():
+                    hd = capture.setdefault(qmap, HessianData(k=h.shape[0]))
+                    hd.accumulate_chunk(h, cnt)
             if verbose:
-                print(f" -- module {mi}: H capture {time.time()-t_cap:.1f}s")
+                print(f" -- module {mi}: H capture {time.time()-t_cap:.1f}s"
+                      + (f" (dp={dp})" if dp_mesh is not None else ""))
 
             # 2. quantize each group (timed mid-module checkpoints: the
             # shard file + job_state rewrite whenever checkpoint_s elapses)
@@ -255,14 +368,16 @@ def convert_model(
             try:
                 if adv_fn is None:
                     raise TypeError
-                out_dev = adv_fn(adv_params, jnp.asarray(state[rows_c]),
-                                 jnp.asarray(positions[rows_c]))
+                rows_p, _ = _pad_chunk(rows_c)
+                out_dev = adv_fn(adv_params, _put_rows(state[rows_p]),
+                                 _put_rows(positions[rows_p]))
             except Exception:  # modules that resist tracing: eager fallback
                 adv_fn = None
                 out_dev = module.forward(
                     jnp.asarray(state[rows_c]), params,
                     ForwardCtx(positions=jnp.asarray(positions[rows_c])))
-            out_c = np.asarray(jax.device_get(out_dev), dtype=np.float32)
+            out_c = np.asarray(jax.device_get(out_dev),
+                               dtype=np.float32)[: len(rows_c)]
             if new_state is None:
                 new_state = np.zeros((B,) + out_c.shape[1:], np.float32)
             finite = np.isfinite(out_c).all(

@@ -258,6 +258,9 @@ class Linear(Module):
         p = params[self.key]
         if ctx.capture is not None and self.qmap is not None:
             self._capture_h(x, ctx)
+        if ctx.capture_dev is not None and self.qmap is not None:
+            ctx.capture_dev.setdefault(self.qmap, []).append(
+                x.reshape(-1, self.in_features))
         bias = p.get("bias")
         out_dtype = self.out_dtype or x.dtype
 

@@ -34,6 +34,11 @@ class ForwardCtx:
     state_slots: jnp.ndarray | None = None  # (B,) int32
     # non-traceable extras (Hessian capture, stats) — only used in eager mode
     capture: dict | None = None
+    # traced Hessian capture: Linears append their (tokens, k) input here so
+    # a JITTED capture pass can contract H = x^T x on device (one dispatch
+    # per row chunk; rows shard over a dp mesh axis under GSPMD — the
+    # reference's conversion data parallelism, convert_model.py:976-984)
+    capture_dev: dict | None = None
     extras: dict = field(default_factory=dict)
 
 

@@ -608,6 +608,15 @@ class HessianData:
             self.H += h
         self.count += x2.shape[0]
 
+    def accumulate_chunk(self, h: np.ndarray, count: int):
+        """Add a device-contracted partial H = x^T x (jitted capture pass —
+        non-finite tokens already masked out on device)."""
+        if self.H is None:
+            self.H = np.asarray(h, dtype=np.float64)
+        else:
+            self.H += h
+        self.count += int(count)
+
 
 def finalize_hessian(
     hd: HessianData, rng: np.random.Generator, sigma_reg: float = SIGMA_REG_DEFAULT
