@@ -71,7 +71,10 @@ def _want(section: str) -> bool:
     doc/performance.md)."""
     spec = os.environ.get("EXL3TPU_BENCH_MODE", "").strip()
     if not spec:
-        return section != "int6"
+        # int6 tells the same ingest-ceiling story as int4; moe_offload is a
+        # capacity mode whose cost is documented (doc/performance.md) — both
+        # are opt-in so the default run fits the driver budget
+        return section not in ("int6", "moe_offload")
     return section in {s.strip() for s in spec.split(",")}
 
 
@@ -393,9 +396,10 @@ def main():
         # not yet done (BENCH_r04 starved mla/fused behind int4/moe).
         import subprocess as _sp
 
-        EST = {"mla": 330, "fused": 330, "int4": 300, "moe": 260, "int6": 390}
+        EST = {"mla": 330, "fused": 330, "int4": 300, "moe": 260, "int6": 390,
+               "moe_offload": 300}
         HEADLINE = ("mla", "fused")
-        order = ("mla", "fused", "int4", "moe", "int6")
+        order = ("mla", "fused", "int4", "moe", "int6", "moe_offload")
         done = set()
         for sec in order:
             if not _want(sec):
@@ -603,6 +607,77 @@ def main():
             gc.collect()
         except Exception as e:
             detail["moe_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if on_tpu and subproc and _want("moe_offload"):
+        # capacity mode: expert stacks in host RAM as int8, reached through
+        # jax.pure_callback per MoE layer per step (model/moe_host.py;
+        # reference moe_cpu_host.py). The cost IS the per-layer host round
+        # trip — measured honestly, incl. the tunnel RTT a real on-host
+        # deployment would not pay.
+        try:
+            from exllamav3_tpu.conversion.synth import write_synth_dense_for_arch
+            from exllamav3_tpu.model import moe_host
+
+            E, topk = 32, 4
+            moe_cfg = dict(
+                architectures=["Qwen3MoeForCausalLM"], bos_token_id=1,
+                eos_token_id=2, vocab_size=32768, hidden_size=1536,
+                intermediate_size=4096, max_position_embeddings=8192,
+                num_attention_heads=12, num_key_value_heads=4, head_dim=128,
+                num_hidden_layers=12, rms_norm_eps=1e-5, rope_theta=10000.0,
+                torch_dtype="bfloat16", hidden_act="silu",
+                num_experts=E, num_experts_per_tok=topk,
+                norm_topk_prob=True, moe_intermediate_size=512,
+            )
+            dq = os.path.join(tempfile.gettempdir(), "exl3tpu_bench_moe")
+            if not os.path.exists(os.path.join(dq, "config.json")):
+                write_synth_dense_for_arch(dq, moe_cfg, seed=7)
+            t0 = time.time()
+            model_o = Model.from_config(Config.from_directory(
+                dq, infer_params=InferParams(moe_offload=True)))
+            model_o.load()
+            detail["load_s_moe_offload"] = round(time.time() - t0, 1)
+            detail["moe_offload_host_ram_mb"] = round(
+                moe_host.host_ram_bytes() / 1e6, 1)
+            detail["moe_offload_hbm_weight_mb"] = round(
+                sum(a.size * a.dtype.itemsize
+                    for g in model_o.params.values()
+                    for a in g.values()) / 1e6, 1)
+            saved_vocab = cfg["vocab_size"]
+            cfg["vocab_size"] = moe_cfg["vocab_size"]
+            detail["moe_offload_decode_tok_s"] = round(
+                measure_decode(model_o, 1, max(4, decode_steps // 8)), 2)
+            cfg["vocab_size"] = saved_vocab
+            # prefill 512: hot-expert streaming analogue — the callback
+            # computes all routed tokens in one host batch per layer
+            Sp = 512
+            cache_o = Cache(model_o, CacheSpec(layout="linear", batch_size=1,
+                                               max_len=Sp + 256))
+            step_o = model_o.jitted_step("dense", donate_cache=False)
+            rng_o = np.random.default_rng(3)
+            best = float("inf")
+            for r in range(3):
+                ids_o = rng_o.integers(
+                    0, moe_cfg["vocab_size"], size=(1, Sp)).astype(np.int32)
+                pos_o = np.broadcast_to(np.arange(Sp, dtype=np.int32),
+                                        (1, Sp)).copy()
+                cache_o.reset()
+                t0 = time.time()
+                lo, cache_o.state = step_o(
+                    model_o.params, jnp.asarray(ids_o), cache_o.state,
+                    jnp.asarray(pos_o), jnp.zeros(1, jnp.int32), None)
+                np.asarray(lo[:, -1, :8])
+                if r:
+                    best = min(best, time.time() - t0)
+            detail["moe_offload_prefill_tok_s_512"] = round(
+                Sp / max(best - rtt, 1e-6), 2)
+            detail["moe_offload_note"] = (
+                "per-layer jax.pure_callback round-trip (x tunnel RTT here); "
+                "compare moe_decode_tok_s for the on-device expert path")
+            del model_o, cache_o
+            gc.collect()
+        except Exception as e:
+            detail["moe_offload_error"] = f"{type(e).__name__}: {e}"[:200]
 
     _emit(tok_s, roofline_tok_s, detail, final=True)
 
