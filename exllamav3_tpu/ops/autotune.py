@@ -58,10 +58,15 @@ def _key(m_bucket: int, k: int, n: int, K: int, cb: int, device: str) -> str:
 def _candidates(m_bucket: int, k: int, n: int):
     """Small, legal candidate set: block dims must divide the tensor dims."""
     cands = []
-    for bm in (16, 32, 64, 128):
+    # bm descending: the 16-candidate cap must not drop the large-bm
+    # configs that win at prefill m_buckets
+    for bm in (128, 64, 32, 16):
         if bm > m_bucket and bm != m_bucket:
             continue
-        for bn in (128, 256, 512):
+        # wide-n blocks measured fastest at decode shapes (fewer grid steps
+        # amortize the per-block DMA/assembly; tools/fused_ablate.py r5:
+        # bn=1024 beat bn=256 by ~6% at m=16 k=n=4096)
+        for bn in (128, 256, 512, 1024):
             if n % bn:
                 continue
             for bk in (128, 256, 512):
@@ -74,7 +79,7 @@ def _candidates(m_bucket: int, k: int, n: int):
         if c not in seen:
             seen.add(c)
             out.append(c)
-    return out[:12] or [(min(16, m_bucket), 256 if n % 256 == 0 else 128,
+    return out[:16] or [(min(16, m_bucket), 256 if n % 256 == 0 else 128,
                          256 if k % 256 == 0 else 128)]
 
 

@@ -280,7 +280,13 @@ def exl3_matmul_fused(x, words, suh, svh, K: int, cb: int = CB_3INST,
 
     bm = 16 if m <= 16 else (64 if m <= 64 else 128)
     interpret = jax.default_backend() in ("cpu",)
-    bn = 256 if n % 256 == 0 else 128
+    # decode shapes: wide-n blocks amortize the per-block DMA/grid cost
+    # (tools/fused_ablate.py r5: ingest-only 87->32 us and full 192->183 us
+    # at bn 256->1024, m=16 k=n=4096); prefill keeps the MXU-friendly 256
+    if m <= 16 and n % 1024 == 0:
+        bn = 1024
+    else:
+        bn = 256 if n % 256 == 0 else 128
     bk = 256 if k % 256 == 0 else 128
     if not interpret:
         # shape-keyed autotune cache (sweeps on first sight when
