@@ -137,6 +137,23 @@ def _viterbi_core(tiles: jnp.ndarray, K: int, cb: int = CB_3INST):
     out_idx = np.arange(E, dtype=np.int32)[None, :]
     in_edge = jnp.asarray((k_idx << (16 - 2 * K)) | (out_idx >> K))  # (Q, E)
 
+    # back-pointer nibble packing: for K <= 4 the argmin fits 4 bits, so two
+    # E-adjacent entries share a byte — halves the dominant HBM term (the
+    # (256, T, E) traceback buffer written by each forward pass)
+    pack2 = K <= 4
+
+    def _pack(a):  # (T, E) int8 -> (T, E//2)
+        if not pack2:
+            return a
+        p = a.reshape(T, E // 2, 2)
+        return p[:, :, 0] | (p[:, :, 1] << 4)
+
+    def _unpack_gather(amins, ri, edge):  # -> (T,) int32 argmin at `edge`
+        if not pack2:
+            return amins[ri, jnp.arange(T), edge].astype(jnp.int32)
+        byte = amins[ri, jnp.arange(T), edge >> 1].astype(jnp.int32)
+        return (byte >> ((edge & 1) * 4)) & 0xF
+
     def forward(roll, pre_state):
         # pre_state: (T,) int32 or None
         order = (np.arange(256) + roll) & 255
@@ -152,6 +169,26 @@ def _viterbi_core(tiles: jnp.ndarray, K: int, cb: int = CB_3INST):
 
         def scan_step(cost, ri):
             w = tiles[:, ri]
+            if Q <= 16:
+                # one fused pass over the Q transitions: err is computed
+                # per-k and min/argmin tracked with compare+selects, never
+                # materializing the (T, Q, E) tensor or running two separate
+                # Q-reductions (argmin then min) over it
+                cq = cost.reshape(T, Q, EQ)
+                best = None
+                barg = None
+                for kq in range(Q):
+                    err_k = (dec_k_out[kq][None] - w[:, None]) ** 2  # (T, E)
+                    prev_k = jnp.broadcast_to(
+                        cq[:, kq, :, None], (T, EQ, Q)).reshape(T, E)
+                    tot_k = err_k + prev_k
+                    if best is None:
+                        best, barg = tot_k, jnp.zeros((T, E), jnp.int8)
+                    else:
+                        take = tot_k < best
+                        best = jnp.where(take, tot_k, best)
+                        barg = jnp.where(take, jnp.int8(kq), barg)
+                return best, _pack(barg)
             err = (dec_k_out[None] - w[:, None, None]) ** 2  # (T, Q, E)
             prev = jnp.broadcast_to(
                 cost.reshape(T, Q, EQ)[:, :, :, None], (T, Q, EQ, Q)
@@ -159,18 +196,18 @@ def _viterbi_core(tiles: jnp.ndarray, K: int, cb: int = CB_3INST):
             tot = err + prev
             amin = jnp.argmin(tot, axis=1)  # (T, E) in [0, Q)
             new_cost = jnp.min(tot, axis=1)
-            return new_cost, amin.astype(jnp.int8)
+            return new_cost, _pack(amin.astype(jnp.int8))
 
         rest, amins_rest = jax.lax.scan(scan_step, cost0, jnp.asarray(order[1:]))
         # back-pointers indexed by scan position; scatter back to ri order
-        amins = jnp.zeros((256, T, E), dtype=jnp.int8)
-        amins = amins.at[order[0]].set(amin0.astype(jnp.int8))
+        amins = jnp.zeros((256, T, E // 2 if pack2 else E), dtype=jnp.int8)
+        amins = amins.at[order[0]].set(_pack(amin0.astype(jnp.int8)))
         amins = amins.at[jnp.asarray(order[1:])].set(amins_rest)
         return rest, amins
 
     def prev_edge(amins, edge, ri):
         """in_edge(argmin, edge) = argmin*(E/Q) + (edge >> K); (T,) int32."""
-        a = amins[ri, jnp.arange(T), edge].astype(jnp.int32)
+        a = _unpack_gather(amins, ri, edge)
         return a * EQ + (edge >> K)
 
     def backward(roll, amins, start_edge):
