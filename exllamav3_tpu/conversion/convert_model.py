@@ -196,8 +196,10 @@ def convert_model(
 
     def save_job():
         job["bad_rows"] = sorted(bad_rows)
-        with open(state_path, "w") as f:
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(job, f)
+        os.replace(tmp, state_path)
 
     t_start = time.time()
     # one compiled advance per module STRUCTURE: transformer blocks of the
@@ -272,6 +274,18 @@ def convert_model(
             # (mid-module resume re-applies just the finished linears)
             shard = _apply_saved(module, params, shard_path, config,
                                  only_keys=None if done else partial_done)
+            # trust only what actually validated and loaded: a corrupt or
+            # truncated shard demotes the module (or the affected linears)
+            # back to requantization instead of silently shipping garbage
+            expected = {lin.key for g in groups for lin in g.linears}
+            loaded = {k for k in expected if f"{k}.trellis" in shard}
+            if done and loaded < expected:
+                done = False
+                job["completed"] = [c for c in job["completed"]
+                                    if str(c) != str(mi)]
+                partial_done = loaded
+            elif not done:
+                partial_done &= loaded
         has_linears = any(isinstance(m, Linear) for m in module.walk())
         if has_linears and not done:
             # 1. capture Hessians (streamed over row chunks): jitted device
@@ -443,6 +457,12 @@ def _apply_saved(module, params, shard_path, config, only_keys=None):
                 "suh": stc.get_tensor(m.key + ".suh"),
                 "svh": stc.get_tensor(m.key + ".svh"),
             }
+            if not (np.isfinite(np.asarray(out["suh"], np.float32)).all()
+                    and np.isfinite(np.asarray(out["svh"], np.float32)).all()):
+                # corrupt shard entry (e.g. pre-atomic-write interrupted
+                # save): drop it so the caller requantizes this linear
+                print(f" !! {m.key}: non-finite saved tensors, requantizing")
+                continue
             K = t.shape[-1] // 16
             cb = CB_MCG if stc.has_tensor(m.key + ".mcg") else (
                 CB_MUL1 if stc.has_tensor(m.key + ".mul1") else CB_3INST)

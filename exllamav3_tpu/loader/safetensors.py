@@ -323,8 +323,12 @@ def save_file(tensors: dict, path: str, metadata: dict | None = None, bf16_keys=
     hjson = json.dumps(header, separators=(",", ":")).encode()
     pad = (-(8 + len(hjson))) % 8
     hjson += b" " * pad
-    with open(path, "wb") as f:
+    # atomic: a reader (e.g. conversion mid-module resume) must never see a
+    # truncated file if the writer is killed mid-write
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(struct.pack("<Q", len(hjson)))
         f.write(hjson)
         for b in blobs:
             f.write(b)
+    os.replace(tmp, path)

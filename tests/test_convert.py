@@ -154,3 +154,46 @@ def test_mid_module_resume_keeps_sq_tensors(tmp_path, monkeypatch):
             assert stc.has_tensor(k + ".sq_scale"), k
     finally:
         stc.close()
+
+
+def test_resume_rejects_corrupt_shard(tmp_path):
+    """A module shard corrupted on disk (e.g. a save interrupted before the
+    atomic-write fix) must be detected on resume — the affected linears are
+    demoted out of `completed`/`partial` and requantized rather than
+    silently shipped (round-5 incident: layer with NaN suh/svh survived a
+    mid-module kill and poisoned every downstream logit)."""
+    import json
+    from exllamav3_tpu.loader.safetensors import (
+        SafetensorsCollection, save_file)
+
+    src = str(tmp_path / "dense")
+    dst = str(tmp_path / "exl3")
+    write_tiny_llama_dense(src, CFG, seed=5)
+    convert_model(src, dst, bpw=3.0, head_bits=4, rows=4, length=32,
+                  fast=True, verbose=False, seed=2)
+
+    # corrupt one completed block shard IN PLACE: NaN out a linear's suh
+    # bytes (what an interrupted pre-atomic save left behind)
+    import struct
+    sp = os.path.join(dst, "job_state.json")
+    with open(sp) as f:
+        st = json.load(f)
+    block_mi = st["completed"][1]
+    shard_path = os.path.join(dst, "qtensors",
+                              f"module_{block_mi:04d}.safetensors")
+    with open(shard_path, "r+b") as f:
+        hlen = struct.unpack("<Q", f.read(8))[0]
+        header = json.loads(f.read(hlen))
+        victim = next(k for k in header if k.endswith(".suh"))
+        lo, hi = header[victim]["data_offsets"]
+        f.seek(8 + hlen + lo)
+        f.write(np.full((hi - lo) // 4, np.nan, np.float32).tobytes())
+    victim = victim[: -len(".suh")]
+
+    job2 = convert_model(src, dst, bpw=3.0, head_bits=4, rows=4, length=32,
+                         fast=True, verbose=False, seed=2, resume=True)
+    quant = Model.from_config(Config.from_directory(
+        dst, infer_params=InferParams(linear_mode="reconstruct")))
+    quant.load()
+    ids = np.arange(16, dtype=np.int32)[None] % 250
+    assert np.isfinite(np.asarray(quant.forward_simple(ids))).all()
