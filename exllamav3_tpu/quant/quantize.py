@@ -110,7 +110,8 @@ def viterbi_quantize_tiles_np(tiles: np.ndarray, K: int, cb: int = CB_3INST):
     return out_vals, out_codes
 
 
-def _viterbi_core(tiles: jnp.ndarray, K: int, cb: int = CB_3INST):
+def _viterbi_core(tiles: jnp.ndarray, K: int, cb: int = CB_3INST,
+                  fused: bool = True):
     """Batched Viterbi on device: (T, 256) f32 -> (values f32, codes int32).
 
     Same DP as the numpy version, vectorized over tiles and states with a
@@ -139,8 +140,14 @@ def _viterbi_core(tiles: jnp.ndarray, K: int, cb: int = CB_3INST):
 
     # back-pointer nibble packing: for K <= 4 the argmin fits 4 bits, so two
     # E-adjacent entries share a byte — halves the dominant HBM term (the
-    # (256, T, E) traceback buffer written by each forward pass)
-    pack2 = K <= 4
+    # (256, T, E) traceback buffer written by each forward pass).
+    # `fused=False` (or EXL3TPU_VITERBI_LEGACY=1) reverts to the
+    # materialized argmin/min form: the fused compare/select body crashes
+    # the v5e runtime when inlined into long LDLQ scans at big-k geometry
+    # (k=4096 repro: tools/ldlq_probe.py), so ldlq gates it on k.
+    from ..util.env import env_bool
+    legacy = env_bool("EXL3TPU_VITERBI_LEGACY") or not fused
+    pack2 = K <= 4 and not legacy
 
     def _pack(a):  # (T, E) int8 -> (T, E//2)
         if not pack2:
@@ -169,7 +176,7 @@ def _viterbi_core(tiles: jnp.ndarray, K: int, cb: int = CB_3INST):
 
         def scan_step(cost, ri):
             w = tiles[:, ri]
-            if Q <= 16:
+            if Q <= 16 and not legacy:
                 # one fused pass over the Q transitions: err is computed
                 # per-k and min/argmin tracked with compare+selects, never
                 # materializing the (T, Q, E) tensor or running two separate
@@ -389,7 +396,10 @@ def _ldlq_scan_fn(K: int, cb: int, with_L: bool):
                 rows = w_rows + comp
             else:
                 rows = w_rows
-            vals, codes = _viterbi_core(rows_to_tiles(rows), K, cb)
+            # fused viterbi body only at proven scan lengths (k<=2048):
+            # larger k crashes the v5e runtime (tools/ldlq_probe.py)
+            vals, codes = _viterbi_core(rows_to_tiles(rows), K, cb,
+                                        fused=k <= 2048)
             q_rows = tiles_to_rows(vals)
             E = jax.lax.dynamic_update_slice(E, w_rows - q_rows, (bi, 0))
             return E, (q_rows, codes)
@@ -417,8 +427,12 @@ def ldlq_device_np(
     ~256 MB. Returns the same (weight_q, codes) as the host ldlq_np loop."""
     k, n = weight.shape
     assert k % 16 == 0 and n % 16 == 0
+    from ..util.env import env_int
     e_states = 65536 >> K
     t_max = max(16, (1 << 20) // e_states)
+    # EXL3TPU_LDLQ_TILES caps the per-dispatch tile batch (smaller chunks =
+    # smaller traceback/stacked-output buffers at big-k geometries)
+    t_max = min(t_max, env_int("EXL3TPU_LDLQ_TILES", t_max))
     n_chunk = min(n, t_max * 16)
     while n % n_chunk:  # keep chunks uniform (one compiled shape per linear)
         n_chunk -= 16
