@@ -678,6 +678,38 @@ def main():
             gc.collect()
         except Exception as e:
             detail["moe_offload_error"] = f"{type(e).__name__}: {e}"[:200]
+            if "does not support host send/recv callbacks" in str(e):
+                # axon-tunnel PJRT cannot execute pure_callback at all, so
+                # the end-to-end path is unmeasurable HERE (it runs on CPU
+                # tests and on directly-attached TPU hosts). Record the
+                # host-side expert FFN kernel cost — the term the offload
+                # adds per MoE layer per token — so the artifact still
+                # carries a measured number (doc/performance.md r5).
+                try:
+                    from exllamav3_tpu.model import moe_host
+                    rng_h = np.random.default_rng(0)
+                    E_h, top_h, h_h, i_h = 16, 4, 1536, 512
+                    wg = (rng_h.random((E_h, h_h, i_h), dtype=np.float32)
+                          - 0.5) * 0.04
+                    wu = (rng_h.random((E_h, h_h, i_h), dtype=np.float32)
+                          - 0.5) * 0.04
+                    wd = (rng_h.random((E_h, i_h, h_h), dtype=np.float32)
+                          - 0.5) * 0.04
+                    lidx = moe_host.register_layer(
+                        wg, wu, wd, activation="silu", owner=999)
+                    x_h = (rng_h.random((1, h_h), dtype=np.float32) - 0.5)
+                    ti = rng_h.integers(0, E_h, size=(1, top_h)).astype(
+                        np.int32)
+                    tv = np.full((1, top_h), 1.0 / top_h, np.float32)
+                    moe_host.forward(lidx, x_h, ti, tv)
+                    t0 = time.time()
+                    for _ in range(20):
+                        moe_host.forward(lidx, x_h, ti, tv)
+                    detail["moe_offload_host_ffn_ms"] = round(
+                        (time.time() - t0) / 20 * 1e3, 3)
+                    moe_host.release(999)
+                except Exception as e2:
+                    detail["moe_offload_host_ffn_error"] = repr(e2)[:120]
 
     _emit(tok_s, roofline_tok_s, detail, final=True)
 
