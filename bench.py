@@ -78,7 +78,7 @@ def _want(section: str) -> bool:
     return section in {s.strip() for s in spec.split(",")}
 
 
-BUDGET_S = float(os.environ.get("EXL3TPU_BENCH_BUDGET_S", "1800"))
+BUDGET_S = float(os.environ.get("EXL3TPU_BENCH_BUDGET_S", "2200"))
 _T_START = time.time()
 
 
@@ -498,9 +498,10 @@ def main():
             detail["roofline_tok_s_fused"] = round(hbm_gbps * 1e9 / wb_f, 2)
             detail["fused_decode_tok_s"] = round(
                 measure_decode(model_f, 1, max(8, decode_steps // 4)), 2)
-            detail["fused_note"] = ("VPU-bound trellis decode (~20 ops/"
-                                    "weight): capacity mode for models past "
-                                    "the int8 HBM budget, not a speed mode")
+            detail["fused_note"] = ("VPU-bound trellis decode (~14 ops/"
+                                    "weight, measured floor table in "
+                                    "doc/performance.md): capacity mode for "
+                                    "models past the int8 HBM budget")
             del model_f
             gc.collect()
         except Exception as e:  # keep the primary metric on any failure
